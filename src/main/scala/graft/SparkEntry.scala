@@ -26,6 +26,22 @@ object SparkEntry {
     "q_topn_window" -> Relational.topNWindow _,
     "q_semi_anti"  -> Relational.semiAnti _,
     "q_rollup"     -> Relational.rollupAgg _,
+    // Solace/Beam event surface
+    "tumbling_agg"   -> EventOps.tumblingAgg _,
+    "sliding_agg"    -> EventOps.slidingAgg _,
+    "session_window" -> EventOps.sessionWindowAgg _,
+    "topic_route"    -> EventOps.topicRoute _,
+    "msg_dedup"      -> EventOps.msgDedup _,
+    "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
+    // Text analysis / dedup
+    "wordcount"          -> TextOps.wordCount _,
+    "windowed_wordcount" -> TextOps.windowedWordCount _,
+    "dedup_exact"        -> TextOps.dedupExact _,
+    "token_count"        -> TextOps.tokenCount _,
+    "text_quality"       -> TextOps.textQuality _,
+    "lang_id"            -> TextOps.langId _,
+    "doc_fingerprint"    -> TextOps.docFingerprint _,
+    "doc_shingle_stats"  -> TextOps.shingleStats _,
   )
 
   /** DuckDB oracle SQL per query key (same aliases + rounding). */
@@ -37,5 +53,19 @@ object SparkEntry {
     "q_topn_window" -> Relational.topNSql,
     "q_semi_anti"  -> Relational.semiAntiSql,
     "q_rollup"     -> Relational.rollupSql,
+    "tumbling_agg"   -> EventOps.tumblingSql,
+    "sliding_agg"    -> EventOps.slidingSql,
+    "session_window" -> EventOps.sessionSql,
+    "topic_route"    -> EventOps.topicRouteSql,
+    "msg_dedup"      -> EventOps.msgDedupSql,
+    "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,
+    "wordcount"          -> TextOps.wordCountSql,
+    "windowed_wordcount" -> TextOps.windowedWordCountSql,
+    "dedup_exact"        -> TextOps.dedupExactSql,
+    "token_count"        -> TextOps.tokenCountSql,
+    "text_quality"       -> TextOps.textQualitySql,
+    "lang_id"            -> TextOps.langIdSql,
+    "doc_fingerprint"    -> TextOps.docFingerprintSql,
+    "doc_shingle_stats"  -> TextOps.shingleStatsSql,
   )
 }

@@ -7,6 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * All operators take `(SparkSession, sfDir)` and load through here so
   * that projection/filter pushdown applies to the raw parquet scan
   * (no caching layer in between — Catalyst sees the file source).
+  *
+  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's
+  * parquet reader rejects; we read it with
+  * `spark.sql.legacy.parquet.nanosAsLong` and convert to a
+  * microsecond timestamp (`timestamp_micros(ns div 1000)`), which is
+  * exactly what DuckDB produces when it reads the same file (its
+  * TIMESTAMP is µs, ns are truncated) — so oracle comparisons on
+  * event timestamps are bit-equal.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -14,5 +22,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TopicMatches.topicMatches
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Event-stream operators — the batch-queryable core of what the
+  * reference's Beam pipelines compute over Solace messages
+  * (fixed/sliding/session windows, routing, redelivery dedup,
+  * sender-vs-receive timestamps). The same logic is reused by the
+  * Structured Streaming layer; keeping it batch-expressible is what
+  * lets the DuckDB oracle check it.
+  *
+  * Scale notes: every query here is a single shuffle on its group
+  * keys with map-side partial aggregation; windows are computed by
+  * expression (no sort), sessions by Spark's native session_window
+  * merge. Subscriptions are a tiny broadcast side.
+  */
+object EventOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  val tumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS ws, event_type,
+      | count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(14,4))),2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding 2-hour windows advancing hourly. Each event lands in two
+    * windows; the expansion happens in the window() expression, not a
+    * self-join. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  val slidingSql: String =
+    """SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS ws, event_type,
+      | count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(14,4))),2) AS DOUBLE) AS sum_value
+      |FROM events, (SELECT unnest([0,1]) AS k)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Session windows per user with a 30-minute inactivity gap
+    * (Spark's native session_window: sessions merge on shuffle,
+    * no per-key sort in the plan we write). */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("sum_value"))
+
+  val sessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+      |        THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(14,4))),2) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Solace-style topic routing: topic = events/<type>/u<user>,
+    * matched against wildcard subscriptions with the custom
+    * codegen'd TopicMatches predicate. An event fans out to every
+    * matching subscription (broker semantics). Subscriptions are a
+    * broadcast literal table. */
+  val subscriptions: Seq[String] = Seq(
+    "events/*/u7",       // any type, user 7
+    "events/click/>",    // all click subtopics
+    "events/>",          // firehose
+    "events/purch*/u3",  // prefix level match
+    "events/error/u1")   // exact
+
+  def topicRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subs = subscriptions.toDF("sub")
+    val ev = events(spark, dir)
+      .withColumn("topic",
+        concat(lit("events/"), col("event_type"), lit("/u"), col("user_id")))
+    ev.crossJoin(broadcast(subs))
+      .filter(topicMatches(col("sub"), col("topic")))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
+  }
+
+  val topicRouteSql: String = {
+    // Hand-compiled regex per subscription — independent derivation of
+    // the same Solace wildcard semantics for the oracle.
+    val cases = Seq(
+      "events/*/u7"      -> "^events/[^/]+/u7$",
+      "events/click/>"   -> "^events/click/.+$",
+      "events/>"         -> "^events/.+$",
+      "events/purch*/u3" -> "^events/purch[^/]*/u3$",
+      "events/error/u1"  -> "^events/error/u1$")
+    val parts = cases.map { case (sub, re) =>
+      s"""SELECT '$sub' AS sub, count(*) AS n,
+         | CAST(round(sum(CAST(value AS DECIMAL(14,4))),2) AS DOUBLE) AS sum_value
+         |FROM (SELECT 'events/' || event_type || '/u' || user_id AS topic, value FROM events)
+         |WHERE regexp_matches(topic, '$re')""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+    s"SELECT * FROM ($parts) WHERE n > 0"
+  }
+
+  /** At-least-once → exactly-once: a redelivered tail (every 10th
+    * message re-appears) is collapsed by message-id dedup before
+    * counting. Mirrors SolaceCheckpointMark ack semantics where
+    * un-acked messages are redelivered. */
+  def msgDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select("event_id", "event_type")
+    val redelivered = ev.filter(col("event_id") % 10 === 0)
+    ev.unionAll(redelivered)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  val msgDedupSql: String =
+    """SELECT event_type, count(*) AS n_unique FROM (
+      | SELECT DISTINCT event_id, event_type FROM (
+      |  SELECT event_id, event_type FROM events
+      |  UNION ALL
+      |  SELECT event_id, event_type FROM events WHERE event_id % 10 = 0))
+      |GROUP BY event_type""".stripMargin
+
+  /** Sender-vs-receive timestamp lag profile (the useSenderTimestamp
+    * choice in SolaceIO.Read): synthesize a deterministic broker delay
+    * and report per-type lag stats. */
+  def senderVsReceiveTs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("lag_s", col("event_id") % 7)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("lag_s")).cast("double") / count(lit(1))).as("avg_lag_s"),
+        max(col("lag_s")).as("max_lag_s"))
+
+  val senderVsReceiveSql: String =
+    """SELECT event_type, count(*) AS n,
+      | CAST(sum(event_id % 7) AS DOUBLE)/count(*) AS avg_lag_s,
+      | max(event_id % 7) AS max_lag_s
+      |FROM events GROUP BY event_type""".stripMargin
+}

@@ -23,8 +23,11 @@ object Exact {
   /** Exact decimal sum rounded to 2 dp, emitted as double. */
   def sum2(e: Column): Column = round(sum(e), 2).cast("double")
 
-  /** Exact-sum-based average rounded to 4 dp (sum exact, single double
-    * division — deterministic across engines for identical inputs). */
-  def avg4(e: Column): Column =
-    round(sum(e).cast("double") / count(lit(1)), 4)
+  /** Exact-sum-based average: exact decimal sum, then ONE double
+    * division. IEEE division is correctly rounded, so identical
+    * inputs give bit-identical results in Spark and DuckDB — no
+    * rounding needed (and rounding would *add* boundary risk:
+    * engines disagree on values landing exactly on .xxx5). */
+  def avgExact(e: Column): Column =
+    sum(e).cast("double") / count(lit(1))
 }

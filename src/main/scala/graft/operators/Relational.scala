@@ -37,9 +37,9 @@ object Relational {
         sum2(d4(col("l_extendedprice"), 12)).as("sum_base_price"),
         sum2(disc(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
         sum2(disc(col("l_extendedprice"), col("l_discount")) * (lit(1) + d4(col("l_tax"), 6))).as("sum_charge"),
-        avg4(d4(col("l_quantity"))).as("avg_qty"),
-        avg4(d4(col("l_extendedprice"), 12)).as("avg_price"),
-        avg4(d4(col("l_discount"), 6)).as("avg_disc"),
+        avgExact(d4(col("l_quantity"))).as("avg_qty"),
+        avgExact(d4(col("l_extendedprice"), 12)).as("avg_price"),
+        avgExact(d4(col("l_discount"), 6)).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q1Sql: String =
@@ -48,9 +48,9 @@ object Relational {
       | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))),2) AS DOUBLE) AS sum_base_price,
       | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))*(1-CAST(l_discount AS DECIMAL(6,4)))),2) AS DOUBLE) AS sum_disc_price,
       | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))*(1-CAST(l_discount AS DECIMAL(6,4)))*(1+CAST(l_tax AS DECIMAL(6,4)))),2) AS DOUBLE) AS sum_charge,
-      | round(CAST(sum(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE)/count(*),4) AS avg_qty,
-      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)/count(*),4) AS avg_price,
-      | round(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE)/count(*),4) AS avg_disc,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE)/count(*) AS avg_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)/count(*) AS avg_price,
+      | CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE)/count(*) AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Texts._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data
+  * pipeline surface: wordcount, token stats, quality scoring,
+  * language-ID heuristic, canonical fingerprinting, shingle profile,
+  * exact dedup.
+  *
+  * Everything is `functions._` (codegen'd); ratios are computed as a
+  * single double division of exact integer counts, so the DuckDB
+  * oracle reproduces values bit-for-bit without rounding games.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** The WindowedWordCountSolace core: global word count. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val wordCountSql: String =
+    """SELECT word, count(*) AS cnt FROM (
+      | SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  /** Windowed word count: messages (events) carry document payloads
+    * (deterministic doc_id = event_id % |documents|); words counted in
+    * tumbling 1-hour windows — the full WindowedWordCountSolace
+    * pipeline shape as a batch query. */
+  def windowedWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nDocs = d.count() // one tiny metadata-scale job; the join below stays distributed
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("ws"),
+              (col("event_id") % nDocs).as("did"))
+    ev.join(d.select(col("doc_id"), col("text")), col("did") === col("doc_id"))
+      .select(col("ws"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("ws"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val windowedWordCountSql: String =
+    """SELECT ws, word, count(*) AS cnt FROM (
+      | SELECT date_trunc('hour', e.ts) AS ws,
+      |        unnest(string_split(d.text, ' ')) AS word
+      | FROM events e
+      | JOIN documents d ON d.doc_id = e.event_id % (SELECT count(*) FROM documents))
+      |WHERE word <> '' GROUP BY ws, word""".stripMargin
+
+  /** Exact dedup with a synthesized redelivered tail (every 20th doc
+    * duplicated under a shifted id): group identical texts, keep the
+    * smallest id. Hash-groupBy on the full text — at 100 TB you'd
+    * group on md5(text) first (same result, 16-byte shuffle keys);
+    * we group on the fingerprint here for exactly that reason. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val dup = d.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    d.unionAll(dup)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+  }
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+      |GROUP BY md5(text)""".stripMargin
+
+  /** Token counting: whitespace tokens and regex word tokens. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_re_tokens"),
+      length(col("text")).cast("long").as("n_chars_seen"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      | len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+      | len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+      | length(text) AS n_chars_seen
+      |FROM documents""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "data", "value")
+
+  /** Quality scoring: stopword ratio, mean token length, space ratio,
+    * and a fixed linear score — all exact-int division. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val totTokChars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    docs(spark, dir)
+      .filter(size(tokens(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (nStop / nTok).as("stop_ratio"),
+        (totTokChars / nTok).as("mean_tok_len"),
+        ((nChars - totTokChars) / nChars).as("space_ratio"))
+      .withColumn("quality",
+        lit(1.0) - col("stop_ratio") * 0.5 - col("space_ratio") * 0.2)
+  }
+
+  val textQualitySql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT doc_id, length(text) AS n_chars,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |m AS (
+       | SELECT doc_id, n_chars, len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+       | FROM t WHERE len(toks) > 0),
+       |s AS (
+       | SELECT doc_id, n_tokens,
+       |  CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+       |  CAST(tok_chars AS DOUBLE)/n_tokens AS mean_tok_len,
+       |  (CAST(n_chars AS DOUBLE)-tok_chars)/n_chars AS space_ratio
+       | FROM m)
+       |SELECT doc_id, n_tokens, stop_ratio, mean_tok_len, space_ratio,
+       | CAST(1.0 AS DOUBLE) - stop_ratio*0.5 - space_ratio*0.2 AS quality
+       |FROM s""".stripMargin
+  }
+
+  /** Language-ID by marker-token voting (n-gram-heuristic shape:
+    * count hits per language-specific marker set, argmax with a fixed
+    * priority order on ties). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("order", "sort", "fast"),
+    "de" -> Seq("scan", "merge", "batch"),
+    "fr" -> Seq("stream", "window", "row"),
+    "zh" -> Seq("query", "group", "join"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val counts = markers.map { case (lang, ws) =>
+      size(filter(toks, t => t.isin(ws: _*))).as(s"c_$lang")
+    }
+    val withCounts = docs(spark, dir).select(col("doc_id") +: counts: _*)
+    // argmax with fixed priority: en > es > de > fr > zh on ties
+    val langs = markers.map(_._1)
+    val maxC = greatest(langs.map(l => col(s"c_$l")): _*)
+    val pred = langs.foldRight[Column](lit("und")) { (l, els) =>
+      when(col(s"c_$l") === maxC, lit(l)).otherwise(els)
+    }
+    withCounts.withColumn("pred_lang", when(maxC > 0, pred).otherwise(lit("und")))
+  }
+
+  val langIdSql: String = {
+    val cnt = markers.map { case (lang, ws) =>
+      val l = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($l, x))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val maxExpr = "greatest(" + langs.map(l => s"c_$l").mkString(", ") + ")"
+    val pred = langs.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN c_$l = m THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |c AS (SELECT doc_id,
+       |  $cnt
+       | FROM t),
+       |g AS (SELECT *, $maxExpr AS m FROM c)
+       |SELECT doc_id, c_en, c_es, c_de, c_fr, c_zh,
+       | CASE WHEN m > 0 THEN $pred ELSE 'und' END AS pred_lang
+       |FROM g""".stripMargin
+  }
+
+  /** Canonical md5 fingerprint per document. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      fingerprint(tokens(col("text"))).as("fp"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      | md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS fp
+      |FROM documents""".stripMargin
+
+  /** Shingle-set profile per document (feeds the dedup suite). */
+  def shingleStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val sh = shingles3(toks)
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(sh).cast("long").as("n_shingles"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"),
+      when(size(sh) > 0,
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+        .otherwise(lit(null).cast("double")).as("distinct_ratio"))
+  }
+
+  val shingleStatsSql: String =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, len(w) AS n_tokens,
+      |  CASE WHEN len(w) >= 3
+      |   THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+      |   ELSE [] END AS sh
+      | FROM t)
+      |SELECT doc_id, n_tokens, len(sh) AS n_shingles,
+      | len(list_distinct(sh)) AS n_distinct,
+      | CASE WHEN len(sh) > 0
+      |  THEN CAST(len(list_distinct(sh)) AS DOUBLE)/len(sh)
+      |  ELSE NULL END AS distinct_ratio
+      |FROM s""".stripMargin
+}
