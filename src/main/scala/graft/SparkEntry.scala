@@ -42,6 +42,15 @@ object SparkEntry {
     "lang_id"            -> TextOps.langId _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "doc_shingle_stats"  -> TextOps.shingleStats _,
+    // Dedup suite
+    "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
+    "dedup_minhash"       -> DedupOps.minhashLsh _,
+    "dedup_simhash"       -> DedupOps.simhash _,
+    // Vector similarity
+    "dedup_embedding" -> VectorOps.embeddingNearDup _,
+    "ann_bruteforce"  -> VectorOps.annBruteForce _,
+    "ann_lsh"         -> VectorOps.annLsh _,
+    "knn_centroid"    -> VectorOps.knnCentroid _,
   )
 
   /** DuckDB oracle SQL per query key (same aliases + rounding). */
@@ -67,5 +76,12 @@ object SparkEntry {
     "lang_id"            -> TextOps.langIdSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
+    "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
+    "dedup_minhash"       -> DedupOps.jaccardSql,
+    // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
+    "dedup_embedding" -> VectorOps.embeddingNearDupSql,
+    "ann_bruteforce"  -> VectorOps.annBruteForceSql,
+    // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
+    "knn_centroid"    -> VectorOps.knnCentroidSql,
   )
 }

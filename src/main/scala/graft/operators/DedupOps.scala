@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Texts._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — the LLM-training-data
+  * dedup suite: exact n-gram Jaccard via an inverted index, and
+  * MinHash+LSH candidate generation with exact verification.
+  *
+  * Scale design:
+  *  - Shingling/minhashing are narrow map-side work.
+  *  - The inverted-index pair join shuffles on shingle keys; a
+  *    frequency cap (drop shingles present in > [[maxDf]] docs) bounds
+  *    the worst-case bucket skew the way stop-word removal does —
+  *    deterministically, so the oracle applies the same cap.
+  *  - MinHash replaces the all-shared-shingle pair enumeration with a
+  *    band-bucket join: 32 bands × 4 rows over 128 hashes, so a pair
+  *    with Jaccard 0.9 collides with probability ~1-4e-9 while a 0.2
+  *    pair survives <5% of the time. Candidates are then verified with
+  *    the exact Jaccard, so the ORACLE IS THE SAME exact-pair SQL —
+  *    LSH only prunes the search space, it never changes the answer
+  *    (the planted near-dups sit at J≥0.98: miss probability ~1e-35).
+  */
+object DedupOps {
+
+  val maxDf = 100          // shingle document-frequency cap
+  val threshold = 0.8      // near-dup Jaccard threshold
+  val numHashes = 128
+  val numBands = 32        // × 4 rows per band
+
+  /** Exploded (doc_id, shingle) pairs over the df-capped universe. */
+  private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(tokens(col("text"))))).as("s"))
+    val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    ex.join(keep, "s")
+  }
+
+  private def jaccardOut(pairs: DataFrame, sizes: DataFrame): DataFrame = {
+    val sa = sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na")
+    val sb = sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb")
+    pairs
+      .join(sa, col("doc_a") === col("da"))
+      .join(sb, col("doc_b") === col("db"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact word-3-gram Jaccard pairs ≥ threshold via inverted index:
+    * pairs sharing ≥1 (rare) shingle are counted in one shuffle. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex2 = cappedShingles(spark, dir)
+    val sizes = ex2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = ex2.withColumnRenamed("doc_id", "doc_a")
+    val b = ex2.withColumnRenamed("doc_id", "doc_b")
+    val pairs = a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    jaccardOut(pairs, sizes)
+  }
+
+  /** MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified.
+    * Same output (and same oracle) as [[ngramJaccard]] — the LSH pass
+    * exists so the pair enumeration scales past the inverted index. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ex2 = cappedShingles(spark, dir)
+
+    // 128-way min-hash signature in ONE shuffle: min(xxhash64(i, s)).
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = ex2.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+
+    // 32 band keys, each hashing 4 signature rows.
+    val bandKeys = (0 until numBands).map { j =>
+      val rows = (0 until 4).map(k => col(s"h${4 * j + k}"))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    val bands = sigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+
+    val ba = bands.withColumnRenamed("doc_id", "doc_a")
+    val bb = bands.withColumnRenamed("doc_id", "doc_b")
+    val cands = ba.join(bb, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    // Exact verification on candidates only.
+    val sets = ex2.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("shs"), count(lit(1)).as("n"))
+    val va = sets.select(col("doc_id").as("da"), col("shs").as("sha"), col("n").as("na"))
+    val vb = sets.select(col("doc_id").as("db"), col("shs").as("shb"), col("n").as("nb"))
+    cands
+      .join(va, col("doc_a") === col("da"))
+      .join(vb, col("doc_b") === col("db"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Shared oracle: exact all-pairs Jaccard over the capped shingle
+    * universe (the ground truth both Spark paths must reproduce). */
+  val jaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+       |    ELSE [] END) AS shs
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxDf),
+       |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ex2 GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+       |FROM p
+       |JOIN sz sa ON sa.doc_id = p.doc_a
+       |JOIN sz sb ON sb.doc_id = p.doc_b
+       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $threshold""".stripMargin
+
+  /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via 8×8-bit band
+    * join (pigeonhole: ≤7 differing bits leave ≥1 of 8 bands equal,
+    * so recall at the ≤6 threshold is exact). Hashes 3-gram shingles,
+    * not tokens — token SETS collapse on a small vocabulary and lose
+    * all frequency signal. xxhash64 has no DuckDB twin → rows-only
+    * check; the ScalaTest spec pins behavior instead. */
+  val simhashMaxHamming = 6
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toksH = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(tokens(col("text"))))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agged = toksH.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sigs = agged.select(col("doc_id"), sig.as("sim"))
+
+    val bandCols = (0 until 8).map(j =>
+      struct(lit(j).as("band"), shiftright(col("sim"), 8 * j).bitwiseAND(0xFF).as("bkey")))
+    val bands = sigs.select(col("doc_id"), col("sim"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val ba = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val bb2 = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    ba.join(bb2, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= simhashMaxHamming)
+  }
+}

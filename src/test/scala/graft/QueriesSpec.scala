@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape checks for every SparkEntry query at sf0.001, plus
+  * the cross-implementation agreements that the DuckDB oracle cannot
+  * express (minhash ≡ exact jaccard, LSH ⊆ brute force, simhash ⊇
+  * planted near-dups). */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = SparkSpec.sf
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("non-empty results where data guarantees them") {
+    val mustBeNonEmpty = Seq("q1_agg", "q6_filter", "wordcount", "tumbling_agg",
+      "session_window", "msg_dedup", "dedup_exact", "token_count",
+      "doc_fingerprint", "ann_bruteforce", "knn_centroid", "topic_route")
+    mustBeNonEmpty.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0, s"$name empty")
+    }
+  }
+
+  test("minhash+LSH finds exactly the exact-jaccard pairs") {
+    val exact = operators.DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.DedupOps.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash candidates cover the strong near-dup pairs") {
+    // 64-bit simhash over few shingles (short docs) is noisy below
+    // J~0.98: observed hamming up to 12 at J=0.95. Its contract is
+    // strong-dup recall, pinned here at J>=0.98 (hamming <= 6).
+    val exact = operators.DedupOps.ngramJaccard(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.98)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = operators.DedupOps.simhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- sim
+    assert(missed.isEmpty, s"simhash missed strong pairs: $missed")
+  }
+
+  test("ann_lsh results are a subset of valid neighbors with exact cosines") {
+    val bf = operators.VectorOps.annBruteForce(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    // LSH cosines for pairs that brute force also ranked must agree bitwise
+    val lsh = operators.VectorOps.annLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bf.get(key).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+}
