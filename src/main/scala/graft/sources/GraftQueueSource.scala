@@ -1,0 +1,313 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A queue-broker-backed streaming source — the Spark re-expression of
+  * the reference's UnboundedSource design
+  * (beam-sdks-java-io-solace/.../UnboundedSolaceSource.java:30-70 —
+  * one reader slice per queue;  UnboundedSolaceReader.java — poll,
+  * client-ack batches when a checkpoint is finalized;
+  * SolaceCheckpointMark.java — messages deleted only on commit).
+  *
+  * Broker emulation: a directory per queue under `brokerDir`, spool
+  * files of TSV message lines appended by [[GraftQueueBroker.publish]].
+  * Mapping to Spark Structured Streaming:
+  *  - queue ↔ InputPartition: each micro-batch plans exactly one
+  *    partition per queue → per-queue ordering is preserved and
+  *    parallelism = number of queues, exactly like the reference's
+  *    `split(desiredNumSplits)` capping at the queue count;
+  *  - offsets: per-queue consumed-line counts (monotone, replayable);
+  *  - client-ack on checkpoint commit: `commit(end)` writes
+  *    `_acks/<queue>` high-water marks — the broker-side "delete";
+  *  - `maxRecordsPerTrigger` (SupportsAdmissionControl) = the
+  *    reference's maxNumRecords flow-control knob;
+  *  - redelivered flag: rows below the acked high-water mark were
+  *    delivered before (restart without commit) — same signal as
+  *    JMSRedelivered.
+  */
+object GraftQueueSource {
+  val schema: StructType = StructType(Seq(
+    StructField("queue", StringType, nullable = false),
+    StructField("destination", StringType, nullable = true),
+    StructField("message_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("sender_ts", TimestampType, nullable = true),
+    StructField("receive_ts", TimestampType, nullable = true),
+    StructField("priority", IntegerType, nullable = false),
+    StructField("redelivered", BooleanType, nullable = false),
+    StructField("reply_to", StringType, nullable = true),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("time_to_live", LongType, nullable = false)))
+
+  val FORMAT: String = classOf[GraftQueueSourceProvider].getName
+
+  // ---- spool / offset plumbing (shared by stream + batch paths) ----
+
+  def queueDir(brokerDir: String, queue: String): File = new File(brokerDir, queue)
+
+  def spoolFiles(brokerDir: String, queue: String): Seq[File] = {
+    val d = queueDir(brokerDir, queue)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles((_, n) => n.startsWith("spool-")).toSeq.sortBy(_.getName)
+  }
+
+  /** Total messages ever spooled to a queue. */
+  def available(brokerDir: String, queue: String): Long =
+    spoolFiles(brokerDir, queue).map(countLines).sum
+
+  private def countLines(f: File): Long = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().size.toLong finally src.close()
+  }
+
+  def ackFile(brokerDir: String, queue: String): File = {
+    val d = new File(brokerDir, "_acks")
+    d.mkdirs()
+    new File(d, queue + ".ack")
+  }
+
+  def ackedCount(brokerDir: String, queue: String): Long = {
+    val f = ackFile(brokerDir, queue)
+    if (f.isFile) new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  def writeAck(brokerDir: String, queue: String, count: Long): Unit = {
+    val f = ackFile(brokerDir, queue)
+    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    Files.write(tmp.toPath, count.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Offsets as a sorted-key JSON object {"q":count,...}. */
+  def offsetsToJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (q, n) => "\"" + q + "\":" + n }
+      .mkString("{", ",", "}")
+
+  def offsetsFromJson(json: String): Map[String, Long] = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+    }.toMap
+  }
+}
+
+/** Publish-side broker emulation used by tests and demos: append a
+  * spool file atomically (write + rename), one TSV line per message:
+  * messageId \t senderTsMicros \t receiveTsMicros \t priority \t
+  * destination \t replyTo \t ttl \t base64(payload)
+  */
+object GraftQueueBroker {
+  final case class Msg(
+      messageId: Long,
+      senderTsMicros: Long,
+      receiveTsMicros: Long,
+      priority: Int,
+      destination: String,
+      replyTo: String,
+      timeToLive: Long,
+      payload: Array[Byte])
+
+  def textMsg(id: Long, tsMicros: Long, destination: String, text: String): Msg =
+    Msg(id, tsMicros, tsMicros + 1000L, 4, destination, "",
+      0L, text.getBytes(StandardCharsets.UTF_8))
+
+  def publish(brokerDir: String, queue: String, msgs: Seq[Msg]): Unit = synchronized {
+    val dir = GraftQueueSource.queueDir(brokerDir, queue)
+    dir.mkdirs()
+    val existing = GraftQueueSource.spoolFiles(brokerDir, queue).size
+    val target = new File(dir, f"spool-$existing%08d.log")
+    val tmp = new File(dir, target.getName + ".tmp")
+    val body = msgs.map { m =>
+      Seq(m.messageId.toString, m.senderTsMicros.toString, m.receiveTsMicros.toString,
+        m.priority.toString, m.destination, m.replyTo, m.timeToLive.toString,
+        Base64.getEncoder.encodeToString(m.payload)).mkString("\t")
+    }.mkString("", "\n", "\n")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+class GraftQueueSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftQueueSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftQueueTable(new CaseInsensitiveStringMap(properties))
+}
+
+class GraftQueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val brokerDir = options.get("brokerDir")
+  private val queues: Seq[String] =
+    options.get("queues").split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+  require(brokerDir != null && queues.nonEmpty, "brokerDir and queues options are required")
+
+  override def name(): String = s"graft-queue[${queues.mkString(",")}]"
+  override def schema(): StructType = GraftQueueSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = () => new Scan {
+    override def readSchema(): StructType = GraftQueueSource.schema
+
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GraftQueueMicroBatchStream(brokerDir, queues, options)
+
+    /** Bounded read of the current spool — SolaceIO's maxNumRecords
+      * bounded mode. */
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val cap = Option(options.get("maxNumRecords")).map(_.toLong).getOrElse(Long.MaxValue)
+        var budget = cap
+        queues.map { q =>
+          val avail = math.min(GraftQueueSource.available(brokerDir, q), budget)
+          budget -= avail
+          GraftQueuePartition(brokerDir, q, 0L, avail,
+            GraftQueueSource.ackedCount(brokerDir, q)): InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory = GraftQueueReaderFactory
+    }
+  }
+}
+
+case class QueueOffset(counts: Map[String, Long]) extends Offset {
+  override def json(): String = GraftQueueSource.offsetsToJson(counts)
+}
+
+case class GraftQueuePartition(
+    brokerDir: String, queue: String, fromLine: Long, toLine: Long,
+    ackedAtPlan: Long) extends InputPartition
+
+class GraftQueueMicroBatchStream(
+    brokerDir: String, queues: Seq[String], options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  import GraftQueueSource._
+
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = QueueOffset(queues.map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[QueueOffset].counts
+    val budget0 = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => Long.MaxValue
+    }
+    var budget = budget0
+    // Deterministic round: queues in sorted order each take up to the
+    // remaining budget (queue-slice fairness is per-trigger bounded).
+    val next = queues.map { q =>
+      val from = startMap.getOrElse(q, 0L)
+      val avail = available(brokerDir, q) - from
+      val take = math.max(0L, math.min(avail, budget))
+      budget -= take
+      q -> (from + take)
+    }.toMap
+    QueueOffset(next)
+  }
+
+  override def reportLatestOffset(): Offset =
+    QueueOffset(queues.map(q => q -> available(brokerDir, q)).toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    QueueOffset(offsetsFromJson(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[QueueOffset].counts
+    val e = end.asInstanceOf[QueueOffset].counts
+    queues.flatMap { q =>
+      val from = s.getOrElse(q, 0L)
+      val to = e.getOrElse(q, 0L)
+      if (to > from)
+        Some(GraftQueuePartition(brokerDir, q, from, to, ackedCount(brokerDir, q)): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftQueueReaderFactory
+
+  /** Checkpoint finalized → client-ack the consumed prefix (the
+    * broker-side delete of SolaceCheckpointMark.finalizeCheckpoint). */
+  override def commit(end: Offset): Unit =
+    end.asInstanceOf[QueueOffset].counts.foreach { case (q, n) =>
+      writeAck(brokerDir, q, n)
+    }
+
+  override def stop(): Unit = ()
+}
+
+object GraftQueueReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftQueuePartition]
+    new GraftQueuePartitionReader(p)
+  }
+}
+
+class GraftQueuePartitionReader(p: GraftQueuePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val lines: Iterator[(String, Long)] = {
+    val files = GraftQueueSource.spoolFiles(p.brokerDir, p.queue)
+    files.iterator.flatMap { f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines() // files are immutable once renamed in
+    }.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+      .slice(p.fromLine.toInt, p.toLine.toInt)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val (line, ordinal) = lines.next()
+    val f = line.split("\t", -1)
+    val payload = Base64.getDecoder.decode(f(7))
+    current = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p.queue),
+      UTF8String.fromString(f(4)),
+      f(0).toLong,
+      payload,
+      f(1).toLong,            // sender_ts micros
+      f(2).toLong,            // receive_ts micros
+      f(3).toInt,
+      ordinal < p.ackedAtPlan, // below ack high-water mark → redelivery
+      UTF8String.fromString(f(5)),
+      ordinal,
+      f(6).toLong))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

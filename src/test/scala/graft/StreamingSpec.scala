@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftQueueBroker, GraftQueueSource}
+import graft.streaming.Pipelines
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming behavior of the queue source: delivery,
+  * per-queue partitioning, ack-on-commit, admission control,
+  * redelivery flags, bounded reads, and the windowed wordcount
+  * pipeline (stream ≡ batch).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def publishText(brokerDir: String, queue: String, ids: Range, text: Long => String): Unit =
+    GraftQueueBroker.publish(brokerDir, queue, ids.map { i =>
+      GraftQueueBroker.textMsg(i.toLong, 1700000000000000L + i * 1000000L,
+        s"t/$queue/${i % 3}", text(i.toLong))
+    })
+
+  test("delivers all messages from all queues exactly once") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "qa", 0 until 40, i => s"hello msg $i")
+    publishText(broker, "qb", 0 until 25, i => s"world msg $i")
+
+    val q = Pipelines.readQueues(spark, broker, Seq("qa", "qb"))
+      .writeStream.format("memory").queryName("deliver_all")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("deliver_all")
+      assert(got.count() === 65)
+      assert(got.filter(col("queue") === "qa").count() === 40)
+      assert(got.filter(col("queue") === "qb").count() === 25)
+      assert(got.select("queue", "message_id").distinct().count() === 65)
+      // destination + payload survive the mapping
+      val r = got.filter(col("queue") === "qa" && col("message_id") === 7).collect()(0)
+      assert(r.getAs[String]("destination") === "t/qa/1")
+      assert(new String(r.getAs[Array[Byte]]("payload")) === "hello msg 7")
+    } finally q.stop()
+  }
+
+  test("commit writes per-queue ack high-water marks (client-ack)") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 12, i => s"m$i")
+    val q = Pipelines.readQueues(spark, broker, Seq("q1"))
+      .writeStream.format("memory").queryName("acks")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // the engine calls stream.commit(end) when the NEXT batch starts
+      // (same as Beam finalizing a checkpoint later) — force one more
+      // micro-batch so the first batch's client-ack lands
+      publishText(broker, "q1", 12 until 15, i => s"m$i")
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (GraftQueueSource.ackedCount(broker, "q1") < 12L &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    assert(GraftQueueSource.ackedCount(broker, "q1") >= 12L)
+  }
+
+  test("maxRecordsPerTrigger bounds each micro-batch") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 50, i => s"m$i")
+    val listener = new Pipelines.QueueStatsListener
+    spark.streams.addListener(listener)
+    val q = Pipelines.readQueues(spark, broker, Seq("q1"), maxRecordsPerTrigger = Some(10))
+      .writeStream.format("memory").queryName("throttled")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("throttled").count() === 50)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    assert(listener.maxBatchRows <= 10, s"batch exceeded limit: ${listener.maxBatchRows}")
+    assert(listener.batches >= 5, s"expected >=5 batches, got ${listener.batches}")
+    assert(listener.totalRows === 50)
+  }
+
+  test("restart from checkpoint is exactly-once across runs") {
+    val broker = tmpDir("graft-broker")
+    val ckpt = tmpDir("graft-ckpt")
+    val out = tmpDir("graft-sink")
+    def run(): Unit = {
+      // memory sink can't recover from a checkpoint; use the
+      // fault-tolerant file sink for the restart contract
+      val q = Pipelines.readQueues(spark, broker, Seq("q1"))
+        .selectExpr("message_id", "CAST(payload AS STRING) AS text")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    publishText(broker, "q1", 0 until 20, i => s"m$i")
+    run()
+    publishText(broker, "q1", 20 until 30, i => s"m$i")
+    run()
+    val got = spark.read.parquet(out).select("message_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size === 30, "each message delivered exactly once across restarts")
+    assert(got.toSet === (0L until 30L).toSet)
+  }
+
+  test("bounded read honors maxNumRecords (SolaceIO bounded mode)") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "qa", 0 until 30, i => s"m$i")
+    publishText(broker, "qb", 0 until 30, i => s"m$i")
+    val all = Pipelines.readQueuesBounded(spark, broker, Seq("qa", "qb"))
+    assert(all.count() === 60)
+    val capped = Pipelines.readQueuesBounded(spark, broker, Seq("qa", "qb"), Some(45))
+    assert(capped.count() === 45)
+  }
+
+  test("windowed wordcount: stream result equals batch result") {
+    val broker = tmpDir("graft-broker")
+    // two 1-minute windows of text
+    GraftQueueBroker.publish(broker, "q1", (0 until 30).map { i =>
+      val ts = 1700000000000000L + (if (i < 15) 0L else 60L * 1000000L) + i * 1000L
+      GraftQueueBroker.textMsg(i.toLong, ts, "t/q1", s"alpha beta w$i")
+    })
+    val stream = Pipelines.windowedWordCount(
+      Pipelines.readQueues(spark, broker, Seq("q1")))
+    val q = stream.writeStream.format("memory").queryName("wwc")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wwc").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Pipelines.windowedWordCount(
+      Pipelines.readQueuesBounded(spark, broker, Seq("q1"))).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.exists { case (_, w, c) => w == "alpha" && c == 15 })
+  }
+
+  test("redelivered flag set for rows under the ack high-water mark") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 10, i => s"m$i")
+    GraftQueueSource.writeAck(broker, "q1", 4) // pretend 4 were acked by a dead consumer
+    val df = Pipelines.readQueuesBounded(spark, broker, Seq("q1"))
+    assert(df.filter(col("redelivered")).count() === 4)
+    assert(df.filter(!col("redelivered")).count() === 6)
+  }
+
+  test("file-per-window sink writes one partition directory per window") {
+    val broker = tmpDir("graft-broker")
+    val out = tmpDir("graft-out")
+    GraftQueueBroker.publish(broker, "q1", (0 until 20).map { i =>
+      val ts = 1700000000000000L + (if (i < 10) 0L else 60L * 1000000L) + i * 1000L
+      GraftQueueBroker.textMsg(i.toLong, ts, "t", s"tok$i common")
+    })
+    val counts = Pipelines.windowedWordCount(
+      Pipelines.readQueues(spark, broker, Seq("q1")), watermark = "0 seconds")
+    val q = Pipelines.fileSinkPerWindow(counts, out).start()
+    try q.processAllAvailable() finally q.stop()
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("window_part="))
+    // append-mode watermark closes only the first window before EOS;
+    // at least one window directory must exist with parquet inside
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))))
+  }
+}
