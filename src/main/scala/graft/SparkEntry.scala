@@ -51,6 +51,9 @@ object SparkEntry {
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
     "knn_centroid"    -> VectorOps.knnCentroid _,
+    // Multimodal plumbing
+    "mm_binary_meta"  -> MultimodalOps.binaryMeta _,
+    "mm_feature_stub" -> MultimodalOps.featureExtractDf _,
   )
 
   /** DuckDB oracle SQL per query key (same aliases + rounding). */
@@ -83,5 +86,7 @@ object SparkEntry {
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,
     // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
     "knn_centroid"    -> VectorOps.knnCentroidSql,
+    "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,
+    // mm_feature_stub: stubbed decoder -> rows-only + ScalaTest spec
   )
 }

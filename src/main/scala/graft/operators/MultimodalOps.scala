@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque feature vector produced by the (stubbed) decoder. */
+final case class MmFeature(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    byte_len: Long,
+    hist: Array[Long])
+
+/** Multimodal-column plumbing: treat media as opaque `binary` columns
+  * with typed metadata, decoded by batched per-partition workers.
+  *
+  * The real decode (image/audio libs) is STUBBED — this container has
+  * no codecs — but everything Spark-side is real and tested: the
+  * binary column, the metadata extraction (codegen'd expressions), the
+  * mapPartitions batching shape a native decoder plugs into, and the
+  * output schema. Swap [[MultimodalOps.stubDecode]] for a JNI/FFI call
+  * and nothing else changes.
+  */
+object MultimodalOps {
+
+  /** Typed metadata over a binary payload column — all plain Catalyst
+    * expressions (byte length, magic header hex, md5 digest, byte-sum
+    * checksum), fully pushdown/codegen friendly. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        hex(substring(col("text"), 1, 4).cast("binary")).as("magic"),
+        md5(col("text").cast("binary")).as("digest"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c)),
+          lit(0L), (acc, x) => acc + x).as("checksum"))
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      | octet_length(encode(text)) AS byte_len,
+      | hex(encode(substring(text, 1, 4))) AS magic,
+      | md5(text) AS digest,
+      | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS checksum
+      |FROM documents""".stripMargin
+
+  /** ======== STUB ========
+    * Deterministic fake "decode": pretends the payload is an image
+    * whose dimensions derive from header bytes, and emits a 16-bin
+    * byte histogram as the "feature". A real deployment replaces this
+    * function body with an actual codec call; signature and batching
+    * stay identical. */
+  def stubDecode(docId: Long, payload: Array[Byte]): MmFeature = {
+    val w = 64 + (if (payload.length > 0) (payload(0) & 0x3F) else 0)
+    val h = 64 + (if (payload.length > 1) (payload(1) & 0x3F) else 0)
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xFF) >> 4) += 1
+      i += 1
+    }
+    MmFeature(docId, w, h, 3, payload.length.toLong, hist)
+  }
+
+  val decodeBatchSize = 64
+
+  /** Batched decode over partitions: the shape a vectorized native
+    * decoder needs — fixed-size batches inside each partition, no
+    * driver involvement, output is a typed Dataset. */
+  def featureExtract(spark: SparkSession, dir: String): Dataset[MmFeature] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(decodeBatchSize).flatMap { batch =>
+          // a real decoder would process `batch` as one vectorized call
+          batch.map { case (id, payload) => stubDecode(id, payload) }
+        }
+      }
+  }
+
+  def featureExtractDf(spark: SparkSession, dir: String): DataFrame =
+    featureExtract(spark, dir).toDF()
+}
