@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop text kernel: distinct word-3-gram shingles straight from
+  * the raw string.
+  *
+  * The composable form — `array_distinct(transform(sequence(...),
+  * concat_ws(...)))` over `filter(split(...))` — evaluates the
+  * higher-order lambdas interpreted, per token, per row; on the dedup
+  * suite that single projection dominated the whole pipeline (~6s per
+  * DAG branch at sf0.1, recomputed by every branch). This expression
+  * emits ONE static call and builds the shingle set in a single pass.
+  *
+  * Semantics contract (must stay aligned with the DuckDB oracle in
+  * DedupOps.jaccardSql): tokens = text split on single space, empties
+  * dropped; shingles = consecutive token triples joined with a space;
+  * distinct, first-occurrence order.
+  */
+object TextKernel {
+  def distinctShingles3(text: UTF8String): ArrayData = {
+    val raw = text.toString.split(" ", -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { raw(nTok) = raw(i); nTok += 1 }; i += 1 }
+    if (nTok < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](nTok * 2)
+    i = 0
+    while (i <= nTok - 3) {
+      seen.add(raw(i) + " " + raw(i + 1) + " " + raw(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class DistinctShingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.distinctShingles3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel$$.MODULE$$.distinctShingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles3 =
+    copy(child = newChild)
+}
+
+object TextKernels {
+  def distinctShingles3(text: Column): Column =
+    GraftBridge.column(DistinctShingles3(GraftBridge.expression(text)))
+}

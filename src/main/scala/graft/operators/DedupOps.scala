@@ -1,96 +1,52 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextKernels.distinctShingles3
 import graft.functions.Texts._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` — the LLM-training-data
-  * dedup suite: exact n-gram Jaccard via an inverted index, and
-  * MinHash+LSH candidate generation with exact verification.
+  * dedup suite: exact n-gram Jaccard via a prefix-filtered set-
+  * similarity join, and MinHash+LSH candidate generation with exact
+  * verification.
   *
   * Scale design:
   *  - Shingling/minhashing are narrow map-side work.
-  *  - The inverted-index pair join shuffles on shingle keys; a
-  *    frequency cap (drop shingles present in > [[maxDf]] docs) bounds
-  *    the worst-case bucket skew the way stop-word removal does —
+  *  - A frequency cap (drop shingles present in > [[maxDf]] docs)
+  *    bounds inverted-index skew the way stop-word removal does —
   *    deterministically, so the oracle applies the same cap.
-  *  - MinHash replaces the all-shared-shingle pair enumeration with a
-  *    band-bucket join: 32 bands × 4 rows over 128 hashes, so a pair
-  *    with Jaccard 0.9 collides with probability ~1-4e-9 while a 0.2
-  *    pair survives <5% of the time. Candidates are then verified with
-  *    the exact Jaccard, so the ORACLE IS THE SAME exact-pair SQL —
-  *    LSH only prunes the search space, it never changes the answer
-  *    (the planted near-dups sit at J≥0.98: miss probability ~1e-35).
+  *  - Exact path = PREFIX FILTER (SSJoin/PPJoin): under a global
+  *    (df, shingle) order, a pair with J ≥ t must share an element in
+  *    each doc's first n − ⌈t·n⌉ + 1 shingles. Only those prefixes are
+  *    indexed, so the candidate join touches the rarest ~20% of each
+  *    doc's shingles instead of enumerating every co-occurrence. The
+  *    survivors are verified with the exact Jaccard.
+  *  - MinHash path: 16 bands × 8 rows over 128 hashes; a J=0.98 pair
+  *    collides with probability 1−4e-14 while J=0.4 noise survives
+  *    ~1% of the time. Candidates are verified exactly, so the ORACLE
+  *    IS THE SAME exact-pair SQL — LSH only prunes the search space.
   */
 object DedupOps {
 
   val maxDf = 100          // shingle document-frequency cap
   val threshold = 0.8      // near-dup Jaccard threshold
   val numHashes = 128
-  val numBands = 32        // × 4 rows per band
+  val numBands = 16        // × 8 rows per band
+  val rowsPerBand = 8
 
   /** Exploded (doc_id, shingle) pairs over the df-capped universe. */
   private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3(tokens(col("text"))))).as("s"))
+      .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
     val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("s")
-    ex.join(keep, "s")
+      .filter(col("df") <= maxDf)
+    ex.join(keep, "s") // keeps df column for the prefix order
   }
 
-  private def jaccardOut(pairs: DataFrame, sizes: DataFrame): DataFrame = {
-    val sa = sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na")
-    val sb = sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb")
-    pairs
-      .join(sa, col("doc_a") === col("da"))
-      .join(sb, col("doc_b") === col("db"))
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-  }
-
-  /** Exact word-3-gram Jaccard pairs ≥ threshold via inverted index:
-    * pairs sharing ≥1 (rare) shingle are counted in one shuffle. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex2 = cappedShingles(spark, dir)
-    val sizes = ex2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = ex2.withColumnRenamed("doc_id", "doc_a")
-    val b = ex2.withColumnRenamed("doc_id", "doc_b")
-    val pairs = a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    jaccardOut(pairs, sizes)
-  }
-
-  /** MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified.
-    * Same output (and same oracle) as [[ngramJaccard]] — the LSH pass
-    * exists so the pair enumeration scales past the inverted index. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ex2 = cappedShingles(spark, dir)
-
-    // 128-way min-hash signature in ONE shuffle: min(xxhash64(i, s)).
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sigs = ex2.groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-
-    // 32 band keys, each hashing 4 signature rows.
-    val bandKeys = (0 until numBands).map { j =>
-      val rows = (0 until 4).map(k => col(s"h${4 * j + k}"))
-      xxhash64((lit(j) +: rows): _*)
-    }
-    val bands = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-
-    val ba = bands.withColumnRenamed("doc_id", "doc_a")
-    val bb = bands.withColumnRenamed("doc_id", "doc_b")
-    val cands = ba.join(bb, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-
-    // Exact verification on candidates only.
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the full shingle sets; emits pairs ≥ threshold. */
+  private def verifyPairs(cands: DataFrame, ex2: DataFrame): DataFrame = {
     val sets = ex2.groupBy("doc_id")
       .agg(collect_list(col("s")).as("shs"), count(lit(1)).as("n"))
     val va = sets.select(col("doc_id").as("da"), col("shs").as("sha"), col("n").as("na"))
@@ -102,6 +58,58 @@ object DedupOps {
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact word-3-gram Jaccard pairs ≥ threshold, prefix-filtered.
+    *
+    * Prefix length: p = n − ⌈t·n⌉ + 1 computed in pure integer
+    * arithmetic (⌈0.8n⌉ = (4n+4) div 5) — a float ⌈⌉ could round the
+    * prefix SHORT and silently lose recall. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex2 = cappedShingles(spark, dir)
+    val sorted = ex2.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
+           count(lit(1)).as("n"))
+    val withPrefix = sorted
+      .withColumn("p", col("n") - floor((col("n") * 4 + 4) / 5) + 1)
+      .select(col("doc_id"),
+        explode(transform(slice(col("arr"), lit(1), col("p").cast("int")),
+          e => e.getField("s"))).as("s"))
+    val a = withPrefix.withColumnRenamed("doc_id", "doc_a")
+    val b = withPrefix.withColumnRenamed("doc_id", "doc_b")
+    val cands = a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(cands, ex2)
+  }
+
+  /** MinHash(128) + LSH(16×8) candidates, exact-Jaccard verified.
+    * Same output (and same oracle) as [[ngramJaccard]] — the LSH pass
+    * exists so pair enumeration scales past any inverted index. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ex2 = cappedShingles(spark, dir)
+
+    // 128-way min-hash signature in ONE shuffle: min(xxhash64(i, s)).
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = ex2.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+
+    // 16 band keys, each hashing 8 signature rows.
+    val bandKeys = (0 until numBands).map { j =>
+      val rows = (0 until rowsPerBand).map(k => col(s"h${rowsPerBand * j + k}"))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    val bands = sigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+
+    val ba = bands.withColumnRenamed("doc_id", "doc_a")
+    val bb = bands.withColumnRenamed("doc_id", "doc_b")
+    val cands = ba.join(bb, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    verifyPairs(cands, ex2)
   }
 
   /** Shared oracle: exact all-pairs Jaccard over the capped shingle
@@ -140,11 +148,10 @@ object DedupOps {
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toksH = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3(tokens(col("text"))))).as("t"))
+      .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i")
     }
     val agged = toksH.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val sig = (0 until 64).map { i =>

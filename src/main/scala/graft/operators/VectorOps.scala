@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.VectorExprs.{vecDistSq, vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,15 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** embedding as double[] plus its precomputed norm. */
+  /** Sequential-fold kernels as custom codegen'd expressions (see
+    * graft.functions.VecOps for why neither higher-order functions nor
+    * unrolled chains survive at scale). */
+  private def dot(a: Column, b: Column): Column = vecDot(a, b)
+
+  /** embedding (as float array) plus its precomputed norm. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
-      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("norm", sqrt(aggregate(
-        transform(col("vd"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      .withColumn("vd", col("embedding"))
+      .withColumn("norm", vecNorm(col("embedding")))
 
   private val dotSqlA = // DuckDB twin of dot(): sequential fold
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -144,6 +146,7 @@ object VectorOps {
   def knnCentroid(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
     val e = v.select(col("vec_id"), col("label"), posexplode(col("vd")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
     val cdim = e.groupBy("label", "dim")
       .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0), (a, x) => a + x)
             / count(lit(1))).as("cx"))
@@ -154,9 +157,7 @@ object VectorOps {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("clabel").asc)
     v.select(col("vec_id"), col("label"), col("vd"))
       .crossJoin(broadcast(cent))
-      .withColumn("dist2", aggregate(
-        zip_with(col("vd"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist2", vecDistSq(col("vd"), col("cv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("clabel").as("pred_label"),
