@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the custom expressions: after registration,
+  * `topic_matches`, `vec_dot`, `vec_dist_sq`, `distinct_shingles3`,
+  * and `decode_gr_record` are callable from `spark.sql(...)` — the
+  * whole engine is usable from pure SQL, not just the Scala API.
+  *
+  * Two registration paths:
+  *  - `--conf spark.sql.extensions=graft.GraftExtensions` (cluster
+  *    deployment, applies to every session), or
+  *  - `GraftFunctions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val descriptors: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("topic_matches",
+      new ExpressionInfo(classOf[TopicMatches].getName, "topic_matches"),
+      (es: Seq[Expression]) => TopicMatches(es(0), es(1))),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))),
+    ("vec_dist_sq",
+      new ExpressionInfo(classOf[VecDistSq].getName, "vec_dist_sq"),
+      (es: Seq[Expression]) => VecDistSq(es(0), es(1))),
+    ("distinct_shingles3",
+      new ExpressionInfo(classOf[DistinctShingles3].getName, "distinct_shingles3"),
+      (es: Seq[Expression]) => DistinctShingles3(es(0))),
+    ("decode_gr_record",
+      new ExpressionInfo(classOf[DecodeBinRecord].getName, "decode_gr_record"),
+      (es: Seq[Expression]) => DecodeBinRecord(es(0))))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -30,3 +30,9 @@ final case class GraftBytesRecord(
     queue: String,
     message_id: Long,
     payload: Array[Byte])
+
+final case class DedupedMsg(queue: String, message_id: Long, text: String)
+
+/** Typed view of a decoded GR binary record (protobuf-sample equiv). */
+final case class GraftStructRecord(
+    queue: String, message_id: Long, id: Long, value: Double, tag: String)

@@ -1,11 +1,12 @@
 package graft.streaming
 
+import graft.functions.BinRecordColumns.decodeRecord
 import graft.functions.Texts
-import graft.model.{GraftBytesRecord, GraftTextRecord}
+import graft.model.{DedupedMsg, GraftBytesRecord, GraftStructRecord, GraftTextRecord}
 import graft.sources.GraftQueueSource
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQueryListener}
 import org.apache.spark.sql.Row
 
 /** Streaming pipelines over the graft queue source — the Spark
@@ -72,6 +73,47 @@ object Pipelines {
   def mapToBytes(messages: DataFrame): Dataset[GraftBytesRecord] = {
     import messages.sparkSession.implicits._
     messages.select(col("queue"), col("message_id"), col("payload")).as[GraftBytesRecord]
+  }
+
+  /** Protobuf-sample equivalent: payloads carry GR binary records,
+    * decoded by the custom DecodeBinRecord expression (a codegen'd
+    * projection, not a per-record callback). */
+  def mapToStructRecord(messages: DataFrame): Dataset[GraftStructRecord] = {
+    import messages.sparkSession.implicits._
+    messages
+      .select(col("queue"), col("message_id"), decodeRecord(col("payload")).as("rec"))
+      .select(col("queue"), col("message_id"),
+        col("rec.id").as("id"), col("rec.value").as("value"), col("rec.tag").as("tag"))
+      .as[GraftStructRecord]
+  }
+
+  /** Exactly-once projection of an at-least-once stream: stateful
+    * message-id dedup via flatMapGroupsWithState. A broker that
+    * redelivers unacked messages (SolaceCheckpointMark semantics)
+    * yields duplicate (queue, message_id) rows; state remembers seen
+    * ids. Pass a TTL to bound state on long-running deployments —
+    * note that any processing-time timeout makes the engine schedule
+    * continuous no-data micro-batches to fire expirations. */
+  def statefulDedup(
+      messages: DataFrame, stateTtlMs: Option[Long] = None): Dataset[DedupedMsg] = {
+    import messages.sparkSession.implicits._
+    val typed = messages
+      .select(col("queue"), col("message_id"), col("payload").cast("string").as("text"))
+      .as[(String, Long, String)]
+    val timeoutConf = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    typed
+      .groupByKey { case (q, id, _) => (q, id) }
+      .flatMapGroupsWithState[Boolean, DedupedMsg](OutputMode.Append, timeoutConf) {
+        case ((q, id), rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // duplicate delivery
+          else {
+            state.update(true)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            rows.take(1).map { case (_, _, t) => DedupedMsg(q, id, t) }
+          }
+      }
   }
 
   /** Fixed-window word count over message text with an event-time

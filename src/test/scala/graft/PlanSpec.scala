@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the physical plans we designed for must
+  * stay the plans Catalyst picks. A wrong plan is a performance bug
+  * even when results match — at 100 TB these properties are the
+  * difference between one shuffle and a catastrophe.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = SparkSpec.sf
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Whole-stage codegen only shows in the FINAL adaptive plan (AQE
+    * replans at runtime) — execute, then read the `*(n)` stars. */
+  private def codegenPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: all predicates push down to the parquet scan, schema pruned") {
+    val p = plan(operators.Relational.q6Filter(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_shipdate"), "shipdate filter must reach the scan")
+    // only the 4 referenced columns are read, not all 10+
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), s"column pruning lost: $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q3/q5: dimension joins broadcast, no shuffle of dims") {
+    val p3 = plan(operators.Relational.q3Join(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), "customer join must broadcast")
+    val p5 = plan(operators.Relational.q5MultiJoin(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(!p5.contains("CartesianProduct"))
+  }
+
+  test("q1: hash aggregation with map-side partial aggregate") {
+    val p = plan(operators.Relational.q1Agg(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(p.split("HashAggregate").length >= 3, "expect partial+final HashAggregate")
+    assert(codegenPlan(operators.Relational.q1Agg(spark, sf)).contains("*("),
+      "q1 must stay inside whole-stage codegen")
+  }
+
+  test("topic_route: custom predicate stays inside codegen broadcast join") {
+    val df = operators.EventOps.topicRoute(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(codegenPlan(df).contains("*("))
+  }
+
+  test("dedup_minhash: signature aggregation is a single shuffle (partial min)") {
+    val p = plan(operators.DedupOps.minhashLsh(spark, sf))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
+  test("wordcount & windowed wordcount stay in whole-stage codegen") {
+    assert(codegenPlan(operators.TextOps.wordCount(spark, sf)).contains("*("))
+    assert(codegenPlan(operators.TextOps.windowedWordCount(spark, sf)).contains("*("))
+  }
+}
