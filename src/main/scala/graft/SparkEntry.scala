@@ -26,6 +26,13 @@ object SparkEntry {
     "q_topn_window" -> Relational.topNWindow _,
     "q_semi_anti"  -> Relational.semiAnti _,
     "q_rollup"     -> Relational.rollupAgg _,
+    "q7_volume"    -> Relational2.q7Volume _,
+    "q10_returns"  -> Relational2.q10Returns _,
+    "q12_priority" -> Relational2.q12Priority _,
+    "q14_promo"    -> Relational2.q14Promo _,
+    "q18_large"    -> Relational2.q18Large _,
+    "q22_idle"     -> Relational2.q22Idle _,
+    "q4_exists"    -> Relational2.q4Exists _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -65,6 +72,13 @@ object SparkEntry {
     "q_topn_window" -> Relational.topNSql,
     "q_semi_anti"  -> Relational.semiAntiSql,
     "q_rollup"     -> Relational.rollupSql,
+    "q7_volume"    -> Relational2.q7Sql,
+    "q10_returns"  -> Relational2.q10Sql,
+    "q12_priority" -> Relational2.q12Sql,
+    "q14_promo"    -> Relational2.q14Sql,
+    "q18_large"    -> Relational2.q18Sql,
+    "q22_idle"     -> Relational2.q22Sql,
+    "q4_exists"    -> Relational2.q4Sql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
     "session_window" -> EventOps.sessionSql,
