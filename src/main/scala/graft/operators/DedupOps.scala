@@ -89,15 +89,16 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val ex2 = cappedShingles(spark, dir)
 
-    // 128-way min-hash signature in ONE shuffle: min(xxhash64(i, s)).
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // One narrow shuffle (collect shingle sets), then the whole
+    // 128-way signature is ONE projection via the MinHashSig kernel.
     val sigs = ex2.groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+      .agg(collect_list(col("s")).as("shs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSigColumns.minhashSig(col("shs")).as("sig"))
 
     // 16 band keys, each hashing 8 signature rows.
     val bandKeys = (0 until numBands).map { j =>
-      val rows = (0 until rowsPerBand).map(k => col(s"h${rowsPerBand * j + k}"))
+      val rows = (0 until rowsPerBand).map(k => element_at(col("sig"), rowsPerBand * j + k + 1))
       xxhash64((lit(j) +: rows): _*)
     }
     val bands = sigs
