@@ -33,6 +33,7 @@ object SparkEntry {
     "q18_large"    -> Relational2.q18Large _,
     "q22_idle"     -> Relational2.q22Idle _,
     "q4_exists"    -> Relational2.q4Exists _,
+    "q_approx_distinct" -> Relational2.approxDistinct _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -57,6 +58,7 @@ object SparkEntry {
     "dedup_embedding" -> VectorOps.embeddingNearDup _,
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
+    "ann_ivf"         -> VectorOps.annIvf _,
     "knn_centroid"    -> VectorOps.knnCentroid _,
     // Multimodal plumbing
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,

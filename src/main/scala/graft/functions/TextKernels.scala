@@ -23,6 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct, first-occurrence order.
   */
 object TextKernel {
+  /** Whitespace tokens (split on single space, empties dropped) —
+    * same single-pass rationale as the shingle kernel; feeds every
+    * wordcount-family operator. */
+  def tokens(text: UTF8String): ArrayData = {
+    val raw = text.toString.split(" ", -1)
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    i = 0; var j = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { out(j) = UTF8String.fromString(raw(i)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def distinctShingles3(text: UTF8String): ArrayData = {
     val raw = text.toString.split(" ", -1)
     var nTok = 0
@@ -43,6 +60,19 @@ object TextKernel {
   }
 }
 
+case class WsTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel$$.MODULE$$.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
 case class DistinctShingles3(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -60,4 +90,7 @@ case class DistinctShingles3(child: Expression) extends UnaryExpression {
 object TextKernels {
   def distinctShingles3(text: Column): Column =
     GraftBridge.column(DistinctShingles3(GraftBridge.expression(text)))
+
+  def wsTokens(text: Column): Column =
+    GraftBridge.column(WsTokens(GraftBridge.expression(text)))
 }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Texts {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(text, " ", -1), t => t =!= lit(""))
+  /** Whitespace tokens, empties dropped (single-pass kernel — same
+    * semantics as `filter(split(text, " ", -1), _ =!= "")` and as the
+    * oracle's `list_filter(string_split(text,' '), x -> x <> '')`). */
+  def tokens(text: Column): Column = TextKernels.wsTokens(text)
 
   /** Word 3-gram shingles (space-joined), empty array below 3 tokens. */
   def shingles3(toks: Column): Column =

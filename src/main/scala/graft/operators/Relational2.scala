@@ -171,6 +171,18 @@ object Relational2 {
       |  FROM customer WHERE c_acctbal > 0)
       |AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts
+    * next to groupBy keys — the sketch path for 100 TB cardinality
+    * questions (exactness checked by spec within rsd bounds; no
+    * DuckDB oracle since HLL implementations differ). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+
   /** Q4 shape: order-priority counts for orders with any heavy line
     * (EXISTS as left-semi join). */
   def q4Exists(spark: SparkSession, dir: String): DataFrame = {

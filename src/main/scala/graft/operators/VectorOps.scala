@@ -140,6 +140,72 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF ANN — the other 100 TB path besides LSH: a coarse quantizer
+    * (k centroids from 2 Lloyd iterations, deterministically seeded
+    * with the lowest corpus ids), inverted lists keyed by nearest
+    * centroid, and nprobe-list exact search per query. At scale the
+    * inverted lists are the shuffle partitioning: each query touches
+    * nprobe/k of the corpus. Recall < 1 by construction → rows-only
+    * check + recall spec. */
+  val ivfK = 16
+  val ivfProbes = 4
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val corpus = v.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("vd"), col("norm"))
+
+    // deterministic seed: the k lowest-id corpus vectors
+    var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(ivfK)
+      .select(col("vec_id"), transform(col("vd"), x => x.cast("double")).as("cv"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select("cid", "cv")
+
+    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      points.crossJoin(broadcast(cents))
+        .withColumn("d2", vecDistSq(col("vd"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("vd"))
+    }
+
+    // 2 Lloyd iterations (sorted-fold means → deterministic)
+    for (_ <- 1 to 2) {
+      val assigned = assign(corpus, cents)
+      val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      cents = e.groupBy("cid", "dim")
+        .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0), (a, x) => a + x)
+              / count(lit(1))).as("cx"))
+        .groupBy("cid")
+        .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
+        .select(col("cid"), transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"))
+    }
+
+    val invlist = assign(corpus, cents).select(col("vec_id").as("neighbor_id"), col("cid"))
+
+    // queries probe their nprobe nearest centroids
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d2", vecDistSq(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= ivfProbes)
+      .select("query_id", "qv", "qn", "cid")
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("vd").as("cv2"), col("norm").as("cn"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(invlist, Seq("cid"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Nearest-centroid classification: per-label centroids (sorted
     * sequential fold → order-independent exact mean), broadcast to
     * every vector, argmin distance with label tie-break. */

@@ -56,6 +56,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"simhash missed strong pairs: $missed")
   }
 
+  test("ann_ivf achieves useful recall against brute force") {
+    val bf = operators.VectorOps.annBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = operators.VectorOps.annIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("approx_count_distinct is within the configured rsd of exact") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Relational2.approxDistinct(spark, sf).collect()
+    val exact = Tables(spark, sf, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val (p, o) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - p).toDouble / p <= 0.1, s"parts err too big")
+      assert(math.abs(r.getLong(2) - o).toDouble / o <= 0.1, s"orders err too big")
+    }
+  }
+
   test("ann_lsh results are a subset of valid neighbors with exact cosines") {
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
