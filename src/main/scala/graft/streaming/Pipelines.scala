@@ -116,6 +116,27 @@ object Pipelines {
       }
   }
 
+  /** Stream-stream interval join: correlate messages from two queues
+    * by payload key within ± `tolerance` of event time. Watermarks on
+    * both sides bound the join state — the cross-stream enrichment
+    * pattern (e.g. clicks ⋈ purchases) the reference leaves to
+    * downstream Beam transforms. */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame, tolerance: String = "30 seconds",
+      watermark: String = "1 minute"): DataFrame = {
+    val l = left
+      .select(col("payload").cast("string").as("k"),
+        col("sender_ts").as("lt"), col("message_id").as("left_id"))
+      .withWatermark("lt", watermark)
+    val r = right
+      .select(col("payload").cast("string").as("k2"),
+        col("sender_ts").as("rt"), col("message_id").as("right_id"))
+      .withWatermark("rt", watermark)
+    l.join(r, expr(
+      s"k = k2 AND rt BETWEEN lt - INTERVAL $tolerance AND lt + INTERVAL $tolerance"))
+      .select(col("k"), col("left_id"), col("right_id"), col("lt"), col("rt"))
+  }
+
   /** Fixed-window word count over message text with an event-time
     * watermark on the chosen timestamp (sender_ts ↔ useSenderTimestamp,
     * receive_ts otherwise). Works on both batch and streaming frames. */

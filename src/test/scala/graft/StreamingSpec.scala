@@ -151,6 +151,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.filter(!col("redelivered")).count() === 6)
   }
 
+  test("stream-stream interval join correlates two queues by key and time") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    // clicks: users u0..u9 at t0+i s; purchases: even users 5s later,
+    // user u0 again far outside the 30s tolerance
+    GraftQueueBroker.publish(broker, "clicks", (0 until 10).map { i =>
+      GraftQueueBroker.textMsg(i.toLong, t0 + i * 1000000L, "t/click", s"u$i")
+    })
+    GraftQueueBroker.publish(broker, "purchases",
+      (0 until 10 by 2).map { i =>
+        GraftQueueBroker.textMsg(100L + i, t0 + i * 1000000L + 5000000L, "t/buy", s"u$i")
+      } :+ GraftQueueBroker.textMsg(999L, t0 + 3600L * 1000000L, "t/buy", "u0"))
+    val joined = Pipelines.streamStreamJoin(
+      Pipelines.readQueues(spark, broker, Seq("clicks")),
+      Pipelines.readQueues(spark, broker, Seq("purchases")))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0 until 10 by 2).map(i => (s"u$i", i.toLong, 100L + i)).toSet
+    assert(got === want, "each even user joins exactly once; the late u0 purchase is outside tolerance")
+  }
+
   test("file-per-window sink writes one partition directory per window") {
     val broker = tmpDir("graft-broker")
     val out = tmpDir("graft-out")
