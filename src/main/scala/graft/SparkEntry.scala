@@ -40,6 +40,7 @@ object SparkEntry {
     "session_window" -> EventOps.sessionWindowAgg _,
     "topic_route"    -> EventOps.topicRoute _,
     "msg_dedup"      -> EventOps.msgDedup _,
+    "q_skew_salted"  -> EventOps.skewSaltedJoin _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
@@ -86,6 +87,7 @@ object SparkEntry {
     "session_window" -> EventOps.sessionSql,
     "topic_route"    -> EventOps.topicRouteSql,
     "msg_dedup"      -> EventOps.msgDedupSql,
+    "q_skew_salted"  -> EventOps.skewSaltedSql,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,

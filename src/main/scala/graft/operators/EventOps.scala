@@ -141,6 +141,39 @@ object EventOps {
       |  SELECT event_id, event_type FROM events WHERE event_id % 10 = 0))
       |GROUP BY event_type""".stripMargin
 
+  /** Skew-salted join: 70% of events collapse onto one hot key — the
+    * classic power-law shuffle killer. The fact side salts the hot key
+    * deterministically (event_id % 16) and the dim side explodes ×16,
+    * so the hot key spreads over 16 reducers instead of one. The
+    * oracle is the UNSALTED join — salting must not change results.
+    * (On a real cluster AQE skew-join splits post-hoc; explicit
+    * salting is the plan-level guarantee for known-hot keys.) */
+  val saltBuckets = 16
+
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .withColumn("k",
+        when(col("event_id") % 10 < 7, lit(0L)).otherwise(col("event_id") % 100))
+      .withColumn("salt", (col("event_id") % saltBuckets).cast("int"))
+    val dim = (0L until 100L).map(k => (k, s"seg${k % 7}")).toDF("k", "segment")
+    val dimSalted = dim
+      .withColumn("salt", explode(lit((0 until saltBuckets).toArray)))
+    ev.join(dimSalted, Seq("k", "salt"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
+  }
+
+  val skewSaltedSql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN event_id % 10 < 7 THEN 0 ELSE event_id % 100 END AS k, value
+      |  FROM events),
+      |dim AS (SELECT k, 'seg' || (k % 7) AS segment FROM range(0, 100) t(k))
+      |SELECT segment, count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(14,4))),2) AS DOUBLE) AS sum_value
+      |FROM ev JOIN dim USING (k)
+      |GROUP BY segment""".stripMargin
+
   /** Sender-vs-receive timestamp lag profile (the useSenderTimestamp
     * choice in SolaceIO.Read): synthesize a deterministic broker delay
     * and report per-type lag stats. */
