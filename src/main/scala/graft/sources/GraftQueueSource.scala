@@ -39,6 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - redelivered flag: rows below the acked high-water mark were
   *    delivered before (restart without commit) — same signal as
   *    JMSRedelivered.
+  *
+  * Full SolaceIO.Read option mapping (SolaceIO.java:70-150):
+  *  - withQueues            → `queues` option (comma-separated)
+  *  - withCoder / mapper    → typed mappers in graft.streaming.Pipelines
+  *  - withUseSenderTimestamp→ choose sender_ts vs receive_ts downstream
+  *    (both are first-class columns; watermark on either)
+  *  - withMaxNumRecords     → `maxNumRecords` (bounded batch scan) or
+  *    `maxRecordsPerTrigger` (flow control on the unbounded path)
+  *  - withMaxReadTime       → stop the StreamingQuery by trigger/timer;
+  *    micro-batch engines bound reads by trigger, not by poll clock
+  *  - withAdvanceTimeoutInMillis → N/A: micro-batch planning replaces
+  *    the per-poll blocking receive loop entirely
   */
 object GraftQueueSource {
   val schema: StructType = StructType(Seq(

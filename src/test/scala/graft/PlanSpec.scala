@@ -65,4 +65,44 @@ class PlanSpec extends AnyFunSuite {
     assert(codegenPlan(operators.TextOps.wordCount(spark, sf)).contains("*("))
     assert(codegenPlan(operators.TextOps.windowedWordCount(spark, sf)).contains("*("))
   }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // the 100 TB recipe for repeated fact⋈fact joins: bucket both
+    // sides on the join key at write time, the join then needs no
+    // Exchange at read time
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh'")
+    // tiny test tables would auto-broadcast and hide the bucketing —
+    // disable it so the sort-merge path (what a fact⋈fact join uses
+    // at scale) is exercised
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+        k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      Tables(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_bkt.li_b")
+      Tables(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_bkt.ord_b")
+      val joined = spark.table("graft_bkt.li_b")
+        .join(spark.table("graft_bkt.ord_b"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .hint("merge") // force sort-merge so bucketing (not broadcast) carries the join
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(1500)}")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+    }
+  }
 }
