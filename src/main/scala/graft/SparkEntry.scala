@@ -41,6 +41,8 @@ object SparkEntry {
     "topic_route"    -> EventOps.topicRoute _,
     "msg_dedup"      -> EventOps.msgDedup _,
     "q_skew_salted"  -> EventOps.skewSaltedJoin _,
+    "q_stats_moments" -> EventOps.statsMoments _,
+    "q_percentiles"  -> EventOps.percentiles _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
@@ -88,6 +90,8 @@ object SparkEntry {
     "topic_route"    -> EventOps.topicRouteSql,
     "msg_dedup"      -> EventOps.msgDedupSql,
     "q_skew_salted"  -> EventOps.skewSaltedSql,
+    "q_stats_moments" -> EventOps.statsMomentsSql,
+    "q_percentiles"  -> EventOps.percentilesSql,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,

@@ -174,6 +174,83 @@ object EventOps {
       |FROM ev JOIN dim USING (k)
       |GROUP BY segment""".stripMargin
 
+  /** Statistical moments per event type from EXACT sums: mean,
+    * population variance, and corr(value, lag). Spark's corr/stddev
+    * use Welford-style merges whose float result depends on partition
+    * order; assembling the moments from exact decimal sums in a fixed
+    * double-arithmetic order is order-independent AND bit-identical
+    * to the oracle. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("lag_s", col("event_id") % 7)
+    val agg = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(d4(col("value"))).as("sx"),
+      sum(d4(col("value")) * d4(col("value"))).as("sx2"),
+      sum(col("lag_s")).as("sy"),
+      sum(col("lag_s") * col("lag_s")).as("sy2"),
+      sum(d4(col("value")) * col("lag_s")).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sx2 = col("sx2").cast("double")
+    val sy = col("sy").cast("double"); val sy2 = col("sy2").cast("double")
+    val sxy = col("sxy").cast("double")
+    agg.select(
+      col("event_type"), col("n"),
+      (sx / n).as("mean_value"),
+      ((sx2 - sx * sx / n) / n).as("var_pop"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))).as("corr_value_lag"))
+  }
+
+  val statsMomentsSql: String =
+    """WITH a AS (
+      | SELECT event_type, count(*) AS n,
+      |  sum(CAST(value AS DECIMAL(14,4))) AS sx,
+      |  sum(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4))) AS sx2,
+      |  sum(event_id % 7) AS sy,
+      |  sum((event_id % 7) * (event_id % 7)) AS sy2,
+      |  sum(CAST(value AS DECIMAL(14,4)) * (event_id % 7)) AS sxy
+      | FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      | CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+      | (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_pop,
+      | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |   sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_value_lag
+      |FROM a""".stripMargin
+
+  /** Rank-based (discrete) percentiles per event type: the
+    * ceil(p·n)-th smallest value, rank math in pure integers, ties
+    * broken by event_id — an actual data value, no interpolation, so
+    * no cross-engine float drift by construction. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pick(num: Int, den: Int): Column =
+      max(when(col("rn") === floor((col("n") * num + (den - 1)) / den), col("value")))
+    ranked.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      pick(1, 2).as("p50"),
+      pick(9, 10).as("p90"),
+      pick(99, 100).as("p99"))
+  }
+
+  val percentilesSql: String =
+    """WITH r AS (
+      | SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM events)
+      |SELECT event_type, max(n) AS n,
+      | max(CASE WHEN rn = (n * 1 + 1) // 2   THEN value END) AS p50,
+      | max(CASE WHEN rn = (n * 9 + 9) // 10  THEN value END) AS p90,
+      | max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+
   /** Sender-vs-receive timestamp lag profile (the useSenderTimestamp
     * choice in SolaceIO.Read): synthesize a deterministic broker delay
     * and report per-type lag stats. */
