@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash"       -> DedupOps.simhash _,
     // Vector similarity
     "dedup_embedding" -> VectorOps.embeddingNearDup _,
+    "dedup_embedding_lsh" -> VectorOps.embeddingNearDupLsh _,
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
     "ann_ivf"         -> VectorOps.annIvf _,
@@ -109,6 +110,6 @@ object SparkEntry {
     // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
     "knn_centroid"    -> VectorOps.knnCentroidSql,
     "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,
-    // mm_feature_stub: stubbed decoder -> rows-only + ScalaTest spec
+    "mm_feature_stub" -> MultimodalOps.featureStubSql,
   )
 }

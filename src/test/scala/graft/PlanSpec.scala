@@ -66,6 +66,32 @@ class PlanSpec extends AnyFunSuite {
     assert(codegenPlan(operators.TextOps.windowedWordCount(spark, sf)).contains("*("))
   }
 
+  test("dedup_embedding: block-pair equi-join, no corpus broadcast nested loop") {
+    val p = plan(operators.VectorOps.embeddingNearDup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "exact pair join must not broadcast the corpus into a nested loop")
+    assert(!p.contains("CartesianProduct"))
+    // any equi-join form is fine (tiny test inputs auto-broadcast into a
+    // BroadcastHashJoin; at scale AQE picks sort-merge/shuffled-hash on
+    // the task key) — the forbidden shape is the nested loop above.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "pair enumeration must be an equi-join on the block-task key")
+  }
+
+  test("centroid means aggregate with bounded state (no per-group collect of coordinates)") {
+    // the unbounded pattern was collect_list over the exploded
+    // per-coordinate column `x` — sum/count must have replaced it.
+    // (The bounded 64-element per-label assembly collect is fine.)
+    val unbounded = "collect_list\\(x#\\d".r
+    val pKnn = plan(operators.VectorOps.knnCentroid(spark, sf))
+    assert(unbounded.findFirstIn(pKnn).isEmpty,
+      "knn_centroid still collects raw coordinates per group")
+    val pIvf = plan(operators.VectorOps.annIvf(spark, sf))
+    assert(unbounded.findFirstIn(pIvf).isEmpty,
+      "ann_ivf still collects raw coordinates per group")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     // the 100 TB recipe for repeated fact⋈fact joins: bucket both
     // sides on the join key at write time, the join then needs no

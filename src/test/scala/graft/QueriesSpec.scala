@@ -78,6 +78,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding_lsh: subset of exact pairs, bitwise cosines, useful recall") {
+    val exact = operators.VectorOps.embeddingNearDup(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = operators.VectorOps.embeddingNearDupLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"LSH emitted a non-qualifying pair $key")
+      assert(exact(key) === r.getDouble(2), s"cosine mismatch for $key")
+    }
+    val recall = lsh.length.toDouble / exact.size
+    assert(recall >= 0.5, s"near-dup LSH recall too low: $recall")
+  }
+
   test("ann_lsh results are a subset of valid neighbors with exact cosines") {
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
