@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,8 +47,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (both are first-class columns; watermark on either)
   *  - withMaxNumRecords     → `maxNumRecords` (bounded batch scan) or
   *    `maxRecordsPerTrigger` (flow control on the unbounded path)
-  *  - withMaxReadTime       → stop the StreamingQuery by trigger/timer;
-  *    micro-batch engines bound reads by trigger, not by poll clock
+  *  - withMaxReadTime       → Trigger.AvailableNow (the stream freezes
+  *    the spool snapshot via SupportsTriggerAvailableNow and drains to
+  *    it) plus a deadline stop — see Pipelines.startWithMaxReadTime
   *  - withAdvanceTimeoutInMillis → N/A: micro-batch planning replaces
   *    the per-poll blocking receive loop entirely
   */
@@ -78,13 +79,38 @@ object GraftQueueSource {
     else d.listFiles((_, n) => n.startsWith("spool-")).toSeq.sortBy(_.getName)
   }
 
-  /** Total messages ever spooled to a queue. */
+  /** Total messages ever spooled to a queue. Per-file counts are
+    * cached: spool files are immutable once atomically renamed in, so
+    * polling cost is O(new files) per trigger, not O(spool bytes). */
   def available(brokerDir: String, queue: String): Long =
     spoolFiles(brokerDir, queue).map(countLines).sum
 
-  private def countLines(f: File): Long = {
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().size.toLong finally src.close()
+  private val lineCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[sources] def countLines(f: File): Long =
+    // length in the key guards the (test-only) case of a path being
+    // recreated with different content
+    lineCountCache.computeIfAbsent(f.getAbsolutePath + "#" + f.length, { _ =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().size.toLong finally src.close()
+    })
+
+  /** Which spool files cover the ordinal range [from, to), given the
+    * per-file line counts — pure Long math (a queue past 2^31 messages
+    * must not truncate), unit-tested beyond Int.MaxValue. Returns
+    * (fileIndex, firstOrdinalOfFile, lo, hi): read that file's lines
+    * with global ordinals in [lo, hi). Files wholly outside the range
+    * are skipped without being opened. */
+  def sliceFiles(counts: Seq[Long], from: Long, to: Long): Seq[(Int, Long, Long, Long)] = {
+    var start = 0L
+    counts.zipWithIndex.flatMap { case (n, i) =>
+      val s = start
+      start += n
+      val lo = math.max(s, from)
+      val hi = math.min(start, to)
+      if (hi > lo) Some((i, s, lo, hi)) else None
+    }
   }
 
   def ackFile(brokerDir: String, queue: String): File = {
@@ -215,12 +241,23 @@ case class GraftQueuePartition(
 
 class GraftQueueMicroBatchStream(
     brokerDir: String, queues: Seq[String], options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import GraftQueueSource._
 
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+
+  /** Trigger.AvailableNow contract: freeze the spool high-water marks
+    * at query start; subsequent triggers drain up to that snapshot and
+    * then the query stops — messages published after the snapshot wait
+    * for the next run. This (plus a deadline stop, see
+    * Pipelines.startWithMaxReadTime) is the SolaceIO withMaxReadTime
+    * equivalent: a bounded consumption window over an unbounded queue. */
+  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(queues.map(q => q -> available(brokerDir, q)).toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
@@ -242,7 +279,11 @@ class GraftQueueMicroBatchStream(
     // remaining budget (queue-slice fairness is per-trigger bounded).
     val next = queues.map { q =>
       val from = startMap.getOrElse(q, 0L)
-      val avail = available(brokerDir, q) - from
+      val hi = availableNowTarget match {
+        case Some(target) => target.getOrElse(q, 0L) // frozen snapshot
+        case None         => available(brokerDir, q)
+      }
+      val avail = hi - from
       val take = math.max(0L, math.min(avail, budget))
       budget -= take
       q -> (from + take)
@@ -290,12 +331,29 @@ object GraftQueueReaderFactory extends PartitionReaderFactory {
 class GraftQueuePartitionReader(p: GraftQueuePartition)
     extends PartitionReader[InternalRow] {
 
+  // One spool file is open at a time; it is closed when the next file
+  // is opened and in close() — a long-running stream must not leak one
+  // fd per spool file per micro-batch.
+  private var openSrc: scala.io.Source = null
+
+  private def openFile(f: File): Iterator[String] = {
+    if (openSrc != null) openSrc.close()
+    openSrc = scala.io.Source.fromFile(f, "UTF-8") // immutable once renamed in
+    openSrc.getLines()
+  }
+
   private val lines: Iterator[(String, Long)] = {
     val files = GraftQueueSource.spoolFiles(p.brokerDir, p.queue)
-    files.iterator.flatMap { f =>
-      scala.io.Source.fromFile(f, "UTF-8").getLines() // files are immutable once renamed in
-    }.zipWithIndex.map { case (l, i) => (l, i.toLong) }
-      .slice(p.fromLine.toInt, p.toLine.toInt)
+    val counts = files.map(GraftQueueSource.countLines)
+    // Long-safe range math; files wholly before fromLine are skipped
+    // without opening (cached counts give each file's start ordinal).
+    GraftQueueSource.sliceFiles(counts, p.fromLine, p.toLine).iterator
+      .flatMap { case (i, fileStart, lo, hi) =>
+        var ord = fileStart - 1L
+        openFile(files(i))
+          .map { l => ord += 1L; (l, ord) }
+          .filter { case (_, o) => o >= lo && o < hi }
+      }
   }
 
   private var current: InternalRow = _
@@ -321,5 +379,7 @@ class GraftQueuePartitionReader(p: GraftQueuePartition)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    if (openSrc != null) { openSrc.close(); openSrc = null }
+  }
 }

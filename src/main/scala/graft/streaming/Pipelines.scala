@@ -168,12 +168,66 @@ object Pipelines {
       .option("checkpointLocation", outDir + "/_checkpoint")
       .partitionBy("window_part")
 
-  /** SolaceReaderStats equivalent: accumulate per-batch input rows and
-    * batch count from the streaming listener bus. */
+  /** SolaceBigQuery.java:63 equivalent: stream mapped records into a
+    * queryable partitioned parquet table with exactly-once rows.
+    *
+    * The reference maps messages to TableRows and leans on the sink
+    * for dedup; here each micro-batch is merged idempotently — an
+    * anti-join on the (queue, message_id) key drops rows already in
+    * the table before appending. That makes the sink safe under BOTH
+    * broker redelivery (at-least-once upstream) and micro-batch replay
+    * after a crash (the same batch re-runs and every row anti-joins
+    * away). The table is partitioned by queue so the key lookup prunes
+    * to the partitions present in the incoming batch. */
+  def tableSink(records: Dataset[GraftTextRecord], tablePath: String): DataStreamWriter[GraftTextRecord] = {
+    val dataPath = tablePath + "/data"
+    records.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tablePath + "/_checkpoint")
+      .foreachBatch { (batch: Dataset[GraftTextRecord], _: Long) =>
+        val spark = batch.sparkSession
+        val existingKeys =
+          try spark.read.parquet(dataPath).select(col("queue"), col("message_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
+            spark.emptyDataFrame.select(lit("").as("queue"), lit(0L).as("message_id")).limit(0)
+          }
+        batch.toDF()
+          .join(existingKeys, Seq("queue", "message_id"), "left_anti")
+          .write.mode("append").partitionBy("queue").parquet(dataPath)
+        ()
+      }
+  }
+
+  /** Read back the table written by [[tableSink]]. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath + "/data")
+
+  /** SolaceIO withMaxReadTime equivalent: start the query with
+    * Trigger.AvailableNow — the source freezes the backlog snapshot
+    * and the query self-terminates once it is drained — and stop early
+    * if the wall-clock deadline passes first. Returns after the query
+    * has terminated either way; rows consumed so far are committed. */
+  def startWithMaxReadTime(
+      writer: DataStreamWriter[_], maxReadTimeMs: Long): Unit = {
+    val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      if (!q.awaitTermination(maxReadTimeMs)) q.stop()
+    } finally if (q.isActive) q.stop()
+  }
+
+  /** SolaceReaderStats equivalent: accumulate per-batch input rows,
+    * batch count, and the queue BACKLOG gauge (spool high-water mark
+    * minus consumed offset, per queue — the reference's
+    * SolaceReaderStats backlog metric) from the listener bus. The
+    * engine feeds `latestOffset` from the source's
+    * `reportLatestOffset` and `endOffset` from the batch plan; both
+    * are this source's {"queue":count} JSON. */
   class QueueStatsListener extends StreamingQueryListener {
     @volatile var batches: Long = 0L
     @volatile var totalRows: Long = 0L
     @volatile var maxBatchRows: Long = 0L
+    @volatile var backlog: Map[String, Long] = Map.empty
+    @volatile var maxBacklog: Long = 0L
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -183,6 +237,16 @@ object Pipelines {
         batches += 1
         totalRows += rows
         maxBatchRows = math.max(maxBatchRows, rows)
+      }
+      e.progress.sources.foreach { s =>
+        try {
+          val end = Option(s.endOffset).map(GraftQueueSource.offsetsFromJson).getOrElse(Map.empty)
+          val latest = Option(s.latestOffset).map(GraftQueueSource.offsetsFromJson).getOrElse(Map.empty)
+          if (latest.nonEmpty) {
+            backlog = latest.map { case (q, n) => q -> math.max(0L, n - end.getOrElse(q, 0L)) }
+            maxBacklog = math.max(maxBacklog, backlog.values.foldLeft(0L)(_ + _))
+          }
+        } catch { case _: Exception => () } // non-graft source in the query
       }
     }
   }

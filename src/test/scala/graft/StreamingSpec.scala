@@ -193,4 +193,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.nonEmpty)
     assert(parts.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))))
   }
+
+  test("table sink is exactly-once under redelivery and batch replay") {
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-table")
+    def run(ckpt: String): Unit = {
+      val recs = Pipelines.mapToTextRecord(Pipelines.readQueues(spark, broker, Seq("q1")))
+      val q = Pipelines.tableSink(recs, table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    publishText(broker, "q1", 0 until 10, i => s"row$i")
+    run(tmpDir("graft-ckpt"))
+    assert(Pipelines.readTable(spark, table).count() === 10)
+    // Simulate a consumer losing its offsets (crash without checkpoint):
+    // a FRESH checkpoint re-reads the whole spool — full redelivery.
+    // The idempotent merge must drop all 10 redelivered rows and append
+    // only the 5 new ones.
+    publishText(broker, "q1", 10 until 15, i => s"row$i")
+    run(tmpDir("graft-ckpt"))
+    val got = Pipelines.readTable(spark, table)
+    assert(got.count() === 15, "redelivered rows must not duplicate in the table")
+    assert(got.select("message_id").distinct().count() === 15)
+    assert(got.select("text").collect().map(_.getString(0)).toSet ===
+      (0 until 15).map(i => s"row$i").toSet)
+  }
+
+  test("withMaxReadTime: AvailableNow drains the snapshot; deadline caps a slow read") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 20, i => s"m$i")
+    // generous deadline: the frozen snapshot is drained, query self-stops
+    Pipelines.startWithMaxReadTime(
+      Pipelines.readQueues(spark, broker, Seq("q1"))
+        .writeStream.format("memory").queryName("maxtime_all")
+        .option("checkpointLocation", tmpDir("graft-ckpt")),
+      maxReadTimeMs = 60000)
+    assert(spark.table("maxtime_all").count() === 20)
+    // 1 record per trigger + ~zero deadline: the stop lands mid-stream,
+    // consumption is a strict prefix of the spool
+    Pipelines.startWithMaxReadTime(
+      Pipelines.readQueues(spark, broker, Seq("q1"), maxRecordsPerTrigger = Some(1))
+        .writeStream.format("memory").queryName("maxtime_capped")
+        .option("checkpointLocation", tmpDir("graft-ckpt")),
+      maxReadTimeMs = 1)
+    assert(spark.table("maxtime_capped").count() < 20,
+      "deadline must stop consumption before the spool drains")
+  }
+
+  test("backlog gauge: positive while throttled, drains to zero") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 30, i => s"m$i")
+    val listener = new Pipelines.QueueStatsListener
+    spark.streams.addListener(listener)
+    val q = Pipelines.readQueues(spark, broker, Seq("q1"), maxRecordsPerTrigger = Some(10))
+      .writeStream.format("memory").queryName("backlogged")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // listener events are delivered async — wait for the final one
+      val deadline = System.currentTimeMillis() + 15000
+      while ((listener.backlog.isEmpty || listener.backlog.values.sum > 0) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    assert(listener.maxBacklog >= 10,
+      s"throttled run must observe positive backlog, saw ${listener.maxBacklog}")
+    assert(listener.backlog.getOrElse("q1", -1L) === 0L,
+      s"backlog must drain to zero, saw ${listener.backlog}")
+  }
+
+  test("spool slice math is Long-safe past Int.MaxValue and skips whole files") {
+    import graft.sources.GraftQueueSource.sliceFiles
+    val G = 3_000_000_000L // one spool file holding 3e9 lines (> 2^31)
+    // range crossing the 2^31 boundary inside file 0
+    assert(sliceFiles(Seq(G, 5L), 2_147_483_646L, 2_147_483_650L) ===
+      Seq((0, 0L, 2_147_483_646L, 2_147_483_650L)))
+    // range spanning the file boundary: tail of file 0, head of file 1
+    assert(sliceFiles(Seq(G, 5L, 7L), G - 2, G + 3) ===
+      Seq((0, 0L, G - 2, G), (1, G, G, G + 3)))
+    // files wholly before the range are not returned (never opened)
+    assert(sliceFiles(Seq(G, 5L, 7L), G + 5, G + 9) ===
+      Seq((2, G + 5, G + 5, G + 9)))
+    // empty range
+    assert(sliceFiles(Seq(G, 5L), 42L, 42L) === Seq.empty)
+    // degenerate: zero-length files are skipped
+    assert(sliceFiles(Seq(0L, 3L, 0L, 2L), 0L, 5L) ===
+      Seq((1, 0L, 0L, 3L), (3, 3L, 3L, 5L)))
+  }
 }
