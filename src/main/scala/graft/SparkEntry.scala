@@ -34,6 +34,12 @@ object SparkEntry {
     "q22_idle"     -> Relational2.q22Idle _,
     "q4_exists"    -> Relational2.q4Exists _,
     "q_approx_distinct" -> Relational2.approxDistinct _,
+    "q8_mktshare"  -> Relational3.q8MktShare _,
+    "q13_custdist" -> Relational3.q13CustDist _,
+    "q15_topsupp"  -> Relational3.q15TopSupp _,
+    "q17_smallqty" -> Relational3.q17SmallQty _,
+    "q19_disjunct" -> Relational3.q19Disjunct _,
+    "q21_waiting"  -> Relational3.q21Waiting _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -85,6 +91,12 @@ object SparkEntry {
     "q18_large"    -> Relational2.q18Sql,
     "q22_idle"     -> Relational2.q22Sql,
     "q4_exists"    -> Relational2.q4Sql,
+    "q8_mktshare"  -> Relational3.q8Sql,
+    "q13_custdist" -> Relational3.q13Sql,
+    "q15_topsupp"  -> Relational3.q15Sql,
+    "q17_smallqty" -> Relational3.q17Sql,
+    "q19_disjunct" -> Relational3.q19Sql,
+    "q21_waiting"  -> Relational3.q21Sql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
     "session_window" -> EventOps.sessionSql,
