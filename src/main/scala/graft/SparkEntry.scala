@@ -59,6 +59,7 @@ object SparkEntry {
     "lang_id"            -> TextOps.langId _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "doc_shingle_stats"  -> TextOps.shingleStats _,
+    "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     // Dedup suite
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
     "dedup_minhash"       -> DedupOps.minhashLsh _,
@@ -114,6 +115,7 @@ object SparkEntry {
     "lang_id"            -> TextOps.langIdSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
+    "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check

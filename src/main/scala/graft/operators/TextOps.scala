@@ -206,6 +206,47 @@ object TextOps {
       | md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS fp
       |FROM documents""".stripMargin
 
+  /** TF-IDF-shape distinctive-term extraction: the term of each doc
+    * with the highest tf/df ratio (term frequency over corpus document
+    * frequency). The full distributed pattern a training-data pipeline
+    * needs: explode to occurrences, aggregate corpus statistics, join
+    * them back, re-aggregate per document.
+    *
+    * Ordering is deterministic cross-engine: tf and df are exact
+    * integers, score = ONE double division (correctly rounded IEEE, so
+    * bit-identical in Spark and DuckDB), ties broken lexicographically.
+    * No log() anywhere — libm log differs between engines. */
+  def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfT, "tok")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("tok").as("top_tok"), col("tf"), col("df"), col("score"))
+  }
+
+  val tfidfTopTermSql: String =
+    """WITH ex AS (
+      | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      | FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY doc_id, tok),
+      |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |s AS (
+      | SELECT doc_id, tok, tf, df,
+      |  CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) AS score,
+      |  row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) DESC, tok ASC) AS rk
+      | FROM tf JOIN dft USING (tok))
+      |SELECT doc_id, tok AS top_tok, CAST(tf AS BIGINT) AS tf,
+      | CAST(df AS BIGINT) AS df, score
+      |FROM s WHERE rk = 1""".stripMargin
+
   /** Shingle-set profile per document (feeds the dedup suite). */
   def shingleStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))

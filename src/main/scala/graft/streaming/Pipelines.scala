@@ -156,6 +156,26 @@ object Pipelines {
       .select(col("window.start").as("ws"), col("word"), col("cnt"))
   }
 
+  /** Per-queue SESSION windows over message event time: activity
+    * bursts separated by `gap` of silence collapse into one session
+    * (Spark's merge-on-shuffle session_window — no per-key sort).
+    * Works on both streaming and batch frames, so the spec can assert
+    * stream ≡ batch directly. */
+  def sessionCounts(
+      messages: DataFrame,
+      gap: String = "30 seconds",
+      useSenderTimestamp: Boolean = true,
+      watermark: String = "2 minutes"): DataFrame = {
+    val tsCol = if (useSenderTimestamp) "sender_ts" else "receive_ts"
+    val withWm =
+      if (messages.isStreaming) messages.withWatermark(tsCol, watermark) else messages
+    withWm
+      .groupBy(col("queue"), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(col("queue"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_msgs"))
+  }
+
   /** WriteOneFilePerWindow: append parquet partitioned by window start
     * so each window lands in its own directory partition. */
   def fileSinkPerWindow(counts: DataFrame, outDir: String): DataStreamWriter[Row] =

@@ -194,6 +194,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))))
   }
 
+  test("session windows: stream result equals batch result") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    // q1: two bursts separated by 5 min of silence → two sessions;
+    // q2: one burst → one session
+    GraftQueueBroker.publish(broker, "q1", (0 until 6).map { i =>
+      GraftQueueBroker.textMsg(i.toLong, t0 + i * 10L * 1000000L, "t", s"m$i")
+    } ++ (0 until 4).map { i =>
+      GraftQueueBroker.textMsg(100L + i, t0 + 300L * 1000000L + i * 5L * 1000000L, "t", s"n$i")
+    })
+    GraftQueueBroker.publish(broker, "q2", (0 until 3).map { i =>
+      GraftQueueBroker.textMsg(200L + i, t0 + i * 20L * 1000000L, "t", s"p$i")
+    })
+    val q = Pipelines.sessionCounts(Pipelines.readQueues(spark, broker, Seq("q1", "q2")))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batch = Pipelines.sessionCounts(
+      Pipelines.readQueuesBounded(spark, broker, Seq("q1", "q2"))).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    // q1 splits into two sessions (6 + 4 msgs), q2 is one session of 3
+    assert(streamed.count(_._1 == "q1") === 2)
+    assert(streamed.filter(_._1 == "q1").map(_._4) === Set(6L, 4L))
+    assert(streamed.filter(_._1 == "q2").map(_._4) === Set(3L))
+  }
+
   test("table sink is exactly-once under redelivery and batch replay") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-table")
