@@ -44,13 +44,29 @@ object DedupOps {
     ex.join(keep, "s") // keeps df column for the prefix order
   }
 
+  /** ONE per-doc aggregate every consumer derives from: the (df,
+    * shingle) array in global prefix order plus the set size. The
+    * signature projection, the prefix index, and the exact verify all
+    * reference this SAME subplan, so Catalyst plans a single shuffle
+    * and the physical plan reuses the exchange instead of re-running
+    * the scan + shingling + df-cap once per consumer (per-doc arrays
+    * stay bounded by document length — this is not a per-key corpus
+    * collect). */
+  private def docSets(spark: SparkSession, dir: String): DataFrame =
+    cappedShingles(spark, dir).groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
+           count(lit(1)).as("n"))
+
+  private def setShingles(arr: Column): Column =
+    transform(arr, e => e.getField("s"))
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
     * against the full shingle sets; emits pairs ≥ threshold. */
-  private def verifyPairs(cands: DataFrame, ex2: DataFrame): DataFrame = {
-    val sets = ex2.groupBy("doc_id")
-      .agg(collect_list(col("s")).as("shs"), count(lit(1)).as("n"))
-    val va = sets.select(col("doc_id").as("da"), col("shs").as("sha"), col("n").as("na"))
-    val vb = sets.select(col("doc_id").as("db"), col("shs").as("shb"), col("n").as("nb"))
+  private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame = {
+    val va = sets.select(col("doc_id").as("da"),
+      setShingles(col("arr")).as("sha"), col("n").as("na"))
+    val vb = sets.select(col("doc_id").as("db"),
+      setShingles(col("arr")).as("shb"), col("n").as("nb"))
     cands
       .join(va, col("doc_a") === col("da"))
       .join(vb, col("doc_b") === col("db"))
@@ -70,11 +86,8 @@ object DedupOps {
     * 4·nb ≤ 5·na (integer form, no float compare). Carrying set sizes
     * into the prefix rows lets the join drop impossible pairs before
     * the `distinct()`, shrinking the candidate shuffle. */
-  private def prefixCandidates(ex2: DataFrame): DataFrame = {
-    val sorted = ex2.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
-           count(lit(1)).as("n"))
-    val withPrefix = sorted
+  private def prefixCandidates(sets: DataFrame): DataFrame = {
+    val withPrefix = sets
       .withColumn("p", col("n") - floor((col("n") * 4 + 4) / 5) + 1)
       .select(col("doc_id"), col("n"),
         explode(transform(slice(col("arr"), lit(1), col("p").cast("int")),
@@ -90,22 +103,21 @@ object DedupOps {
 
   /** Exact word-3-gram Jaccard pairs ≥ threshold, prefix-filtered. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex2 = cappedShingles(spark, dir)
-    verifyPairs(prefixCandidates(ex2), ex2)
+    val sets = docSets(spark, dir)
+    verifyPairs(prefixCandidates(sets), sets)
   }
 
   /** MinHash(128) + LSH(16×8) candidates, exact-Jaccard verified.
     * Same output (and same oracle) as [[ngramJaccard]] — the LSH pass
     * exists so pair enumeration scales past any inverted index. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ex2 = cappedShingles(spark, dir)
+    val sets = docSets(spark, dir)
 
-    // One narrow shuffle (collect shingle sets), then the whole
-    // 128-way signature is ONE projection via the MinHashSig kernel.
-    val sigs = ex2.groupBy("doc_id")
-      .agg(collect_list(col("s")).as("shs"))
-      .select(col("doc_id"),
-        graft.functions.MinHashSigColumns.minhashSig(col("shs")).as("sig"))
+    // The whole 128-way signature is ONE projection over the shared
+    // per-doc aggregate via the MinHashSig kernel (min over a set is
+    // order-independent, so the prefix-sorted array is fine).
+    val sigs = sets.select(col("doc_id"),
+      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
 
     // 16 band keys, each hashing 8 signature rows.
     val bandKeys = (0 until numBands).map { j =>
@@ -126,9 +138,9 @@ object DedupOps {
     // Union with the exact-recall prefix candidates: recall becomes
     // deterministic (prefix filter never misses a qualifying pair) while
     // LSH remains the scale path that bounds candidate growth.
-    val cands = lshCands.union(prefixCandidates(ex2)).distinct()
+    val cands = lshCands.union(prefixCandidates(sets)).distinct()
 
-    verifyPairs(cands, ex2)
+    verifyPairs(cands, sets)
   }
 
   /** Shared oracle: exact all-pairs Jaccard over the capped shingle

@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
   }
 
+  test("dedup: the per-doc shingle aggregate is computed once and reused") {
+    // signatures, prefix index, and exact verify all derive from the
+    // SAME docSets subplan — the physical plan must reuse that
+    // exchange, not re-run the scan+shingling+df-cap per consumer
+    val mh = operators.DedupOps.minhashLsh(spark, sf)
+    mh.collect()
+    val pm = mh.queryExecution.executedPlan.toString
+    assert(pm.contains("ReusedExchange"),
+      "minhash plan re-computes the shared shingle aggregate")
+    val nj = operators.DedupOps.ngramJaccard(spark, sf)
+    nj.collect()
+    assert(nj.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "ngram-jaccard plan re-computes the shared shingle aggregate")
+  }
+
   test("wordcount & windowed wordcount stay in whole-stage codegen") {
     assert(codegenPlan(operators.TextOps.wordCount(spark, sf)).contains("*("))
     assert(codegenPlan(operators.TextOps.windowedWordCount(spark, sf)).contains("*("))
