@@ -74,6 +74,7 @@ object SparkEntry {
     // Multimodal plumbing
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,
     "mm_feature_stub" -> MultimodalOps.featureExtractDf _,
+    "mm_frame_sample" -> MultimodalOps.frameSample _,
   )
 
   /** DuckDB oracle SQL per query key (same aliases + rounding). */
@@ -125,5 +126,6 @@ object SparkEntry {
     "knn_centroid"    -> VectorOps.knnCentroidSql,
     "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,
     "mm_feature_stub" -> MultimodalOps.featureStubSql,
+    "mm_frame_sample" -> MultimodalOps.frameSampleSql,
   )
 }

@@ -93,6 +93,51 @@ object MultimodalOps {
         ++ histCols: _*)
   }
 
+  /** Frame sampling over an opaque media payload — the video-pipeline
+    * plumbing shape: treat the payload as fixed-size frames, keep every
+    * `frameStride`-th frame, emit typed per-frame rows (index, offset,
+    * digest). One `posexplode(sequence(...))` per document: rows scale
+    * with frames kept, the payload is never copied per frame beyond the
+    * projected slice, and everything stays in whole-stage codegen. A
+    * real decoder replaces the substring slice with a codec call at the
+    * same batch shape. */
+  val frameBytes = 32
+  val frameStride = 4
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = floor((length(col("text")) + frameBytes - 1) / frameBytes)
+    val kept = floor((nFrames + frameStride - 1) / frameStride).cast("int")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), kept.as("n_kept"))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), col("n_kept") - 1)).as(Seq("frame_idx", "k")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("k").cast("long") * frameStride * frameBytes).as("byte_offset"),
+        md5(substring(col("text"),
+          (col("k").cast("long") * frameStride * frameBytes + 1).cast("int"), lit(frameBytes))
+          .cast("binary")).as("frame_digest"))
+  }
+
+  val frameSampleSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, text,
+       |  CAST(floor((length(text) + $frameBytes - 1) / $frameBytes) AS BIGINT) AS n_frames
+       | FROM documents),
+       |k AS (
+       | SELECT doc_id, text,
+       |  CAST(floor((n_frames + $frameStride - 1) / $frameStride) AS BIGINT) AS n_kept
+       | FROM t WHERE n_frames > 0),
+       |f AS (
+       | SELECT doc_id, text,
+       |  unnest(generate_series(0, CAST(n_kept - 1 AS BIGINT))) AS i
+       | FROM k)
+       |SELECT doc_id,
+       | CAST(i AS BIGINT) AS frame_idx,
+       | CAST(i * $frameStride * $frameBytes AS BIGINT) AS byte_offset,
+       | md5(substring(text, CAST(i * $frameStride * $frameBytes + 1 AS INT), $frameBytes)) AS frame_digest
+       |FROM f""".stripMargin
+
   /** The stub decode is deterministic byte math, so it has an exact
     * SQL oracle: per-bin counts of `byte >> 4`, dims from header bytes. */
   val featureStubSql: String = {

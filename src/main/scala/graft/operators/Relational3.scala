@@ -211,10 +211,14 @@ object Relational3 {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $q21LateDays DAYS"))
           .as("late"))
-    val allPairs = pairs.select(col("l_orderkey").as("ao"), col("l_suppkey").as("asup"))
-      .distinct()
-    val latePairs = pairs.filter(col("late"))
-      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("lsup")).distinct()
+    // ONE aggregate over the fact join feeds both pair sets (any-late
+    // flag per pair); identical subplans → the exchange is reused
+    // instead of re-running the lineitem⋈orders join per consumer.
+    val pairAgg = pairs.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"))
+    val allPairs = pairAgg.select(col("l_orderkey").as("ao"), col("l_suppkey").as("asup"))
+    val latePairs = pairAgg.filter(col("any_late"))
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("lsup"))
     val lateOther = latePairs.select(col("lo").as("xo"), col("lsup").as("xsup"))
     val waiting = latePairs
       .join(allPairs, col("lo") === col("ao") && col("lsup") =!= col("asup"), "left_semi")
