@@ -50,6 +50,7 @@ object SparkEntry {
     "q_stats_moments" -> EventOps.statsMoments _,
     "q_percentiles"  -> EventOps.percentiles _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
+    "q_cumulative"   -> EventOps.cumulative _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
     "windowed_wordcount" -> TextOps.windowedWordCount _,
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_stats_moments" -> EventOps.statsMomentsSql,
     "q_percentiles"  -> EventOps.percentilesSql,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,
+    "q_cumulative"   -> EventOps.cumulativeSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,

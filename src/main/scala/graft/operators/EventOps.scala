@@ -268,4 +268,36 @@ object EventOps {
       | CAST(sum(event_id % 7) AS DOUBLE)/count(*) AS avg_lag_s,
       | max(event_id % 7) AS max_lag_s
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Cumulative / lag analytics per user — the running-frame window
+    * shapes (ROWS UNBOUNDED PRECEDING, lag()) the suite did not cover
+    * yet. Determinism: frame order is (ts, event_id) — unique —, the
+    * running sum accumulates exact DECIMAL per frame, and the
+    * inter-event gap is integer microseconds; nothing depends on
+    * float summation order. Output kept to every-100th user so the
+    * result set stays comparison-sized while the window still runs
+    * over full per-user partitions. */
+  def cumulative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("user_id") % 100 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(wRun).as("run_n"),
+        round(sum(d4(col("value"))).over(wRun), 2).cast("double").as("run_sum"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+  }
+
+  val cumulativeSql: String =
+    """SELECT event_id, user_id, ts,
+      | count(*) OVER w_run AS run_n,
+      | CAST(round(sum(CAST(value AS DECIMAL(14,4))) OVER w_run, 2) AS DOUBLE) AS run_sum,
+      | epoch_us(ts) - epoch_us(lag(ts, 1) OVER w_ord) AS gap_us
+      |FROM events
+      |WHERE user_id % 100 = 0
+      |WINDOW
+      | w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      | w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 }

@@ -156,6 +156,21 @@ object Pipelines {
       .select(col("window.start").as("ws"), col("word"), col("cnt"))
   }
 
+  /** Wildcard topic routing ON THE STREAM: match each message's
+    * destination against Solace-style subscriptions (single-level `*`
+    * and multi-level `>` wildcards) with the codegen TopicMatches
+    * expression and tag it with every
+    * matching subscription — the broker's subscription fan-out as a
+    * stream-static broadcast join (subscriptions are tiny and static;
+    * the stream never shuffles). */
+  def routeByTopic(messages: DataFrame, subscriptions: Seq[String]): DataFrame = {
+    import messages.sparkSession.implicits._
+    val subs = broadcast(subscriptions.toDF("sub"))
+    messages.crossJoin(subs)
+      .filter(graft.functions.TopicMatches.topicMatches(col("sub"), col("destination")))
+      .select(col("sub"), col("queue"), col("message_id"), col("destination"))
+  }
+
   /** Per-queue SESSION windows over message event time: activity
     * bursts separated by `gap` of silence collapse into one session
     * (Spark's merge-on-shuffle session_window — no per-key sort).

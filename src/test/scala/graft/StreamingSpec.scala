@@ -194,6 +194,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.forall(_.listFiles().exists(_.getName.endsWith(".parquet"))))
   }
 
+  test("wildcard topic routing on the stream matches the batch filter") {
+    val broker = tmpDir("graft-broker")
+    // destinations are t/<queue>/<i%3>
+    publishText(broker, "q1", 0 until 12, i => s"m$i")
+    publishText(broker, "q2", 0 until 9, i => s"m$i")
+    val subs = Seq("t/q1/>", "t/*/1")
+    val q = Pipelines.routeByTopic(
+        Pipelines.readQueues(spark, broker, Seq("q1", "q2")), subs)
+      .writeStream.format("memory").queryName("routed")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("routed").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Pipelines.routeByTopic(
+        Pipelines.readQueuesBounded(spark, broker, Seq("q1", "q2")), subs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // t/q1/> matches all 12 q1 messages; t/*/1 matches i%3==1 in both queues
+    assert(streamed.count(_._1 == "t/q1/>") === 12)
+    assert(streamed.count(_._1 == "t/*/1") === 4 + 3)
+  }
+
   test("session windows: stream result equals batch result") {
     val broker = tmpDir("graft-broker")
     val t0 = 1700000000000000L
