@@ -51,6 +51,7 @@ object SparkEntry {
     "q_percentiles"  -> EventOps.percentiles _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
     "q_cumulative"   -> EventOps.cumulative _,
+    "q_json_props"   -> EventOps.jsonProps _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
     "windowed_wordcount" -> TextOps.windowedWordCount _,
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_percentiles"  -> EventOps.percentilesSql,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,
     "q_cumulative"   -> EventOps.cumulativeSql,
+    "q_json_props"   -> EventOps.jsonPropsSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,

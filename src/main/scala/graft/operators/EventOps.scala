@@ -269,6 +269,33 @@ object EventOps {
       | max(event_id % 7) AS max_lag_s
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Semi-structured extraction: events carry a JSON `props` payload;
+    * pull a typed field out at scan time and aggregate it — the
+    * schema-on-read pattern (get_json_object stays inside codegen; no
+    * UDF, no whole-document parse into a struct the query doesn't
+    * need). Aggregates are exact integers / one double division. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"),
+           (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+  }
+
+  val jsonPropsSql: String =
+    """SELECT event_type,
+      | count(k) AS n_with_k,
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | max(k) AS max_k,
+      | CAST(sum(k) AS DOUBLE)/count(k) AS avg_k
+      |FROM (
+      | SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      | FROM events)
+      |GROUP BY event_type""".stripMargin
+
   /** Cumulative / lag analytics per user — the running-frame window
     * shapes (ROWS UNBOUNDED PRECEDING, lag()) the suite did not cover
     * yet. Determinism: frame order is (ts, event_id) — unique —, the
