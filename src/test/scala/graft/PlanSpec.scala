@@ -122,19 +122,15 @@ class PlanSpec extends AnyFunSuite {
         k -> spark.conf.getOption(k))
     saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
     try {
-      Tables(spark, sf, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("graft_bkt.li_b")
-      Tables(spark, sf, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("graft_bkt.ord_b")
-      val joined = spark.table("graft_bkt.li_b")
-        .join(spark.table("graft_bkt.ord_b"),
-          org.apache.spark.sql.functions.col("l_orderkey") ===
-            org.apache.spark.sql.functions.col("o_orderkey"))
-        .hint("merge") // force sort-merge so bucketing (not broadcast) carries the join
+      operators.Bucketing.writeBucketed(
+        Tables(spark, sf, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "graft_bkt.li_b", "l_orderkey", buckets = 8)
+      operators.Bucketing.writeBucketed(
+        Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        "graft_bkt.ord_b", "o_orderkey", buckets = 8)
+      val joined = operators.Bucketing.coLocatedJoin(
+        spark, "graft_bkt.li_b", "graft_bkt.ord_b", "l_orderkey", "o_orderkey")
       joined.collect()
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"))
