@@ -316,6 +316,47 @@ class StreamingSpec extends AnyFunSuite {
       s"backlog must drain to zero, saw ${listener.backlog}")
   }
 
+  test("watermark drops late data in append mode (state stays bounded)") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    val min = 60L * 1000000L
+    def msg(id: Long, tsMicros: Long) =
+      GraftQueueBroker.textMsg(id, tsMicros, "t", "tick")
+    // window W0 = [t0, t0+1min): 5 on-time events
+    GraftQueueBroker.publish(broker, "q1", (0 until 5).map(i => msg(i.toLong, t0 + i * 1000000L)))
+    val counts = Pipelines.windowedWordCount(
+      Pipelines.readQueues(spark, broker, Seq("q1")),
+      windowLength = "1 minute", watermark = "30 seconds")
+    val q = counts.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // event 5 min later pushes the watermark past W0's end
+      GraftQueueBroker.publish(broker, "q1", Seq(msg(100L, t0 + 5 * min)))
+      q.processAllAvailable()
+      // a LATE straggler into W0: the watermark (t0+4.5min) is already
+      // past its event time, so the row must be discarded
+      GraftQueueBroker.publish(broker, "q1", Seq(msg(200L, t0 + 10L * 1000000L)))
+      q.processAllAvailable()
+      // emission happens in a batch AFTER the watermark advance —
+      // drive heartbeat batches until W0 appears in the sink
+      // windows align to wall-clock minute boundaries, not to t0
+      val w0Start = new java.sql.Timestamp(t0 / 1000L / 60000L * 60000L)
+      def w0Counts(): Seq[Long] = spark.table("late_drop")
+        .filter(col("ws") === w0Start)
+        .collect().map(_.getLong(2)).toSeq
+      var hb = 0
+      while (w0Counts().isEmpty && hb < 10) {
+        GraftQueueBroker.publish(broker, "q1", Seq(msg(300L + hb, t0 + (10 + hb) * min)))
+        q.processAllAvailable()
+        hb += 1
+      }
+      assert(w0Counts() === Seq(5L),
+        "W0 must emit exactly its on-time count; the late straggler must be dropped")
+    } finally q.stop()
+  }
+
   test("spool slice math is Long-safe past Int.MaxValue and skips whole files") {
     import graft.sources.GraftQueueSource.sliceFiles
     val G = 3_000_000_000L // one spool file holding 3e9 lines (> 2^31)
