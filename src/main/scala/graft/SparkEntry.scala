@@ -62,6 +62,7 @@ object SparkEntry {
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "doc_shingle_stats"  -> TextOps.shingleStats _,
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
+    "doc_sample"         -> TextOps.docSample _,
     // Dedup suite
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
     "dedup_minhash"       -> DedupOps.minhashLsh _,
@@ -121,6 +122,7 @@ object SparkEntry {
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
+    "doc_sample"         -> TextOps.docSampleSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check

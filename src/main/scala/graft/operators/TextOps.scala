@@ -247,6 +247,36 @@ object TextOps {
       | CAST(df AS BIGINT) AS df, score
       |FROM s WHERE rk = 1""".stripMargin
 
+  /** Deterministic stratified sampling — how a training-data pipeline
+    * downsamples: strata get different keep-rates and membership is a
+    * pure function of the id (Knuth multiplicative hash, integer
+    * arithmetic only), so the sample is reproducible on any cluster,
+    * any partitioning, any engine — no RNG state, no sampleBy
+    * nondeterminism. Short docs keep 10%, long docs 50%. */
+  val sampleHashMul = 2654435761L
+  val sampleMod = 1000L
+
+  def docSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(length(col("text")) < 100, lit("short")).otherwise(lit("long"))
+    val h = pmod(col("doc_id") * sampleHashMul, lit(sampleMod))
+    docs(spark, dir)
+      .select(col("doc_id"), bucket.as("stratum"), h.as("h"),
+        length(col("text")).cast("long").as("n_chars"))
+      .filter((col("stratum") === "short" && col("h") < 100) ||
+              (col("stratum") === "long" && col("h") < 500))
+      .select("doc_id", "stratum", "n_chars")
+  }
+
+  val docSampleSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CASE WHEN length(text) < 100 THEN 'short' ELSE 'long' END AS stratum,
+       |  (doc_id * $sampleHashMul) % $sampleMod AS h,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       | FROM documents)
+       |SELECT doc_id, stratum, n_chars FROM t
+       |WHERE (stratum = 'short' AND h < 100) OR (stratum = 'long' AND h < 500)""".stripMargin
+
   /** Shingle-set profile per document (feeds the dedup suite). */
   def shingleStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))

@@ -107,6 +107,16 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf still collects raw coordinates per group")
   }
 
+  test("no query in the library plans a CartesianProduct") {
+    // broadcast nested loops over a provably tiny side (query sets,
+    // 1-row aggregates, centroid tables) are fine; an unbroadcast
+    // cartesian over two big inputs never is
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     // the 100 TB recipe for repeated fact⋈fact joins: bucket both
     // sides on the join key at write time, the join then needs no
