@@ -52,6 +52,8 @@ object SparkEntry {
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
     "q_cumulative"   -> EventOps.cumulative _,
     "q_json_props"   -> EventOps.jsonProps _,
+    "q_asof_join"    -> TemporalJoins.asofJoin _,
+    "q_range_join"   -> TemporalJoins.rangeJoin _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
     "windowed_wordcount" -> TextOps.windowedWordCount _,
@@ -113,6 +115,8 @@ object SparkEntry {
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,
     "q_cumulative"   -> EventOps.cumulativeSql,
     "q_json_props"   -> EventOps.jsonPropsSql,
+    "q_asof_join"    -> TemporalJoins.asofJoinSql,
+    "q_range_join"   -> TemporalJoins.rangeJoinSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins Spark has no native operator for, re-expressed
+  * with scalable plan shapes instead of non-equi nested loops:
+  *
+  *  - AS-OF join: for each left row, the latest right row at-or-before
+  *    its timestamp. Implemented as union + running `last(ignoreNulls)`
+  *    over one (user, time) sort — a SINGLE shuffle, no per-key loop,
+  *    no range condition the optimizer would turn into a nested loop.
+  *  - RANGE join: count right rows inside a trailing time window of
+  *    each left row. Implemented as a BUCKETED equi-join: both sides
+  *    key by floor(ts / window); each left row probes its own and the
+  *    previous bucket, so candidates are bounded by bucket population
+  *    and the plan is a plain shuffle join on (user, bucket) — never
+  *    an O(n²) time-range nested loop.
+  *
+  * Determinism: as-of ties (same timestamp) order reference rows
+  * before query rows (inclusive ≤) and break equal reference
+  * timestamps by event_id; both rules are mirrored in the oracle.
+  */
+object TemporalJoins {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  /** For each purchase, the latest click at-or-before it per user. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").cast("int").as("m")) // clicks (0) sort first on ties
+    val tagged = ev
+      .withColumn("click_id", when(col("m") === 0, col("event_id")))
+      .withColumn("click_ts", when(col("m") === 0, col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("m").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("m") === 1)
+      .select("event_id", "user_id", "ts", "asof_click_id", "asof_click_ts")
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (
+      | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |a AS (
+      | SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT c.event_id FROM events c
+      |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id
+      | FROM p)
+      |SELECT a.event_id, a.user_id, a.ts, a.asof_click_id, c.ts AS asof_click_ts
+      |FROM a LEFT JOIN events c ON c.event_id = a.asof_click_id""".stripMargin
+
+  /** For each error, how many clicks the same user made in the
+    * trailing 5 minutes (exclusive of the error instant). */
+  val rangeWindowSec = 300L
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val usec = rangeWindowSec * 1000000L
+    val errs = events(spark, dir).filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(unix_micros(col("ts")) / usec).as("b"))
+      // a trailing window of exactly one bucket length spans at most
+      // the row's own bucket and the previous one
+      .select(col("event_id"), col("user_id"), col("ts"),
+        explode(array(col("b") - 1, col("b"))).as("bkt"))
+    val clicks = events(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        floor(unix_micros(col("ts")) / usec).as("bkt"))
+    errs.join(clicks,
+        errs("user_id") === clicks("cu") && errs("bkt") === clicks("bkt"), "left_outer")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(when(
+        col("cts") >= col("ts") - expr(s"INTERVAL $rangeWindowSec SECONDS")
+          && col("cts") < col("ts"), lit(1))).as("n_prior_clicks"))
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT e.event_id, e.user_id,
+       | count(CASE WHEN c.ts >= e.ts - INTERVAL $rangeWindowSec SECOND
+       |            AND c.ts < e.ts THEN 1 END) AS n_prior_clicks
+       |FROM events e
+       |LEFT JOIN events c
+       |  ON c.user_id = e.user_id AND c.event_type = 'click'
+       |WHERE e.event_type = 'error'
+       |GROUP BY e.event_id, e.user_id""".stripMargin
+}

@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf still collects raw coordinates per group")
   }
 
+  test("range join is an equi-join on bucket keys, not a time-range nested loop") {
+    val p = plan(operators.TemporalJoins.rangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must bucket, not nested-loop the time condition")
+  }
+
   test("no query in the library plans a CartesianProduct") {
     // broadcast nested loops over a provably tiny side (query sets,
     // 1-row aggregates, centroid tables) are fine; an unbroadcast
