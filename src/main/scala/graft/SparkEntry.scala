@@ -40,6 +40,9 @@ object SparkEntry {
     "q17_smallqty" -> Relational3.q17SmallQty _,
     "q19_disjunct" -> Relational3.q19Disjunct _,
     "q21_waiting"  -> Relational3.q21Waiting _,
+    "q_full_outer" -> Relational4.qFullOuter _,
+    "q_setops"     -> Relational4.qSetOps _,
+    "q_pivot"      -> Relational4.qPivot _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -104,6 +107,9 @@ object SparkEntry {
     "q17_smallqty" -> Relational3.q17Sql,
     "q19_disjunct" -> Relational3.q19Sql,
     "q21_waiting"  -> Relational3.q21Sql,
+    "q_full_outer" -> Relational4.qFullOuterSql,
+    "q_setops"     -> Relational4.qSetOpsSql,
+    "q_pivot"      -> Relational4.qPivotSql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
     "session_window" -> EventOps.sessionSql,
