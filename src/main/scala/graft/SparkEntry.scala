@@ -55,6 +55,7 @@ object SparkEntry {
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
     "q_cumulative"   -> EventOps.cumulative _,
     "q_json_props"   -> EventOps.jsonProps _,
+    "q_approx_percentile" -> EventOps.approxPercentiles _,
     "q_asof_join"    -> TemporalJoins.asofJoin _,
     "q_range_join"   -> TemporalJoins.rangeJoin _,
     // Text analysis / dedup

@@ -269,6 +269,21 @@ object EventOps {
       | max(event_id % 7) AS max_lag_s
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sketch percentiles: approx_percentile (GK/KLL-family summary)
+    * next to the group keys — the bounded-memory path for quantiles at
+    * 100 TB, where the exact rank-based q_percentiles would need a full
+    * sort per group. Accuracy 10000 ⇒ rank error ≤ n/10000; the spec
+    * bounds it against the exact rank-based values (no cross-engine
+    * oracle: sketch implementations differ). */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("ap90"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap99"),
+        count(lit(1)).as("n"))
+
   /** Semi-structured extraction: events carry a JSON `props` payload;
     * pull a typed field out at scan time and aggregate it — the
     * schema-on-read pattern (get_json_object stays inside codegen; no

@@ -65,6 +65,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("approx percentiles agree with exact rank-based percentiles") {
+    // accuracy 10000 over ~400 values/group ⇒ the sketch is effectively
+    // exact here; allow a tiny relative slack for the rank convention
+    val exact = operators.EventOps.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    operators.EventOps.approxPercentiles(spark, sf).collect().foreach { r =>
+      val (p50, p90, p99) = exact(r.getString(0))
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= math.max(0.02 * math.abs(b), 1e-9)
+      assert(close(r.getDouble(1), p50), s"p50 off: ${r.getDouble(1)} vs $p50")
+      assert(close(r.getDouble(2), p90), s"p90 off: ${r.getDouble(2)} vs $p90")
+      assert(close(r.getDouble(3), p99), s"p99 off: ${r.getDouble(3)} vs $p99")
+    }
+  }
+
   test("approx_count_distinct is within the configured rsd of exact") {
     import org.apache.spark.sql.functions._
     val got = operators.Relational2.approxDistinct(spark, sf).collect()

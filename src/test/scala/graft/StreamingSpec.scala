@@ -375,4 +375,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sliceFiles(Seq(0L, 3L, 0L, 2L), 0L, 5L) ===
       Seq((1, 0L, 0L, 3L), (3, 3L, 3L, 5L)))
   }
+
+  test("slice math property: slices partition the requested range exactly") {
+    import graft.sources.GraftQueueSource.sliceFiles
+    val rnd = new scala.util.Random(7) // deterministic
+    for (_ <- 1 to 500) {
+      val counts = Seq.fill(rnd.nextInt(6))(
+        if (rnd.nextBoolean()) rnd.nextLong(5L) else rnd.nextLong(4_000_000_000L))
+      val total = counts.sum
+      val a = rnd.nextLong(total + 2)
+      val b = rnd.nextLong(total + 2)
+      val (from, to) = (math.min(a, b), math.max(a, b))
+      val slices = sliceFiles(counts, from, to)
+      // slices are contiguous, in order, within file bounds, and cover
+      // [from, min(to, total)) exactly
+      var expectLo = math.min(from, total)
+      val covered = slices.map { case (i, fileStart, lo, hi) =>
+        assert(lo >= fileStart && hi <= fileStart + counts(i), s"out of file $i bounds")
+        assert(lo < hi, "empty slice emitted")
+        assert(lo === math.max(expectLo, fileStart), "gap or overlap between slices")
+        expectLo = hi
+        hi - lo
+      }.sum
+      assert(covered === math.max(0L, math.min(to, total) - math.min(from, total)),
+        s"range [$from,$to) over $counts covered $covered lines")
+    }
+  }
 }
