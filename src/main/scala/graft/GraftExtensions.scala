@@ -41,7 +41,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => DistinctShingles3(es(0))),
     ("decode_gr_record",
       new ExpressionInfo(classOf[DecodeBinRecord].getName, "decode_gr_record"),
-      (es: Seq[Expression]) => DecodeBinRecord(es(0))))
+      (es: Seq[Expression]) => DecodeBinRecord(es(0))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0))),
+    ("simhash_sig",
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (es: Seq[Expression]) => SimHashSig(es(0))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

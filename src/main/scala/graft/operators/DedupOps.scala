@@ -178,17 +178,16 @@ object DedupOps {
   val simhashMaxHamming = 6
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toksH = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitCols = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i")
-    }
-    val agged = toksH.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sigs = agged.select(col("doc_id"), sig.as("sim"))
+    // signature = one-pass scalar kernel over the shingle array: narrow
+    // map-side work in the scan stage, no per-doc aggregate shuffle
+    // (see functions/SimHashSig.scala for the equivalence argument).
+    // Shingle-less docs are excluded — the aggregate formulation had no
+    // rows for them, and an all-zero sig would spuriously pair them.
+    val sigs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), distinctShingles3(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashSigColumns.simhashSig(col("shs")).as("sim"))
 
     val bandCols = (0 until 8).map(j =>
       struct(lit(j).as("band"), shiftright(col("sim"), 8 * j).bitwiseAND(0xFF).as("bkey")))

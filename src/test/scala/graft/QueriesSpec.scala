@@ -56,6 +56,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"simhash missed strong pairs: $missed")
   }
 
+  test("simhash kernel equals the aggregate formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextKernels.distinctShingles3
+    val d = Tables(spark, sf, "documents")
+    val kernel = d
+      .select(col("doc_id"), distinctShingles3(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashSigColumns.simhashSig(col("shs")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toksH = d.select(col("doc_id"), explode(distinctShingles3(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+    val agged = toksH.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    val viaAgg = agged.select(col("doc_id"), sig.as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === viaAgg)
+  }
+
   test("ann_ivf achieves useful recall against brute force") {
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
