@@ -19,13 +19,25 @@ class ExtensionsSpec extends AnyFunSuite {
         |  topic_matches('events/>', 'events')              AS m2,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))    AS d,
         |  vec_dist_sq(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS dist,
-        |  size(distinct_shingles3('a b c d'))              AS nsh
+        |  size(distinct_shingles3('a b c d'))              AS nsh,
+        |  size(minhash_sig(distinct_shingles3('a b c d'))) AS nsig,
+        |  simhash_sig(distinct_shingles3('a b c d'))       AS sim
         |""".stripMargin).collect()(0)
     assert(r.getBoolean(0) === true)
     assert(r.getBoolean(1) === false)
     assert(r.getDouble(2) === 11.0)
     assert(r.getDouble(3) === 25.0)
     assert(r.getInt(4) === 2)
+    assert(r.getInt(5) === 128)
+    // 2 shingles → every bit votes ±2 or 0; the sig is deterministic —
+    // pin it against the kernel called directly
+    val expected = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextKernels.distinctShingles3
+      spark.range(1).select(graft.functions.SimHashSigColumns.simhashSig(
+        distinctShingles3(lit("a b c d"))).as("s")).collect()(0).getLong(0)
+    }
+    assert(r.getLong(6) === expected)
   }
 
   test("GR record roundtrip: encode -> decode_gr_record in SQL") {
