@@ -357,6 +357,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("capstone: ingest -> exactly-once dedup -> quality filter -> table, end to end") {
+    // the composed training-data ingest pipeline: an at-least-once
+    // broker redelivers; the stream dedups by message id, drops
+    // low-quality docs, and lands an exactly-once queryable table
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-table")
+    val goodText = (i: Long) => s"document $i with enough words to pass the quality bar"
+    val t0 = 1700000000000000L
+    def msgs(ids: Range, text: Long => String) = ids.map { i =>
+      GraftQueueBroker.textMsg(i.toLong, t0 + i * 1000L, "t/docs", text(i.toLong))
+    }
+    GraftQueueBroker.publish(broker, "docs", msgs(0 until 8, goodText))
+    GraftQueueBroker.publish(broker, "docs", msgs(8 until 12, _ => "too short"))
+    // redelivery: the same first 8 appear again (unacked replay)
+    GraftQueueBroker.publish(broker, "docs", msgs(0 until 8, goodText))
+
+    val deduped = Pipelines.statefulDedup(
+      Pipelines.readQueues(spark, broker, Seq("docs")))
+    import org.apache.spark.sql.functions._
+    val quality = deduped.toDF()
+      .filter(size(graft.functions.Texts.tokens(col("text"))) >= 5)
+    val q = quality.writeStream.format("parquet")
+      .option("path", table).option("checkpointLocation", tmpDir("graft-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(table).collect()
+      .map(r => (r.getAs[Long]("message_id"), r.getAs[String]("text")))
+    assert(got.length === 8, s"expected 8 unique quality docs, got ${got.length}")
+    assert(got.map(_._1).toSet === (0L until 8L).toSet)
+    assert(got.forall { case (id, t) => t == goodText(id) })
+  }
+
   test("spool slice math is Long-safe past Int.MaxValue and skips whole files") {
     import graft.sources.GraftQueueSource.sliceFiles
     val G = 3_000_000_000L // one spool file holding 3e9 lines (> 2^31)
