@@ -43,6 +43,7 @@ object SparkEntry {
     "q_full_outer" -> Relational4.qFullOuter _,
     "q_setops"     -> Relational4.qSetOps _,
     "q_pivot"      -> Relational4.qPivot _,
+    "q_cube"       -> Relational4.qCube _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_full_outer" -> Relational4.qFullOuterSql,
     "q_setops"     -> Relational4.qSetOpsSql,
     "q_pivot"      -> Relational4.qPivotSql,
+    "q_cube"       -> Relational4.qCubeSql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
     "session_window" -> EventOps.sessionSql,

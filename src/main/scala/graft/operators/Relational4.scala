@@ -65,6 +65,21 @@ object Relational4 {
        |EXCEPT
        |SELECT user_id FROM events WHERE event_type = 'error' AND hour(ts) = $setOpsHour""".stripMargin
 
+  /** CUBE grouping sets: counts at every (event_type × hour-of-day)
+    * aggregation level in one pass, tagged with grouping_id so
+    * consumers can tell subtotal rows apart — the OLAP rollup family
+    * beyond the plain ROLLUP already covered. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .cube(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+
+  val qCubeSql: String =
+    """SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n,
+      | CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY CUBE (event_type, hour(ts))""".stripMargin
+
   /** Pivot: events per hour-of-day × event-type matrix. The pivot
     * column list is explicit (dynamic pivot needs a driver-side
     * distinct — an anti-pattern at scale). */
