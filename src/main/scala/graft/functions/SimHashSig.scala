@@ -48,6 +48,18 @@ object SimHashKernel {
 case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
+  // a SQL-registered function must reject wrong-typed input at analysis
+  // time, not with an executor-side ClassCastException
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig requires array<string>, got ${other.catalogString}")
+  }
+
   override def nullSafeEval(input: Any): Any =
     SimHashKernel.sig(input.asInstanceOf[ArrayData])
 

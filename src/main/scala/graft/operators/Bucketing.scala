@@ -33,8 +33,12 @@ object Bucketing {
   def coLocatedJoin(
       spark: SparkSession,
       leftTable: String, rightTable: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
-      .hint("merge")
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    // resolve each key against its own side — both tables bucketing on
+    // the SAME column name (the common fact⋈fact case) must not trip
+    // an ambiguous-reference error
+    l.join(r, l.col(leftKey) === r.col(rightKey)).hint("merge")
+  }
 }

@@ -255,10 +255,14 @@ object TextOps {
     * nondeterminism. Short docs keep 10%, long docs 50%. */
   val sampleHashMul = 2654435761L
   val sampleMod = 1000L
+  // fold the id below 2^20 BEFORE the multiply: id·mul must not exceed
+  // int64 — Spark would wrap silently while ANSI engines raise, so the
+  // "identical on any engine" claim requires staying in range
+  val sampleFold = 1000003L
 
   def docSample(spark: SparkSession, dir: String): DataFrame = {
     val bucket = when(length(col("text")) < 100, lit("short")).otherwise(lit("long"))
-    val h = pmod(col("doc_id") * sampleHashMul, lit(sampleMod))
+    val h = pmod((col("doc_id") % sampleFold) * sampleHashMul, lit(sampleMod))
     docs(spark, dir)
       .select(col("doc_id"), bucket.as("stratum"), h.as("h"),
         length(col("text")).cast("long").as("n_chars"))
@@ -271,7 +275,7 @@ object TextOps {
     s"""WITH t AS (
        | SELECT doc_id,
        |  CASE WHEN length(text) < 100 THEN 'short' ELSE 'long' END AS stratum,
-       |  (doc_id * $sampleHashMul) % $sampleMod AS h,
+       |  ((doc_id % $sampleFold) * $sampleHashMul) % $sampleMod AS h,
        |  CAST(length(text) AS BIGINT) AS n_chars
        | FROM documents)
        |SELECT doc_id, stratum, n_chars FROM t

@@ -85,16 +85,23 @@ object GraftQueueSource {
   def available(brokerDir: String, queue: String): Long =
     spoolFiles(brokerDir, queue).map(countLines).sum
 
+  private val lineCountCacheMax = 65536
   private val lineCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private[sources] def countLines(f: File): Long =
-    // length in the key guards the (test-only) case of a path being
+  private[sources] def countLines(f: File): Long = {
+    // cheap bound: deleted spool files would otherwise accrete entries
+    // forever in a long-running stream (a full clear is fine — counts
+    // rebuild lazily and files are immutable)
+    if (lineCountCache.size() > lineCountCacheMax) lineCountCache.clear()
+    // length + mtime in the key guard the case of a path being
     // recreated with different content
-    lineCountCache.computeIfAbsent(f.getAbsolutePath + "#" + f.length, { _ =>
+    val key = f.getAbsolutePath + "#" + f.length + "#" + f.lastModified
+    lineCountCache.computeIfAbsent(key, { _ =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().size.toLong finally src.close()
     })
+  }
 
   /** Which spool files cover the ordinal range [from, to), given the
     * per-file line counts — pure Long math (a queue past 2^31 messages
@@ -352,7 +359,11 @@ class GraftQueuePartitionReader(p: GraftQueuePartition)
         var ord = fileStart - 1L
         openFile(files(i))
           .map { l => ord += 1L; (l, ord) }
-          .filter { case (_, o) => o >= lo && o < hi }
+          // takeWhile, not filter: once past `hi` the reader must stop
+          // pulling lines, or a small trigger cap would still scan the
+          // tail of a large spool file on every micro-batch
+          .takeWhile { case (_, o) => o < hi }
+          .filter { case (_, o) => o >= lo }
       }
   }
 

@@ -221,12 +221,23 @@ object Pipelines {
       .option("checkpointLocation", tablePath + "/_checkpoint")
       .foreachBatch { (batch: Dataset[GraftTextRecord], _: Long) =>
         val spark = batch.sparkSession
+        // redelivery can land BOTH copies of a message in one trigger —
+        // dedup inside the batch before the anti-join against the table
+        val fresh = batch.toDF().dropDuplicates("queue", "message_id")
+        // the batch touches a handful of queues; filtering the existing
+        // table by them is a STATIC partition predicate, so the key
+        // lookup prunes to those partitions instead of scanning the
+        // whole table every trigger
+        val batchQueues = fresh.select("queue").distinct()
+          .collect().map(_.getString(0)).toSeq
         val existingKeys =
-          try spark.read.parquet(dataPath).select(col("queue"), col("message_id"))
+          try spark.read.parquet(dataPath)
+            .filter(col("queue").isin(batchQueues: _*))
+            .select(col("queue"), col("message_id"))
           catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
             spark.emptyDataFrame.select(lit("").as("queue"), lit(0L).as("message_id")).limit(0)
           }
-        batch.toDF()
+        fresh
           .join(existingKeys, Seq("queue", "message_id"), "left_anti")
           .write.mode("append").partitionBy("queue").parquet(dataPath)
         ()

@@ -256,6 +256,9 @@ class StreamingSpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
     }
     publishText(broker, "q1", 0 until 10, i => s"row$i")
+    // redelivered copies in the SAME first micro-batch: intra-batch
+    // dedup must collapse them, not just the cross-run anti-join
+    publishText(broker, "q1", 0 until 10, i => s"row$i")
     run(tmpDir("graft-ckpt"))
     assert(Pipelines.readTable(spark, table).count() === 10)
     // Simulate a consumer losing its offsets (crash without checkpoint):
