@@ -29,7 +29,11 @@ class QueriesSpec extends AnyFunSuite {
   test("non-empty results where data guarantees them") {
     val mustBeNonEmpty = Seq("q1_agg", "q6_filter", "wordcount", "tumbling_agg",
       "session_window", "msg_dedup", "dedup_exact", "token_count",
-      "doc_fingerprint", "ann_bruteforce", "knn_centroid", "topic_route")
+      "doc_fingerprint", "ann_bruteforce", "knn_centroid", "topic_route",
+      "q8_mktshare", "q13_custdist", "q15_topsupp", "q19_disjunct",
+      "q_full_outer", "q_pivot", "q_cube", "q_cumulative", "q_json_props",
+      "q_asof_join", "q_range_join", "q_approx_percentile",
+      "tfidf_top_term", "doc_sample", "mm_frame_sample", "mm_binary_meta")
     mustBeNonEmpty.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, s"$name empty")
     }
