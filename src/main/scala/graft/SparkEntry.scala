@@ -80,6 +80,7 @@ object SparkEntry {
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
     "ann_ivf"         -> VectorOps.annIvf _,
+    "ann_pq"          -> VectorOps.annPq _,
     "knn_centroid"    -> VectorOps.knnCentroid _,
     // Multimodal plumbing
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,

@@ -293,6 +293,92 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** PQ (product quantization) ANN — the memory-compression scale path:
+    * unit-normalized vectors are split into [[pqSub]] subspaces of
+    * [[pqDims]] dims; each subspace gets a [[pqK]]-entry codebook
+    * (seeded by the lowest corpus ids, one Lloyd pass with fixed-point
+    * means), so a corpus vector stores as pqSub small codes — 8 bytes
+    * instead of 256 (32× compression; at 100 TB the codes fit in
+    * memory when the floats cannot). Queries score candidates with
+    * asymmetric distance (per-subspace lookup tables, broadcast —
+    * unit vectors make L2² = 2−2·cos, monotone in cosine), keep the
+    * top [[pqRerank]], and re-rank those exactly — so emitted cosines
+    * are exact and recall is the only approximation. Rows-only gate +
+    * recall spec, like the other ANN variants. */
+  val pqSub = 8
+  val pqDims = 8
+  val pqK = 16
+  val pqRerank = 50
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+    val corpus = v.filter(col("vec_id") >= nQueries)
+
+    def subExplode(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("vn"),
+          explode(sequence(lit(0), lit(pqSub - 1))).as("s"))
+        .select(col(idAs), col("s"),
+          slice(col("vn"), col("s") * pqDims + 1, lit(pqDims)).as("sub"))
+
+    val subCorpus = subExplode(corpus, "vec_id")
+
+    // seed codebooks: subspace slices of the pqK lowest-id corpus vectors
+    var cb: DataFrame = subExplode(
+      corpus.orderBy(col("vec_id")).limit(pqK), "cid")
+      .select(col("s"), col("cid"),
+        transform(col("sub"), x => x.cast("double")).as("cv"))
+
+    def assign(pts: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      pts.join(broadcast(cb), Seq("s"))
+        .withColumn("d2", vecDistSq(col("sub"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("s"), col("cid"), col("sub"))
+    }
+
+    // one Lloyd pass per subspace (fixed-point means, bounded state)
+    val e = assign(subCorpus)
+      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    cb = e.groupBy("s", "cid", "dim").agg(qmean(col("x")).as("cx"))
+      .groupBy("s", "cid")
+      .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
+      .select(col("s"), col("cid"),
+        transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"))
+
+    val codes = assign(subCorpus).select(col("vec_id"), col("s"), col("cid"))
+
+    // asymmetric distance: per-(query, subspace, code) lookup tables
+    val q = v.filter(col("vec_id") < nQueries)
+    val dt = subExplode(q, "query_id")
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"),
+        vecDistSq(col("sub"), col("cv")).as("d2"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cands = codes.join(broadcast(dt), Seq("s", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= pqRerank)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the PQ candidates
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("vd").as("cv2"), col("norm").as("cn"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(qv, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Nearest-centroid classification: per-label centroids (fixed-point
     * [[qmean]] → order-independent, bounded per-group state), broadcast
     * to every vector, argmin distance with label tie-break. */

@@ -133,6 +133,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"near-dup LSH recall too low: $recall")
   }
 
+  test("ann_pq: exact re-ranked cosines, useful recall against brute force") {
+    val bf = operators.VectorOps.annBruteForce(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val pq = operators.VectorOps.annPq(spark, sf).collect()
+    assert(pq.nonEmpty)
+    // cosines come from the exact re-rank — pairs brute force also
+    // ranked must agree bitwise
+    pq.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
+    }
+    val recall = pq.map(r => (r.getLong(0), r.getLong(2))).count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.4, s"PQ recall too low: $recall (measured 0.66 at spec time)")
+  }
+
   test("ann_lsh results are a subset of valid neighbors with exact cosines") {
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap

@@ -360,6 +360,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup state survives a restart (exactly-once across runs)") {
+    val broker = tmpDir("graft-broker")
+    val ckpt = tmpDir("graft-ckpt")
+    val out = tmpDir("graft-sink")
+    def run(): Unit = {
+      val q = Pipelines.statefulDedup(
+          Pipelines.readQueues(spark, broker, Seq("q1")))
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    publishText(broker, "q1", 0 until 10, i => s"m$i")
+    run()
+    // redelivery AFTER the restart: the dedup state (seen ids 0-9) must
+    // come back from the checkpoint, not start empty
+    publishText(broker, "q1", 0 until 10, i => s"m$i")
+    publishText(broker, "q1", 10 until 15, i => s"m$i")
+    run()
+    val ids = spark.read.parquet(out).select("message_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size === 15, s"each id exactly once across restarts, got ${ids.size}")
+    assert(ids.toSet === (0L until 15L).toSet)
+  }
+
   test("capstone: ingest -> exactly-once dedup -> quality filter -> table, end to end") {
     // the composed training-data ingest pipeline: an at-least-once
     // broker redelivers; the stream dedups by message id, drops
