@@ -171,6 +171,14 @@ object Pipelines {
       .select(col("sub"), col("queue"), col("message_id"), col("destination"))
   }
 
+  /** Stream-static enrichment: broadcast-join a static dimension onto
+    * the message stream (the lookup-then-land step of the table-sink
+    * pipelines). The stream side never shuffles; the dimension is
+    * re-planned per micro-batch, so a dimension backed by a mutable
+    * table picks up changes between triggers. */
+  def enrich(messages: DataFrame, dim: DataFrame, key: String): DataFrame =
+    messages.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Per-queue SESSION windows over message event time: activity
     * bursts separated by `gap` of silence collapse into one session
     * (Spark's merge-on-shuffle session_window — no per-key sort).

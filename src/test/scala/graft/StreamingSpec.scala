@@ -360,6 +360,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dimension broadcast onto the stream") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 9, i => s"m$i") // destinations t/q1/{0,1,2}
+    import spark.implicits._
+    val dim = Seq(("t/q1/0", "alpha"), ("t/q1/1", "beta")).toDF("destination", "owner")
+    val q = Pipelines.enrich(
+        Pipelines.readQueues(spark, broker, Seq("q1")), dim, "destination")
+      .select(col("message_id"), col("owner"))
+      .writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got.size === 9)
+    // i%3==0 -> alpha, 1 -> beta, 2 -> no dimension row (left outer null)
+    assert(got(0L).contains("alpha") && got(3L).contains("alpha"))
+    assert(got(1L).contains("beta") && got(7L).contains("beta"))
+    assert(got(2L).isEmpty && got(8L).isEmpty)
+  }
+
   test("stateful dedup state survives a restart (exactly-once across runs)") {
     val broker = tmpDir("graft-broker")
     val ckpt = tmpDir("graft-ckpt")
