@@ -39,12 +39,14 @@ object MinHashKernel {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      var j = 0
-      while (j < k) {
-        val h = splitmix64(base ^ (j.toLong * 0xA24BAED4963EE407L))
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (s != null) { // null elements contribute nothing (vs an NPE)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < k) {
+          val h = splitmix64(base ^ (j.toLong * 0xA24BAED4963EE407L))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -55,15 +57,8 @@ object MinHashKernel {
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // analysis-time type check — see SimHashSig for rationale
-  override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
-    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case other =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash_sig requires array<string>, got ${other.catalogString}")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOfString("minhash_sig", child.dataType)
 
   override def nullSafeEval(input: Any): Any =
     MinHashKernel.sig(input.asInstanceOf[ArrayData])

@@ -27,11 +27,13 @@ object SimHashKernel {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (s != null) { // null elements contribute nothing (vs an NPE)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -48,17 +50,8 @@ object SimHashKernel {
 case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  // a SQL-registered function must reject wrong-typed input at analysis
-  // time, not with an executor-side ClassCastException
-  override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
-    case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, _) =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case other =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"simhash_sig requires array<string>, got ${other.catalogString}")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireArrayOfString("simhash_sig", child.dataType)
 
   override def nullSafeEval(input: Any): Any =
     SimHashKernel.sig(input.asInstanceOf[ArrayData])

@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+
+/** Shared analysis-time input checks for the SQL-registered kernels —
+  * a wrong-typed argument must fail analysis, not throw a
+  * ClassCastException on an executor. */
+object TypeChecks {
+  def requireArrayOfString(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$fn requires array<string>, got ${other.catalogString}")
+  }
+}

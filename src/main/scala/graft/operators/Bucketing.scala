@@ -36,9 +36,13 @@ object Bucketing {
       leftKey: String, rightKey: String): DataFrame = {
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
-    // resolve each key against its own side — both tables bucketing on
-    // the SAME column name (the common fact⋈fact case) must not trip
-    // an ambiguous-reference error
-    l.join(r, l.col(leftKey) === r.col(rightKey)).hint("merge")
+    // same-named keys (the common fact⋈fact case) use the USING form,
+    // which coalesces the key into ONE output column — resolving per
+    // side would only move the ambiguity from join time to the first
+    // downstream reference
+    val joined =
+      if (leftKey == rightKey) l.join(r, Seq(leftKey))
+      else l.join(r, l.col(leftKey) === r.col(rightKey))
+    joined.hint("merge")
   }
 }

@@ -41,6 +41,21 @@ object VectorOps {
   private def qmeanSql(x: String): String =
     s"CAST(sum(CAST(floor($x*1000000 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1000000"
 
+  /** Per-group mean vectors from exploded coordinates (columns
+    * `groupCols ++ (dim, x)`): fixed-point per-dim means, then a
+    * deterministic dim-ordered assembly into one array per group —
+    * shared by the IVF/PQ codebook updates and the label centroids.
+    * The assembly collect is bounded by vector dimensionality, never
+    * by group population. */
+  private def meanVectors(e: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    e.groupBy((groupCols :+ "dim").map(col): _*)
+      .agg(qmean(col("x")).as("cx"))
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
+      .select(keys :+ transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"): _*)
+  }
+
   /** embedding (as float array) plus its precomputed norm. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -263,11 +278,7 @@ object VectorOps {
       val assigned = assign(corpus, cents)
       val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
-      cents = e.groupBy("cid", "dim")
-        .agg(qmean(col("x")).as("cx"))
-        .groupBy("cid")
-        .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
-        .select(col("cid"), transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"))
+      cents = meanVectors(e, Seq("cid"))
     }
 
     val invlist = assign(corpus, cents).select(col("vec_id").as("neighbor_id"), col("cid"))
@@ -343,11 +354,7 @@ object VectorOps {
     val e = assign(subCorpus)
       .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
-    cb = e.groupBy("s", "cid", "dim").agg(qmean(col("x")).as("cx"))
-      .groupBy("s", "cid")
-      .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
-      .select(col("s"), col("cid"),
-        transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"))
+    cb = meanVectors(e, Seq("s", "cid"))
 
     val codes = assign(subCorpus).select(col("vec_id"), col("s"), col("cid"))
 
@@ -359,9 +366,14 @@ object VectorOps {
         vecDistSq(col("sub"), col("cv")).as("d2"))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
+    // fixed-point sum: 8 doubles added in shuffle order would make the
+    // candidate cutoff nondeterministic under AQE re-plans (same class
+    // of bug qmean exists to prevent); quantized long sums are exact
+    // and order-independent, and 1e-12 resolution cannot reorder
+    // distinct d2 sums
     val cands = codes.join(broadcast(dt), Seq("s", "cid"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("adist"))
+      .agg(sum(floor(col("d2") * 1e12 + 0.5).cast("long")).as("adist"))
       .withColumn("rk", row_number().over(wa))
       .filter(col("rk") <= pqRerank)
       .select("query_id", "neighbor_id")
@@ -386,12 +398,8 @@ object VectorOps {
     val v = vecs(spark, dir)
     val e = v.select(col("vec_id"), col("label"), posexplode(col("vd")).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
-    val cdim = e.groupBy("label", "dim")
-      .agg(qmean(col("x")).as("cx"))
-    val cent = cdim.groupBy("label")
-      .agg(collect_list(struct(col("dim"), col("cx"))).as("pairs"))
-      .select(col("label").as("clabel"),
-        transform(array_sort(col("pairs")), p => p.getField("cx")).as("cv"))
+    val cent = meanVectors(e, Seq("label"))
+      .select(col("label").as("clabel"), col("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("clabel").asc)
     v.select(col("vec_id"), col("label"), col("vd"))
       .crossJoin(broadcast(cent))

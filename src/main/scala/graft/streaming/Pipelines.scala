@@ -235,8 +235,10 @@ object Pipelines {
         // the batch touches a handful of queues; filtering the existing
         // table by them is a STATIC partition predicate, so the key
         // lookup prunes to those partitions instead of scanning the
-        // whole table every trigger
-        val batchQueues = fresh.select("queue").distinct()
+        // whole table every trigger. Collected from the RAW batch (the
+        // queue set is identical pre/post dedup) so the dedup shuffle
+        // runs once, in the write.
+        val batchQueues = batch.toDF().select("queue").distinct()
           .collect().map(_.getString(0)).toSeq
         val existingKeys =
           try spark.read.parquet(dataPath)
