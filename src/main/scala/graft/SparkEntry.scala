@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
     "dedup_minhash"       -> DedupOps.minhashLsh _,
     "dedup_simhash"       -> DedupOps.simhash _,
+    "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     // Vector similarity
     "dedup_embedding" -> VectorOps.embeddingNearDup _,
     "dedup_embedding_lsh" -> VectorOps.embeddingNearDupLsh _,
@@ -139,6 +140,7 @@ object SparkEntry {
     "doc_sample"         -> TextOps.docSampleSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
+    "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,

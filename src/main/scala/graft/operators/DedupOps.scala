@@ -169,6 +169,38 @@ object DedupOps {
        |JOIN sz sb ON sb.doc_id = p.doc_b
        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $threshold""".stripMargin
 
+  /** Character-level confirmation of the token-level near-dups: the
+    * Jaccard ≥ 0.8 pairs whose raw texts are ALSO within
+    * [[maxEditDist]] Levenshtein edits — the second-stage check real
+    * dedup pipelines run to reject token-coincidence false positives.
+    * The edit distance verifies only the already-small pair set, never
+    * all pairs (Levenshtein is O(len²) per pair — strictly a verifier,
+    * never a candidate generator). Unit-cost Levenshtein is identical
+    * in Spark and DuckDB, so the gate is a hash match. */
+  val maxEditDist = 6
+
+  def fuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+    val d = Tables(spark, dir, "documents")
+    val ta = d.select(col("doc_id").as("ida"), col("text").as("ta"))
+    val tb = d.select(col("doc_id").as("idb"), col("text").as("tb"))
+    pairs
+      .join(broadcast(ta), col("doc_a") === col("ida"))
+      .join(broadcast(tb), col("doc_b") === col("idb"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("edit_dist") <= maxEditDist)
+      .select("doc_a", "doc_b", "jaccard", "edit_dist")
+  }
+
+  val fuzzyEditSql: String =
+    s"""WITH j AS ($jaccardSql)
+       |SELECT doc_a, doc_b, jaccard,
+       | CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+       |FROM j
+       |JOIN documents x ON x.doc_id = doc_a
+       |JOIN documents y ON y.doc_id = doc_b
+       |WHERE levenshtein(x.text, y.text) <= $maxEditDist""".stripMargin
+
   /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via 8×8-bit band
     * join (pigeonhole: ≤7 differing bits leave ≥1 of 8 bands equal,
     * so recall at the ≤6 threshold is exact). Hashes 3-gram shingles,
