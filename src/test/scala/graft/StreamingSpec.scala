@@ -360,6 +360,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode running aggregates revise totals across triggers") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "q1", 0 until 5, i => s"m$i")
+    val q = Pipelines.readQueues(spark, broker, Seq("q1"))
+      .groupBy(col("queue")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      publishText(broker, "q1", 5 until 8, i => s"m$i")
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode appends one revision row per trigger that changed the
+    // group: first 5, then the revised total 8
+    val ns = spark.table("running").collect().map(_.getLong(1)).toSeq.sorted
+    assert(ns === Seq(5L, 8L), s"expected running revisions 5 then 8, got $ns")
+  }
+
   test("stream-static enrichment: dimension broadcast onto the stream") {
     val broker = tmpDir("graft-broker")
     publishText(broker, "q1", 0 until 9, i => s"m$i") // destinations t/q1/{0,1,2}
