@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_minhash"       -> DedupOps.minhashLsh _,
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
+    "dedup_clusters"      -> DedupOps.dupClusters _,
     // Vector similarity
     "dedup_embedding" -> VectorOps.embeddingNearDup _,
     "dedup_embedding_lsh" -> VectorOps.embeddingNearDupLsh _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
+    "dedup_clusters"      -> DedupOps.dupClustersSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,

@@ -201,6 +201,77 @@ object DedupOps {
        |JOIN documents y ON y.doc_id = doc_b
        |WHERE levenshtein(x.text, y.text) <= $maxEditDist""".stripMargin
 
+  /** Duplicate-cluster resolution — the step AFTER pair finding: the
+    * near-dup pairs form a graph; each connected component is one
+    * duplicate cluster, the minimum doc_id is its representative, and
+    * everything else in the component is droppable. Computed with
+    * [[ccIters]] rounds of min-label propagation over the edge list —
+    * each round one aggregate + one join, all DataFrame ops. Label
+    * propagation converges in graph-diameter rounds; dup clusters are
+    * short chains (diameter ≪ 16 — at these thresholds a component is
+    * near-clique), and the oracle's recursive closure verifies the
+    * fixpoint was actually reached, so an unconverged run FAILS the
+    * gate rather than passing silently.
+    *
+    * Each iteration is materialized with localCheckpoint: the loop
+    * references `labels` twice per round, so without cutting lineage
+    * the logical plan doubles every iteration (2^16 copies of the
+    * pair-finding subtree) — the standard Spark idiom for iterative
+    * graph algorithms, same as GraphX's internal checkpointing. The
+    * edge list is the DEDUP OUTPUT (tiny vs the corpus), so the
+    * per-round jobs are cheap. */
+  val ccIters = 16
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b").localCheckpoint()
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // Labels only ever decrease, so the (exact decimal) label sum is
+    // strictly monotone until the fixpoint — equal sums ⟺ converged.
+    // Dup clusters converge in 2-3 rounds; ccIters is the backstop.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < ccIters && !converged) {
+      val nb = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels.join(nb, col("id") === col("src"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = lblSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("lbl")).as("keep"))
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE j AS ($jaccardSql),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM j
+       | UNION SELECT doc_b, doc_a FROM j),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       | SELECT id, id FROM nodes
+       | UNION
+       | SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+       |SELECT id AS doc_id, cluster_id, cluster_size,
+       | (id = cluster_id) AS keep
+       |FROM lbl JOIN sz USING (cluster_id)""".stripMargin
+
   /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via 8×8-bit band
     * join (pigeonhole: ≤7 differing bits leave ≥1 of 8 bands equal,
     * so recall at the ≤6 threshold is exact). Hashes 3-gram shingles,
