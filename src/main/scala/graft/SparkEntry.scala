@@ -50,7 +50,7 @@ object SparkEntry {
     "session_window" -> EventOps.sessionWindowAgg _,
     "topic_route"    -> EventOps.topicRoute _,
     "msg_dedup"      -> EventOps.msgDedup _,
-    "q_skew_salted"  -> EventOps.skewSaltedJoin _,
+    "q_skew_salted"  -> ((s: SparkSession, d: String) => EventOps.skewSaltedJoin(s, d)),
     "q_stats_moments" -> EventOps.statsMoments _,
     "q_percentiles"  -> EventOps.percentiles _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
@@ -72,12 +72,14 @@ object SparkEntry {
     "doc_sample"         -> TextOps.docSample _,
     // Dedup suite
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
-    "dedup_minhash"       -> DedupOps.minhashLsh _,
+    // gate entry keeps the deterministic exact-recall union; the
+    // pure-LSH scale plan is minhashLsh(_, _, exactRecallUnion = false)
+    "dedup_minhash"       -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
     // Vector similarity
-    "dedup_embedding" -> VectorOps.embeddingNearDup _,
+    "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> VectorOps.embeddingNearDupLsh _,
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,

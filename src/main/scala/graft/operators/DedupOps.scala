@@ -108,9 +108,22 @@ object DedupOps {
   }
 
   /** MinHash(128) + LSH(16×8) candidates, exact-Jaccard verified.
-    * Same output (and same oracle) as [[ngramJaccard]] — the LSH pass
-    * exists so pair enumeration scales past any inverted index. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    *
+    * Two candidate modes:
+    *  - `exactRecallUnion = true` (the cross-engine gate entry): LSH
+    *    candidates are unioned with the exact-recall prefix candidates,
+    *    so the output deterministically equals [[ngramJaccard]] and the
+    *    DuckDB oracle applies. The prefix join's inverted index rides
+    *    along, so this mode does NOT scale past it.
+    *  - `exactRecallUnion = false` (the 100 TB path): candidates come
+    *    from the LSH band join alone — pair enumeration is one shuffle
+    *    on band-hash keys and never touches an inverted index. A
+    *    borderline J≈0.8 pair escapes 16×8 bands with ~5% probability,
+    *    so recall < 1 by construction; the ScalaTest recall spec (vs
+    *    the exact twin) gates this mode instead of the hash oracle.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 exactRecallUnion: Boolean = true): DataFrame = {
     val sets = docSets(spark, dir)
 
     // The whole 128-way signature is ONE projection over the shared
@@ -133,12 +146,15 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // 16×8 LSH misses a borderline J≈0.8 pair with ~5% probability, so
-    // gating LSH alone against the exact oracle would be data-dependent.
-    // Union with the exact-recall prefix candidates: recall becomes
-    // deterministic (prefix filter never misses a qualifying pair) while
-    // LSH remains the scale path that bounds candidate growth.
-    val cands = lshCands.union(prefixCandidates(sets)).distinct()
+    // Gate mode: union with the exact-recall prefix candidates so
+    // recall is deterministic (the prefix filter never misses a
+    // qualifying pair) and the exact-Jaccard oracle applies verbatim.
+    // Scale mode: LSH candidates only — the plan drops the whole
+    // inverted-index subtree (prefix explode + self-join), which is
+    // the point of MinHash at 100 TB.
+    val cands =
+      if (exactRecallUnion) lshCands.union(prefixCandidates(sets)).distinct()
+      else lshCands
 
     verifyPairs(cands, sets)
   }
@@ -182,11 +198,16 @@ object DedupOps {
   def fuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir)
     val d = Tables(spark, dir, "documents")
+    // Attach texts with plain shuffle equi-joins: the corpus is hashed
+    // on doc_id (a repartition, never a broadcast — the corpus on the
+    // driver/executor heap is an OOM at scale) and the pair set rides
+    // the same shuffle. AQE may still downgrade to a broadcast join at
+    // runtime when the PAIR side is measured small — the safe direction.
     val ta = d.select(col("doc_id").as("ida"), col("text").as("ta"))
     val tb = d.select(col("doc_id").as("idb"), col("text").as("tb"))
     pairs
-      .join(broadcast(ta), col("doc_a") === col("ida"))
-      .join(broadcast(tb), col("doc_b") === col("idb"))
+      .join(ta, col("doc_a") === col("ida"))
+      .join(tb, col("doc_b") === col("idb"))
       .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
       .filter(col("edit_dist") <= maxEditDist)
       .select("doc_a", "doc_b", "jaccard", "edit_dist")

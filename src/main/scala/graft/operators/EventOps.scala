@@ -147,18 +147,26 @@ object EventOps {
     * so the hot key spreads over 16 reducers instead of one. The
     * oracle is the UNSALTED join — salting must not change results.
     * (On a real cluster AQE skew-join splits post-hoc; explicit
-    * salting is the plan-level guarantee for known-hot keys.) */
+    * salting is the plan-level guarantee for known-hot keys.)
+    *
+    * `salts` is a caller knob: the hot key spreads over `salts`
+    * reducers, so size it to the hot key's share of the data divided
+    * by a healthy per-task row count — a key holding 70% of a 100 TB
+    * fact wants hundreds of salt buckets, not 16. The dim side
+    * replicates ×salts, so only salt known-hot keys when the dim is
+    * small enough to wear that factor (here it is 100 rows). */
   val saltBuckets = 16
 
-  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+  def skewSaltedJoin(spark: SparkSession, dir: String,
+                     salts: Int = saltBuckets): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
       .withColumn("k",
         when(col("event_id") % 10 < 7, lit(0L)).otherwise(col("event_id") % 100))
-      .withColumn("salt", (col("event_id") % saltBuckets).cast("int"))
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
     val dim = (0L until 100L).map(k => (k, s"seg${k % 7}")).toDF("k", "segment")
     val dimSalted = dim
-      .withColumn("salt", explode(lit((0 until saltBuckets).toArray)))
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
     ev.join(dimSalted, Seq("k", "salt"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))

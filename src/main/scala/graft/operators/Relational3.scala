@@ -148,7 +148,15 @@ object Relational3 {
     val part = Tables(spark, dir, "part")
       .filter(col("p_brand") === q17Brand && col("p_size") <= q17MaxSize)
       .select("p_partkey")
-    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+    // Semi-join the (broadcast) filtered part keys into the aggregate
+    // input: the per-part average only ever matters for parts that
+    // survive the brand/size filter, so aggregating all of lineitem
+    // would shuffle the whole fact table to compute averages that are
+    // then discarded. The average itself is unchanged (it is per
+    // partkey over that part's rows), so the oracle hash stays green.
+    val avgQty = li
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ap_key"))
       .agg(avgExact(d4(col("l_quantity"))).as("avg_qty"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(avgQty, col("l_partkey") === col("ap_key"))

@@ -68,7 +68,13 @@ object VectorOps {
 
   val nearDupThreshold = 0.4
 
-  /** Blocks for the distributed exact pair join (B·(B+1)/2 tasks). */
+  /** Default blocks for the distributed exact pair join (B·(B+1)/2
+    * tasks). A deployment sizes this from cluster parallelism: the
+    * pair enumeration runs as B·(B+1)/2 task keys, so pick
+    * B ≈ √(2·cores) to keep every core busy (B=8 → 36 keys for
+    * local[32]; a 1000-executor cluster with 8k cores wants B ≈ 128).
+    * Each vector is replicated B+1 times, so larger B trades shuffle
+    * volume for parallelism — the per-task work shrinks as 1/B². */
   val pairBlocks = 8
 
   /** Embedding near-dup pairs: EXACT cosine ≥ threshold, as a
@@ -88,11 +94,18 @@ object VectorOps {
     * no full-corpus broadcast, AQE-splittable. The high-margin regime
     * where candidate pruning IS sound ships as [[embeddingNearDupLsh]].
     * Every unordered pair lands in exactly one task: (bi,bj) with
-    * bi ≤ bj gets block bi as the a-side and block bj as the b-side. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    * bi ≤ bj gets block bi as the a-side and block bj as the b-side.
+    *
+    * `blocks` is a caller knob (see [[pairBlocks]] for sizing);
+    * block assignment uses `pmod` so negative ids still land in
+    * [0, B) instead of producing a negative block (where the
+    * `sequence(ba, B-1)` task fan-out would silently emit wrong or
+    * descending task keys). */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       blocks: Int = pairBlocks): DataFrame = {
     val v = vecs(spark, dir)
-    val B = pairBlocks
-    val blk = (col("vec_id") % B).cast("int")
+    val B = blocks
+    val blk = pmod(col("vec_id"), lit(B)).cast("int")
     val aSide = v.select(col("vec_id").as("ida"), col("vd").as("va"),
         col("norm").as("na"), blk.as("ba"))
       .select(col("ida"), col("va"), col("na"), col("ba"),

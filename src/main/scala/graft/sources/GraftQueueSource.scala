@@ -86,21 +86,33 @@ object GraftQueueSource {
     spoolFiles(brokerDir, queue).map(countLines).sum
 
   private val lineCountCacheMax = 65536
-  private val lineCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  // Access-ordered LRU: when the live spool-file count exceeds the cap,
+  // only the coldest entries fall out — a full clear would silently
+  // restore the O(spool bytes) polling cost the cache exists to avoid
+  // (every trigger re-reading every file). Stale keys for deleted or
+  // rewritten paths (length+mtime are part of the key) age out the same
+  // way instead of accreting forever.
+  private val lineCountCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > lineCountCacheMax
+    })
 
   private[sources] def countLines(f: File): Long = {
-    // cheap bound: deleted spool files would otherwise accrete entries
-    // forever in a long-running stream (a full clear is fine — counts
-    // rebuild lazily and files are immutable)
-    if (lineCountCache.size() > lineCountCacheMax) lineCountCache.clear()
     // length + mtime in the key guard the case of a path being
     // recreated with different content
     val key = f.getAbsolutePath + "#" + f.length + "#" + f.lastModified
-    lineCountCache.computeIfAbsent(key, { _ =>
+    val cached = lineCountCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      // a racing duplicate count is harmless (files are immutable)
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().size.toLong finally src.close()
-    })
+      val n = try src.getLines().size.toLong finally src.close()
+      lineCountCache.put(key, n)
+      n
+    }
   }
 
   /** Which spool files cover the ordinal range [from, to), given the

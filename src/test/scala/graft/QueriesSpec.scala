@@ -47,6 +47,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("pure-LSH minhash (scale mode) is a high-recall subset of exact pairs") {
+    // exactRecallUnion = false drops the inverted-index prefix join —
+    // the 100 TB plan. Recall < 1 by construction (a borderline pair
+    // escapes 16×8 bands with ~5% probability), so the contract is:
+    // every emitted pair is a true pair (verify stage is exact), and
+    // recall stays high.
+    val exact = operators.DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.DedupOps.minhashLsh(spark, sf, exactRecallUnion = false)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"pure LSH emitted non-qualifying pairs: ${lsh -- exact}")
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pure-LSH recall too low: $recall")
+  }
+
   test("simhash candidates cover the strong near-dup pairs") {
     // 64-bit simhash over few shingles (short docs) is noisy below
     // J~0.98: observed hamming up to 12 at J=0.95. Its contract is
