@@ -123,6 +123,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim predicate prunes the date-partitioned fact scan") {
+    // The 100 TB layout: the events fact is laid out date-partitioned;
+    // a query that joins it to a dim filtered on a NON-date attribute
+    // must still only read the matching date partitions — Spark
+    // injects a runtime `dynamicpruning` subquery into the scan's
+    // partition filters from the broadcast side. Static pruning can't
+    // do this (the qualifying dates aren't known until the dim is
+    // evaluated), and without DPP the query scans every partition.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toFile.getAbsolutePath
+    val ev = Tables(spark, sf, "events").withColumn("event_date", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$base/events_by_date")
+    // dim as a parquet table so its filter is a genuine runtime
+    // predicate over stored data, not a foldable literal list
+    ev.select(to_date(col("ts")).as("d")).distinct()
+      .withColumn("label",
+        when(dayofmonth(col("d")) % 7 === 0, "audit").otherwise("normal"))
+      .write.mode("overwrite").parquet(s"$base/date_dim")
+    val fact = spark.read.parquet(s"$base/events_by_date")
+    val dim = spark.read.parquet(s"$base/date_dim").filter(col("label") === "audit")
+    val q = fact.join(dim, fact("event_date") === dim("d"))
+      .groupBy(col("event_date")).agg(count(lit(1)).as("n"))
+    val p = plan(q)
+    assert(p.contains("dynamicpruning"),
+      s"fact scan lacks a dynamic partition pruning filter:\n${p.take(2000)}")
+    // and the pruned query still computes the right answer
+    val expected = ev.filter(dayofmonth(to_date(col("ts"))) % 7 === 0)
+      .groupBy(to_date(col("ts")).as("event_date")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     // the 100 TB recipe for repeated fact⋈fact joins: bucket both
     // sides on the join key at write time, the join then needs no
