@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Each query is warmed once at sf0.001 first (untimed), then timed
-  * twice at the target SF in deterministic (sorted) order and the
-  * per-query minimum is reported — steady-state operator cost, not
-  * JIT/GC noise.
+  * three times at the target SF in deterministic (sorted) order. The
+  * headline per-query number is the minimum — steady-state operator
+  * cost, not JIT/GC noise — and a "spread" map carries [min, max] per
+  * query so a sub-second wobble between rounds is classifiable as
+  * run-to-run variance without a re-run.
   */
 object Bench {
+  val timedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -28,26 +32,26 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // two timed runs, keep the min: single-run numbers at this scale
-    // are dominated by JIT/GC noise, not operator cost. A query that
-    // throws reports -1 (never a misleading elapsed time) and is
-    // listed under "errors".
+    // A query that throws reports -1 (never a misleading elapsed time)
+    // and is listed under "errors".
     val results = queries.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      if (runs.forall(_._1)) name -> runs.map(_._2).min
-      else name -> -1.0
+      if (runs.forall(_._1)) (name, runs.map(_._2).min, runs.map(_._2).max)
+      else (name, -1.0, -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val spread = results.map { case (k, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,7 @@ object SparkEntry {
     // gate entry keeps the deterministic exact-recall union; the
     // pure-LSH scale plan is minhashLsh(_, _, exactRecallUnion = false)
     "dedup_minhash"       -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),
+    "dedup_containment"   -> DedupOps.containment _,
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
@@ -143,6 +144,7 @@ object SparkEntry {
     "doc_sample"         -> TextOps.docSampleSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
+    "dedup_containment"   -> DedupOps.containmentSql,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     "dedup_clusters"      -> DedupOps.dupClustersSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check

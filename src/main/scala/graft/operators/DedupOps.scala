@@ -185,6 +185,81 @@ object DedupOps {
        |JOIN sz sb ON sb.doc_id = p.doc_b
        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $threshold""".stripMargin
 
+  /** Containment (asymmetric-Jaccard) near-dup pairs:
+    * c / min(na, nb) ≥ [[containThreshold]] — the "doc A is inside
+    * doc B" case real training pipelines hit that symmetric Jaccard
+    * misses: a document embedded verbatim in a larger one has high
+    * containment but low Jaccard (the big doc's extra shingles drown
+    * the union).
+    *
+    * Candidate generation is the asymmetric prefix filter: only the
+    * SMALLER doc of a qualifying pair is constrained (c ≥ ⌈t·n_small⌉),
+    * so the small side indexes its first n − ⌈t·n⌉ + 1 shingles in the
+    * global (df, shingle) order — if none of those were shared, at most
+    * ⌈t·n⌉ − 1 could be, a contradiction — while the large side must
+    * stay fully indexed (containment puts NO lower bound on c relative
+    * to n_large, so no large-side prefix is sound). Prefix explode
+    * ~20% of the corpus probing the full inverted index, both df-capped;
+    * survivors verified exactly from the shared [[docSets]] arrays.
+    * One division of exact ints → bit-identical to the DuckDB oracle. */
+  val containThreshold = 0.9
+
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docSets(spark, dir)
+    // small side: prefix under its own size, p = n − ⌈t·n⌉ + 1 with
+    // ⌈0.9n⌉ = (9n+9) div 10 in pure integer arithmetic (a float ⌈⌉
+    // could round the prefix short and silently lose recall)
+    val pfx = sets
+      .withColumn("p", col("n") - floor((col("n") * 9 + 9) / 10) + 1)
+      .select(col("doc_id").as("doc_s"), col("n").as("ns"),
+        explode(transform(slice(col("arr"), lit(1), col("p").cast("int")),
+          e => e.getField("s"))).as("s"))
+    val full = sets.select(col("doc_id").as("doc_l"), col("n").as("nl"),
+      explode(setShingles(col("arr"))).as("s"))
+    val cands = pfx.join(full, Seq("s"))
+      // doc_s must be the smaller side (ties broken by id, both ways)
+      .filter(col("ns") < col("nl")
+        || (col("ns") === col("nl") && col("doc_s") =!= col("doc_l")))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
+      .distinct()
+    val va = sets.select(col("doc_id").as("da"),
+      setShingles(col("arr")).as("sha"), col("n").as("na"))
+    val vb = sets.select(col("doc_id").as("db"),
+      setShingles(col("arr")).as("shb"), col("n").as("nb"))
+    cands
+      .join(va, col("doc_a") === col("da"))
+      .join(vb, col("doc_b") === col("db"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment", col("c") / least(col("na"), col("nb")))
+      .filter(col("containment") >= containThreshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  val containmentSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+       |    ELSE [] END) AS shs
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxDf),
+       |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ex2 GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE)/least(sa.n, sb.n) AS containment
+       |FROM p
+       |JOIN sz sa ON sa.doc_id = p.doc_a
+       |JOIN sz sb ON sb.doc_id = p.doc_b
+       |WHERE CAST(c AS DOUBLE)/least(sa.n, sb.n) >= $containThreshold""".stripMargin
+
   /** Character-level confirmation of the token-level near-dups: the
     * Jaccard ≥ 0.8 pairs whose raw texts are ALSO within
     * [[maxEditDist]] Levenshtein edits — the second-stage check real

@@ -62,6 +62,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"pure-LSH recall too low: $recall")
   }
 
+  test("containment dominates Jaccard: every J>=0.9 pair is a containment pair") {
+    // c/min(na,nb) >= c/(na+nb-c) always, so the asymmetric operator
+    // must emit a superset of the symmetric pairs at the same threshold
+    val t = operators.DedupOps.containThreshold
+    val jacc = operators.DedupOps.ngramJaccard(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= t)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = operators.DedupOps.containment(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = jacc -- cont
+    assert(missed.isEmpty, s"containment missed dominated pairs: $missed")
+  }
+
   test("simhash candidates cover the strong near-dup pairs") {
     // 64-bit simhash over few shingles (short docs) is noisy below
     // J~0.98: observed hamming up to 12 at J=0.95. Its contract is
