@@ -70,11 +70,16 @@ object SparkEntry {
     "doc_shingle_stats"  -> TextOps.shingleStats _,
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     "doc_sample"         -> TextOps.docSample _,
+    "decontamination"    -> TextOps.decontamination _,
     // Dedup suite
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
     // gate entry keeps the deterministic exact-recall union; the
-    // pure-LSH scale plan is minhashLsh(_, _, exactRecallUnion = false)
+    // pure-LSH scale plan ships as its own entry so the bench artifact
+    // carries the cost delta (no oracle — recall < 1 by construction,
+    // gated by the QueriesSpec recall assertion instead)
     "dedup_minhash"       -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),
+    "dedup_minhash_pure_lsh" -> ((s: SparkSession, d: String) =>
+      DedupOps.minhashLsh(s, d, exactRecallUnion = false)),
     "dedup_containment"   -> DedupOps.containment _,
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
@@ -142,6 +147,7 @@ object SparkEntry {
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
+    "decontamination"    -> TextOps.decontaminationSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
     "dedup_containment"   -> DedupOps.containmentSql,

@@ -281,6 +281,60 @@ object TextOps {
        |SELECT doc_id, stratum, n_chars FROM t
        |WHERE (stratum = 'short' AND h < 100) OR (stratum = 'long' AND h < 500)""".stripMargin
 
+  /** Benchmark decontamination — the overlap check every serious
+    * training pipeline runs before training: find documents that share
+    * any long n-gram with a held-out evaluation set, so eval answers
+    * don't leak into the training corpus. Here the held-out set is the
+    * `'$decontamBenchSource'` source and the overlap unit is an
+    * 8-token gram (real pipelines use 8-13; 3-grams would flag
+    * commonplace phrases).
+    *
+    * Shape at scale: gram extraction is narrow map-side work; the
+    * overlap is ONE equi-join on the gram key. Benchmark suites are
+    * tiny relative to a 100 TB corpus, so AQE turns the join's bench
+    * side into a broadcast at runtime; the corpus side never shuffles
+    * more than its (doc, gram) pairs, and the per-doc distinct-gram
+    * count is a map-side-combinable aggregate. A deployment would key
+    * the join on xxhash64(gram) to shuffle 8 bytes instead of strings;
+    * the gate keeps raw grams so the count is exactly the oracle's. */
+  val decontamBenchSource = "src0"
+  val decontamGram = 8
+
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val n = decontamGram
+    val w = tokens(col("text"))
+    // sequence(1, k) DESCENDS for k <= 0 — guard short docs explicitly
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs(spark, dir)
+      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+    val bench = g.filter(col("source") === decontamBenchSource)
+      .select("gram").distinct()
+    g.filter(col("source") =!= decontamBenchSource)
+      .join(bench, Seq("gram"))
+      .select("doc_id", "source", "gram").distinct()
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  val decontaminationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, unnest(CASE WHEN len(w) >= $decontamGram
+       |    THEN [array_to_string(w[i:i+${decontamGram - 1}], ' ')
+       |          FOR i IN range(1, len(w)-${decontamGram - 2})]
+       |    ELSE [] END) AS gram
+       |  FROM toks),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE source = '$decontamBenchSource')
+       |SELECT g.doc_id, g.source, count(DISTINCT g.gram) AS n_hits
+       |FROM g JOIN bench USING (gram)
+       |WHERE g.source <> '$decontamBenchSource'
+       |GROUP BY 1, 2""".stripMargin
+
   /** Shingle-set profile per document (feeds the dedup suite). */
   def shingleStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))

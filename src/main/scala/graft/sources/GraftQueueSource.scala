@@ -152,6 +152,33 @@ object GraftQueueSource {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** SEMP-style broker introspection (the admin/ops surface the
+    * reference's test support exposes via MsgBusSempUtil.java:38
+    * queue queries): one row per live queue with spooled / acked /
+    * backlog message counts plus spool-file count and bytes.
+    *
+    * Deliberately a driver-side directory walk wrapped in a local
+    * DataFrame: SEMP is a broker admin API, and a broker hosts
+    * thousands of queues, not billions — the result is dimension-
+    * sized. Joinable against streaming output for ops dashboards. */
+  def adminView(spark: org.apache.spark.sql.SparkSession, brokerDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val root = new File(brokerDir)
+    val queues =
+      if (!root.isDirectory) Seq.empty[File]
+      else root.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName != "_acks")
+        .sortBy(_.getName)
+    queues.map { q =>
+      val files = spoolFiles(brokerDir, q.getName)
+      val spooled = files.map(countLines).sum
+      val acked = ackedCount(brokerDir, q.getName)
+      (q.getName, spooled, acked, math.max(0L, spooled - acked),
+        files.size.toLong, files.map(_.length).sum)
+    }.toDF("queue", "spooled", "acked", "backlog", "spool_files", "spool_bytes")
+  }
+
   /** Offsets as a sorted-key JSON object {"q":count,...}. */
   def offsetsToJson(m: Map[String, Long]): String =
     m.toSeq.sortBy(_._1)

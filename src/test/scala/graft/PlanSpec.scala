@@ -61,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
   }
 
+  test("pure-LSH minhash drops the inverted-index subtree: strictly fewer shuffles") {
+    // the point of the scale mode — candidate enumeration is the band
+    // join alone, so the prefix explode + self-join exchanges vanish
+    def shuffles(df: DataFrame): Int =
+      "\\(\\d+\\) Exchange".r.findAllIn(plan(df)).length
+    val gate = shuffles(operators.DedupOps.minhashLsh(spark, sf))
+    val pure = shuffles(operators.DedupOps.minhashLsh(spark, sf, exactRecallUnion = false))
+    assert(pure < gate, s"pure-LSH plan should shed shuffles: gate=$gate pure=$pure")
+  }
+
   test("dedup: the per-doc shingle aggregate is computed once and reused") {
     // signatures, prefix index, and exact verify all derive from the
     // SAME docSets subplan — the physical plan must reuse that

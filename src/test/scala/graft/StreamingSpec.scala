@@ -458,6 +458,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (id, t) => t == goodText(id) })
   }
 
+  test("queue admin view reports spooled/acked/backlog per queue (SEMP-style)") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "qa", 0 until 12, i => s"m$i")
+    publishText(broker, "qb", 0 until 5, i => s"m$i")
+    // before any consumer: everything spooled, nothing acked
+    val before = GraftQueueSource.adminView(spark, broker).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(before("qa") === ((12L, 0L, 12L)))
+    assert(before("qb") === ((5L, 0L, 5L)))
+    assert(before.keySet === Set("qa", "qb"), "the _acks dir must not list as a queue")
+
+    // consume + force a second micro-batch so the first batch's
+    // client-ack lands (acks commit when the NEXT batch starts)
+    val q = Pipelines.readQueues(spark, broker, Seq("qa", "qb"))
+      .writeStream.format("memory").queryName("admin_view")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      publishText(broker, "qa", 12 until 14, i => s"m$i")
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (GraftQueueSource.ackedCount(broker, "qa") < 12L &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+
+    val after = GraftQueueSource.adminView(spark, broker).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (spooledA, ackedA, backlogA) = after("qa")
+    assert(spooledA === 14L)
+    assert(ackedA >= 12L, s"expected qa acks >= 12, got $ackedA")
+    assert(backlogA === spooledA - ackedA)
+  }
+
   test("stateful dedup restart is exactly-once under the RocksDB state store") {
     // At 100 TB the dedup key state cannot live on the JVM heap: the
     // HDFS-backed provider holds every key in memory per partition.
