@@ -84,6 +84,10 @@ class PlanSpec extends AnyFunSuite {
     nj.collect()
     assert(nj.queryExecution.executedPlan.toString.contains("ReusedExchange"),
       "ngram-jaccard plan re-computes the shared shingle aggregate")
+    val ct = operators.DedupOps.containment(spark, sf)
+    ct.collect()
+    assert(ct.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "containment plan re-computes the shared shingle aggregate")
   }
 
   test("wordcount & windowed wordcount stay in whole-stage codegen") {
