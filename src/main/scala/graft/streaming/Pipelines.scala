@@ -120,10 +120,17 @@ object Pipelines {
     * by payload key within ± `tolerance` of event time. Watermarks on
     * both sides bound the join state — the cross-stream enrichment
     * pattern (e.g. clicks ⋈ purchases) the reference leaves to
-    * downstream Beam transforms. */
+    * downstream Beam transforms.
+    *
+    * `joinType` supports the outer variants ("left_outer",
+    * "right_outer", "full_outer"): an unmatched row is held in state
+    * until the other side's watermark proves no match can still
+    * arrive, then emitted with nulls — the correct streaming answer to
+    * "clicks that never converted", which an inner join silently
+    * drops. */
   def streamStreamJoin(
       left: DataFrame, right: DataFrame, tolerance: String = "30 seconds",
-      watermark: String = "1 minute"): DataFrame = {
+      watermark: String = "1 minute", joinType: String = "inner"): DataFrame = {
     val l = left
       .select(col("payload").cast("string").as("k"),
         col("sender_ts").as("lt"), col("message_id").as("left_id"))
@@ -133,7 +140,8 @@ object Pipelines {
         col("sender_ts").as("rt"), col("message_id").as("right_id"))
       .withWatermark("rt", watermark)
     l.join(r, expr(
-      s"k = k2 AND rt BETWEEN lt - INTERVAL $tolerance AND lt + INTERVAL $tolerance"))
+      s"k = k2 AND rt BETWEEN lt - INTERVAL $tolerance AND lt + INTERVAL $tolerance"),
+      joinType)
       .select(col("k"), col("left_id"), col("right_id"), col("lt"), col("rt"))
   }
 

@@ -176,6 +176,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want, "each even user joins exactly once; the late u0 purchase is outside tolerance")
   }
 
+  test("stream-stream LEFT OUTER join emits never-matched rows once the watermark closes") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    // clicks u0..u4; purchases only for even users. Flusher rows far in
+    // the future on BOTH queues advance both watermarks past
+    // t0 + tolerance, proving the odd users can never match — only then
+    // may the engine emit them with a null right side.
+    GraftQueueBroker.publish(broker, "clicks", (0 until 5).map { i =>
+      GraftQueueBroker.textMsg(i.toLong, t0 + i * 1000000L, "t/click", s"u$i")
+    } :+ GraftQueueBroker.textMsg(50L, t0 + 3600L * 1000000L, "t/click", "uflush"))
+    GraftQueueBroker.publish(broker, "purchases",
+      (0 until 5 by 2).map { i =>
+        GraftQueueBroker.textMsg(100L + i, t0 + i * 1000000L + 5000000L, "t/buy", s"u$i")
+      } :+ GraftQueueBroker.textMsg(999L, t0 + 3600L * 1000000L, "t/buy", "uflush2"))
+    val joined = Pipelines.streamStreamJoin(
+      Pipelines.readQueues(spark, broker, Seq("clicks")),
+      Pipelines.readQueues(spark, broker, Seq("purchases")),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val matched = (0 until 5 by 2).map(i => (s"u$i", i.toLong, Some(100L + i))).toSet
+    val unmatched: Set[(String, Long, Option[Long])] =
+      Seq(1, 3).map(i => (s"u$i", i.toLong, Option.empty[Long])).toSet
+    assert(rows.filter(_._3.isDefined) === matched)
+    assert((unmatched -- rows).isEmpty,
+      s"watermark-closed unmatched clicks must emit with null purchase: got $rows")
+  }
+
   test("file-per-window sink writes one partition directory per window") {
     val broker = tmpDir("graft-broker")
     val out = tmpDir("graft-out")
