@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *  - Shingling/minhashing are narrow map-side work.
-  *  - A frequency cap (drop shingles present in > [[maxDf]] docs)
-  *    bounds inverted-index skew the way stop-word removal does —
-  *    deterministically, so the oracle applies the same cap.
+  *  - A frequency cap (drop shingles present in more than
+  *    1/[[maxDfShareDenom]] of the corpus) bounds inverted-index skew
+  *    the way stop-word removal does — deterministically, so the
+  *    oracle applies the same cap. The cap is RELATIVE to corpus size:
+  *    an absolute constant would silently drop every boilerplate
+  *    shingle at 10⁹ docs and gut recall for template-heavy near-dups.
   *  - Exact path = PREFIX FILTER (SSJoin/PPJoin): under a global
   *    (df, shingle) order, a pair with J ≥ t must share an element in
   *    each doc's first n − ⌈t·n⌉ + 1 shingles. Only those prefixes are
@@ -29,18 +32,29 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  val maxDf = 100          // shingle document-frequency cap
+  /** Shingle df cap denominator: drop shingles present in more than
+    * corpus_docs / maxDfShareDenom documents (i.e. > 20% of the
+    * corpus). Pure-integer predicate `df * denom <= n_docs` so the
+    * DuckDB oracle is bit-identical with no float/ceil mismatch. */
+  val maxDfShareDenom = 5
   val threshold = 0.8      // near-dup Jaccard threshold
   val numHashes = 128
   val numBands = 16        // × 8 rows per band
   val rowsPerBand = 8
 
-  /** Exploded (doc_id, shingle) pairs over the df-capped universe. */
+  /** Exploded (doc_id, shingle) pairs over the df-capped universe.
+    * The corpus doc count enters as a SCALAR SUBQUERY (never a driver
+    * collect), so the cap scales with the corpus: the 1-row count is
+    * planned once, reused across consumers (ReuseSubquery), and adds
+    * no join to the shingle-df aggregate — the `keep` side keeps its
+    * broadcast-join shape. */
   private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables(spark, dir, "documents")
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")).scalar()
+    val ex = docs
       .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
     val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") * maxDfShareDenom <= nDocs)
     ex.join(keep, "s") // keeps df column for the prefix order
   }
 
@@ -171,7 +185,7 @@ object DedupOps {
        |    ELSE [] END) AS shs
        |  FROM toks),
        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxDf),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) * $maxDfShareDenom <= (SELECT count(*) FROM documents)),
        |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
        |sz AS (SELECT doc_id, count(*) AS n FROM ex2 GROUP BY doc_id),
        |p AS (
@@ -246,7 +260,7 @@ object DedupOps {
        |    ELSE [] END) AS shs
        |  FROM toks),
        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $maxDf),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) * $maxDfShareDenom <= (SELECT count(*) FROM documents)),
        |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
        |sz AS (SELECT doc_id, count(*) AS n FROM ex2 GROUP BY doc_id),
        |p AS (
