@@ -90,6 +90,9 @@ object SparkEntry {
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
     "ann_ivf"         -> VectorOps.annIvf _,
+    // deployment split: parquet index built once (first call), query
+    // path only reads it — bit-identical output to ann_ivf (spec-pinned)
+    "ann_ivf_query"   -> ((s: SparkSession, d: String) => VectorOps.annIvfQuery(s, d)),
     "ann_pq"          -> VectorOps.annPq _,
     "knn_centroid"    -> VectorOps.knnCentroid _,
     // Multimodal plumbing

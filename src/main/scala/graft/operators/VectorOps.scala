@@ -265,7 +265,12 @@ object VectorOps {
   val ivfK = 16
   val ivfProbes = 4
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF index: coarse-quantizer centroids (2 Lloyd iterations over
+    * the corpus, deterministically seeded with the lowest corpus ids)
+    * plus the inverted lists (vector → nearest centroid). Shared by
+    * the one-shot [[annIvf]] and the deployment-split
+    * [[ivfBuildIndex]]/[[annIvfQuery]] pair. */
+  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
     val corpus = v.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("vd"), col("norm"))
@@ -295,8 +300,18 @@ object VectorOps {
     }
 
     val invlist = assign(corpus, cents).select(col("vec_id").as("neighbor_id"), col("cid"))
+    (cents, invlist)
+  }
 
-    // queries probe their nprobe nearest centroids
+  /** nprobe-list exact search against an IVF index (wherever the
+    * centroids/inverted lists came from — the in-plan build or a
+    * parquet read). The query-side plan never shuffles the corpus:
+    * centroids broadcast to the queries, the tiny probe set broadcasts
+    * onto the inverted lists, and the candidate ids broadcast onto the
+    * corpus scan; the only exchanges are the two query-keyed windows. */
+  private def ivfSearch(spark: SparkSession, dir: String,
+                        cents: DataFrame, invlist: DataFrame): DataFrame = {
+    val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)
@@ -306,6 +321,7 @@ object VectorOps {
       .filter(col("rk") <= ivfProbes)
       .select("query_id", "qv", "qn", "cid")
 
+    val corpus = v.filter(col("vec_id") >= nQueries)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("vd").as("cv2"), col("norm").as("cn"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -315,6 +331,42 @@ object VectorOps {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, invlist) = ivfIndex(spark, dir)
+    ivfSearch(spark, dir, cents, invlist)
+  }
+
+  /** Materialize the IVF index to parquet (`<indexDir>/centroids`,
+    * `<indexDir>/invlist`) — the build half of the deployment split: a
+    * real system builds the index once and serves many query batches,
+    * so fusing Lloyd iterations into every query plan (as the one-shot
+    * [[annIvf]] gate entry does) pays the ~17-shuffle build on each
+    * call. Parquet round-trips doubles exactly, so the split path is
+    * bit-identical to the fused one (spec-pinned). */
+  def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val (cents, invlist) = ivfIndex(spark, dir)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
+  }
+
+  /** Query half of the deployment split: nprobe search against a
+    * parquet IVF index, building it first only if absent. The query
+    * plan reads the (cluster-wide tiny) centroids as a broadcast and
+    * joins the inverted lists without ever re-running Lloyd — the
+    * steady-state serving cost, benched as `ann_ivf_query`. */
+  def annIvfQuery(spark: SparkSession, dir: String,
+                  indexDir: String = ""): DataFrame = {
+    val idx =
+      if (indexDir.nonEmpty) indexDir
+      else sys.props("java.io.tmpdir") + "/graft-ivf-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
+      ivfBuildIndex(spark, dir, idx)
+    ivfSearch(spark, dir,
+      spark.read.parquet(s"$idx/centroids"),
+      spark.read.parquet(s"$idx/invlist"))
   }
 
   /** PQ (product quantization) ANN — the memory-compression scale path:

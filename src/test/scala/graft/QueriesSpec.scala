@@ -119,6 +119,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("ann_ivf_query (parquet index split) is bit-identical to the fused plan") {
+    // parquet round-trips doubles exactly, so the build-once/query-many
+    // split must reproduce the one-shot plan's output verbatim
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    val fused = operators.VectorOps.annIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val split = operators.VectorOps.annIvfQuery(spark, sf, idx)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(split === fused)
+  }
+
   test("approx percentiles agree with exact rank-based percentiles") {
     // accuracy 10000 over ~400 values/group ⇒ the sketch is effectively
     // exact here; allow a tiny relative slack for the rank convention
