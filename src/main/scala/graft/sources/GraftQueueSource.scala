@@ -52,8 +52,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *    it) plus a deadline stop — see Pipelines.startWithMaxReadTime
   *  - withAdvanceTimeoutInMillis → N/A: micro-batch planning replaces
   *    the per-poll blocking receive loop entirely
+  *
+  * Reader robustness (`parseMode` option) — the analogue of the
+  * reference's JCSMP-layer broker-error surfacing
+  * (UnboundedSolaceReader.java poll/ack error handling):
+  *  - `failfast` (default): a malformed spool line kills the stream
+  *    with queue/file/ordinal/line context, never a bare
+  *    NumberFormatException from deep inside `next()`;
+  *  - `permissive`: malformed lines are skipped and counted — the
+  *    count is a DSv2 custom metric ("malformedLines", summed across
+  *    tasks by the driver, visible in the SQL UI), and offsets still
+  *    advance by spool ordinal so a skip never stalls or replays the
+  *    stream.
   */
 object GraftQueueSource {
+
+  /** JVM-local total of malformed spool lines skipped by permissive
+    * readers — direct test/ops visibility in local mode. The
+    * cluster-correct surface is the "malformedLines" custom metric
+    * (per-task values aggregated by the driver); this adder is the
+    * local-JVM mirror, same pattern as a Beam Counter metric. */
+  val malformedSkipped = new java.util.concurrent.atomic.LongAdder
   val schema: StructType = StructType(Seq(
     StructField("queue", StringType, nullable = false),
     StructField("destination", StringType, nullable = true),
@@ -242,10 +261,18 @@ class GraftQueueSourceProvider extends TableProvider {
     new GraftQueueTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** Driver-aggregated sum of per-task malformed-line counts. */
+class MalformedLinesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "malformedLines"
+  override def description(): String = "malformed spool lines skipped (parseMode=permissive)"
+}
+
 class GraftQueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val brokerDir = options.get("brokerDir")
   private val queues: Seq[String] =
     options.get("queues").split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+  private val permissive =
+    options.getOrDefault("parseMode", "failfast").toLowerCase == "permissive"
   require(brokerDir != null && queues.nonEmpty, "brokerDir and queues options are required")
 
   override def name(): String = s"graft-queue[${queues.mkString(",")}]"
@@ -255,6 +282,10 @@ class GraftQueueTable(options: CaseInsensitiveStringMap) extends Table with Supp
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = () => new Scan {
     override def readSchema(): StructType = GraftQueueSource.schema
+
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new MalformedLinesMetric)
 
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new GraftQueueMicroBatchStream(brokerDir, queues, options)
@@ -269,7 +300,7 @@ class GraftQueueTable(options: CaseInsensitiveStringMap) extends Table with Supp
           val avail = math.min(GraftQueueSource.available(brokerDir, q), budget)
           budget -= avail
           GraftQueuePartition(brokerDir, q, 0L, avail,
-            GraftQueueSource.ackedCount(brokerDir, q)): InputPartition
+            GraftQueueSource.ackedCount(brokerDir, q), permissive): InputPartition
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory = GraftQueueReaderFactory
@@ -283,7 +314,7 @@ case class QueueOffset(counts: Map[String, Long]) extends Offset {
 
 case class GraftQueuePartition(
     brokerDir: String, queue: String, fromLine: Long, toLine: Long,
-    ackedAtPlan: Long) extends InputPartition
+    ackedAtPlan: Long, permissive: Boolean = false) extends InputPartition
 
 class GraftQueueMicroBatchStream(
     brokerDir: String, queues: Seq[String], options: CaseInsensitiveStringMap)
@@ -293,6 +324,9 @@ class GraftQueueMicroBatchStream(
 
   private val maxPerTrigger: Option[Long] =
     Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+
+  private val permissive =
+    options.getOrDefault("parseMode", "failfast").toLowerCase == "permissive"
 
   /** Trigger.AvailableNow contract: freeze the spool high-water marks
     * at query start; subsequent triggers drain up to that snapshot and
@@ -350,7 +384,8 @@ class GraftQueueMicroBatchStream(
       val from = s.getOrElse(q, 0L)
       val to = e.getOrElse(q, 0L)
       if (to > from)
-        Some(GraftQueuePartition(brokerDir, q, from, to, ackedCount(brokerDir, q)): InputPartition)
+        Some(GraftQueuePartition(brokerDir, q, from, to,
+          ackedCount(brokerDir, q), permissive): InputPartition)
       else None
     }.toArray
   }
@@ -388,7 +423,7 @@ class GraftQueuePartitionReader(p: GraftQueuePartition)
     openSrc.getLines()
   }
 
-  private val lines: Iterator[(String, Long)] = {
+  private val lines: Iterator[(String, Long, String)] = {
     val files = GraftQueueSource.spoolFiles(p.brokerDir, p.queue)
     val counts = files.map(GraftQueueSource.countLines)
     // Long-safe range math; files wholly before fromLine are skipped
@@ -396,39 +431,70 @@ class GraftQueuePartitionReader(p: GraftQueuePartition)
     GraftQueueSource.sliceFiles(counts, p.fromLine, p.toLine).iterator
       .flatMap { case (i, fileStart, lo, hi) =>
         var ord = fileStart - 1L
+        val name = files(i).getName
         openFile(files(i))
-          .map { l => ord += 1L; (l, ord) }
+          .map { l => ord += 1L; (l, ord, name) }
           // takeWhile, not filter: once past `hi` the reader must stop
           // pulling lines, or a small trigger cap would still scan the
           // tail of a large spool file on every micro-batch
-          .takeWhile { case (_, o) => o < hi }
-          .filter { case (_, o) => o >= lo }
+          .takeWhile { case (_, o, _) => o < hi }
+          .filter { case (_, o, _) => o >= lo }
       }
   }
 
   private var current: InternalRow = _
+  private var malformed = 0L
 
   override def next(): Boolean = {
-    if (!lines.hasNext) return false
-    val (line, ordinal) = lines.next()
-    val f = line.split("\t", -1)
-    val payload = Base64.getDecoder.decode(f(7))
-    current = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(p.queue),
-      UTF8String.fromString(f(4)),
-      f(0).toLong,
-      payload,
-      f(1).toLong,            // sender_ts micros
-      f(2).toLong,            // receive_ts micros
-      f(3).toInt,
-      ordinal < p.ackedAtPlan, // below ack high-water mark → redelivery
-      UTF8String.fromString(f(5)),
-      ordinal,
-      f(6).toLong))
-    true
+    // Offsets advance by spool ordinal, so a permissive skip neither
+    // stalls the stream nor causes a replay — the malformed line's
+    // ordinal is simply consumed without emitting a row.
+    while (lines.hasNext) {
+      val (line, ordinal, file) = lines.next()
+      try {
+        val f = line.split("\t", -1)
+        if (f.length < 8)
+          throw new IllegalArgumentException(
+            s"expected 8 tab-separated fields, got ${f.length}")
+        val payload = Base64.getDecoder.decode(f(7))
+        current = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(p.queue),
+          UTF8String.fromString(f(4)),
+          f(0).toLong,
+          payload,
+          f(1).toLong,            // sender_ts micros
+          f(2).toLong,            // receive_ts micros
+          f(3).toInt,
+          ordinal < p.ackedAtPlan, // below ack high-water mark → redelivery
+          UTF8String.fromString(f(5)),
+          ordinal,
+          f(6).toLong))
+        return true
+      } catch {
+        case _: Exception if p.permissive =>
+          malformed += 1L
+          GraftQueueSource.malformedSkipped.increment()
+        case e: Exception =>
+          // strict contract: surface WHERE the corruption is, never a
+          // bare NumberFormatException from deep inside the parse
+          throw new IllegalStateException(
+            s"malformed spool line: queue '${p.queue}', file $file, " +
+              s"ordinal $ordinal: '${line.take(200)}' " +
+              "(set parseMode=permissive to skip and count instead)", e)
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "malformedLines"
+      override def value(): Long = malformed
+    })
+
   override def close(): Unit = {
     if (openSrc != null) { openSrc.close(); openSrc = null }
   }

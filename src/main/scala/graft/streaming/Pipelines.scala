@@ -142,7 +142,10 @@ object Pipelines {
     l.join(r, expr(
       s"k = k2 AND rt BETWEEN lt - INTERVAL $tolerance AND lt + INTERVAL $tolerance"),
       joinType)
-      .select(col("k"), col("left_id"), col("right_id"), col("lt"), col("rt"))
+      // coalesce: an unmatched RIGHT row (right/full outer) has a null
+      // left-side k — the join key must still be populated from k2
+      .select(coalesce(col("k"), col("k2")).as("k"),
+        col("left_id"), col("right_id"), col("lt"), col("rt"))
   }
 
   /** Fixed-window word count over message text with an event-time

@@ -208,6 +208,68 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-closed unmatched clicks must emit with null purchase: got $rows")
   }
 
+  test("stream-stream RIGHT OUTER join emits never-matched purchases once the watermark closes") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    // clicks only for even users; purchases for u0..u4 — the odd-user
+    // purchases can never match and must emit with a null left side
+    // once both watermarks pass t0 + tolerance (flusher rows prove it).
+    GraftQueueBroker.publish(broker, "clicks", (0 until 5 by 2).map { i =>
+      GraftQueueBroker.textMsg(i.toLong, t0 + i * 1000000L, "t/click", s"u$i")
+    } :+ GraftQueueBroker.textMsg(50L, t0 + 3600L * 1000000L, "t/click", "uflush"))
+    GraftQueueBroker.publish(broker, "purchases", (0 until 5).map { i =>
+      GraftQueueBroker.textMsg(100L + i, t0 + i * 1000000L + 5000000L, "t/buy", s"u$i")
+    } :+ GraftQueueBroker.textMsg(999L, t0 + 3600L * 1000000L, "t/buy", "uflush2"))
+    val joined = Pipelines.streamStreamJoin(
+      Pipelines.readQueues(spark, broker, Seq("clicks")),
+      Pipelines.readQueues(spark, broker, Seq("purchases")),
+      joinType = "right_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_right").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ssj_right").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    val matched = (0 until 5 by 2).map(i => (s"u$i", Some(i.toLong), 100L + i)).toSet
+    val unmatched: Set[(String, Option[Long], Long)] =
+      Seq(1, 3).map(i => (s"u$i", Option.empty[Long], 100L + i)).toSet
+    assert(rows.filter(_._2.isDefined) === matched)
+    assert((unmatched -- rows).isEmpty,
+      s"watermark-closed unmatched purchases must emit with null click: got $rows")
+  }
+
+  test("stream-stream FULL OUTER join emits both sides' never-matched rows") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    // clicks u0,u1,u2; purchases u1 (matches) and u9 (no click ever):
+    // u0/u2 must emit with null right, u9 with null left.
+    GraftQueueBroker.publish(broker, "clicks", (0 until 3).map { i =>
+      GraftQueueBroker.textMsg(i.toLong, t0 + i * 1000000L, "t/click", s"u$i")
+    } :+ GraftQueueBroker.textMsg(50L, t0 + 3600L * 1000000L, "t/click", "uflush"))
+    GraftQueueBroker.publish(broker, "purchases", Seq(
+      GraftQueueBroker.textMsg(101L, t0 + 1 * 1000000L + 5000000L, "t/buy", "u1"),
+      GraftQueueBroker.textMsg(109L, t0 + 2 * 1000000L, "t/buy", "u9"),
+      GraftQueueBroker.textMsg(999L, t0 + 3600L * 1000000L, "t/buy", "uflush2")))
+    val joined = Pipelines.streamStreamJoin(
+      Pipelines.readQueues(spark, broker, Seq("clicks")),
+      Pipelines.readQueues(spark, broker, Seq("purchases")),
+      joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_full").outputMode("append")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ssj_full").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val matched = rows.filter(r => r._2.isDefined && r._3.isDefined)
+    assert(matched === Set(("u1", Some(1L), Some(101L))))
+    val mustEmit: Set[(String, Option[Long], Option[Long])] = Set(
+      ("u0", Some(0L), None), ("u2", Some(2L), None),
+      ("u9", None, Some(109L)))
+    assert((mustEmit -- rows).isEmpty,
+      s"full outer must emit unmatched rows from BOTH sides: got $rows")
+  }
+
   test("file-per-window sink writes one partition directory per window") {
     val broker = tmpDir("graft-broker")
     val out = tmpDir("graft-out")
@@ -606,6 +668,53 @@ class StreamingSpec extends AnyFunSuite {
     // from RocksDB state, not from scratch
     assert(got.get("alpha").contains(20L),
       s"window state lost across RocksDB restart: $got")
+  }
+
+  test("parseMode: failfast names the corrupt line; permissive skips and counts it") {
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "qc", 0 until 5, i => s"ok $i") // ordinals 0-4
+    // hand-write a second spool file with two corrupt lines in the middle
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    val spool2 = Seq(
+      s"5\t1700000005000000\t1700000005001000\t4\tt/qc/0\t\t0\t${b64("ok 5")}",
+      "CORRUPT not a tsv line",                                        // ordinal 6
+      s"6\tnot_a_number\t1700000006001000\t4\tt/qc/0\t\t0\t${b64("x")}", // ordinal 7
+      s"7\t1700000007000000\t1700000007001000\t4\tt/qc/0\t\t0\t${b64("ok 7")}")
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(broker, "qc"), "spool-00000001.log").toPath,
+      spool2.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    // failfast (default): the failure names queue, file, and ordinal —
+    // never a bare NumberFormatException from inside the parse
+    val strict = spark.read.format(GraftQueueSource.FORMAT)
+      .option("brokerDir", broker).option("queues", "qc").load()
+    val ex = intercept[Exception] { strict.count() }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("queue 'qc'") && m.contains("ordinal 6")
+      && m.contains("spool-00000001.log")), s"missing context in: $msgs")
+
+    // permissive: valid rows delivered, corrupt ones skipped and counted
+    GraftQueueSource.malformedSkipped.reset()
+    val lax = spark.read.format(GraftQueueSource.FORMAT)
+      .option("brokerDir", broker).option("queues", "qc")
+      .option("parseMode", "permissive").load()
+    assert(lax.count() === 7) // 5 + "ok 5" + "ok 7"
+    assert(GraftQueueSource.malformedSkipped.sum() >= 2)
+
+    // and the STREAM survives the corrupt lines in permissive mode
+    val q = spark.readStream.format(GraftQueueSource.FORMAT)
+      .option("brokerDir", broker).option("queues", "qc")
+      .option("parseMode", "permissive").load()
+      .writeStream.format("memory").queryName("permissive_stream")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("permissive_stream").count() === 7)
+      // offsets advanced past the corrupt ordinals — no stall, no replay
+      q.processAllAvailable()
+      assert(spark.table("permissive_stream").count() === 7)
+    } finally q.stop()
   }
 
   test("spool slice math is Long-safe past Int.MaxValue and skips whole files") {
