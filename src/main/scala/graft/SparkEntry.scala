@@ -71,6 +71,10 @@ object SparkEntry {
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     "doc_sample"         -> TextOps.docSample _,
     "decontamination"    -> TextOps.decontamination _,
+    // composed end-to-end job: dedup -> decontaminate -> quality ->
+    // sample -> partitioned write; rows-gated (LSH recall < 1), the
+    // component-predicate spec is the correctness gate
+    "training_pipeline"  -> ((s: SparkSession, d: String) => TrainingPipeline.run(s, d)),
     // Dedup suite
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
     // gate entry keeps the deterministic exact-recall union; the

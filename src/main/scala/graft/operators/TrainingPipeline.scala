@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end training-data job — the thing a user of
+  * this library actually runs at 100 TB: ingest → near-dup dedup
+  * (pure-LSH scale mode) → benchmark decontamination → quality filter
+  * → deterministic stratified sample → partitioned parquet write,
+  * one DataFrame program.
+  *
+  * Composition is where a pipeline wins or loses at scale, not the
+  * individual stages:
+  *  - The drop-sets (near-dup pairs, contaminated doc ids) are
+  *    corpus-scale aggregates, but they JOIN the corpus as left-anti
+  *    equi-joins on doc_id — the corpus streams through, nothing is
+  *    collected or broadcast except what AQE measures as small.
+  *  - The dedup stage is the pure-LSH mode ([[DedupOps.minhashLsh]]
+  *    with `exactRecallUnion = false`): one band-hash shuffle, no
+  *    inverted index — the 100 TB candidate generator. Within it the
+  *    shared per-doc shingle aggregate is planned once and reused
+  *    (ReusedExchange, pinned by the dedup plan specs).
+  *  - Every per-doc predicate (quality score, stratum, sample hash)
+  *    is a narrow codegen'd projection — no stage adds a shuffle
+  *    beyond the aggregates that define it.
+  *  - The sample is a pure function of doc_id (Knuth multiplicative
+  *    hash, same constants as [[TextOps.docSample]]), so the output
+  *    is reproducible on any cluster, any partitioning.
+  *
+  * Dedup keep-rule: the SMALLER doc_id of each near-dup pair
+  * survives; any doc appearing as the larger side of some pair is
+  * dropped. (Cluster-exact resolution — keep one per connected
+  * component — ships separately as [[DedupOps.dupClusters]]; the
+  * greedy pair rule is the standard streaming-friendly choice and
+  * can only over-drop, never leak a duplicate pair into the output.)
+  *
+  * LSH recall < 1 by construction → no DuckDB oracle (rows-gated);
+  * the ScalaTest spec instead re-derives every predicate from the
+  * component operators and asserts the output satisfies all of them.
+  */
+object TrainingPipeline {
+
+  /** Minimum quality score (see [[TextOps.textQuality]]'s fixed
+    * linear score) a surviving document must reach. */
+  val qualityMin = 0.55
+
+  /** Surviving documents with their per-doc pipeline columns. */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+
+    // near-dup drop-set: larger id of every pure-LSH near-dup pair
+    val nearDup = DedupOps.minhashLsh(spark, dir, exactRecallUnion = false)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    // eval-leak drop-set: docs sharing an 8-gram with the bench source
+    val contaminated = TextOps.decontamination(spark, dir)
+      .select("doc_id").distinct()
+
+    // per-doc quality metrics (narrow projection + filter)
+    val quality = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+
+    // deterministic stratified sample — identical constants to
+    // TextOps.docSample so the two agree doc-for-doc
+    val stratum = when(length(col("text")) < 100, lit("short")).otherwise(lit("long"))
+    val h = pmod((col("doc_id") % TextOps.sampleFold) * TextOps.sampleHashMul,
+      lit(TextOps.sampleMod))
+
+    d.filter(col("source") =!= TextOps.decontamBenchSource)
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(quality.filter(col("quality") >= qualityMin), Seq("doc_id"))
+      .withColumn("stratum", stratum)
+      .withColumn("h", h)
+      .filter((col("stratum") === "short" && col("h") < 100) ||
+              (col("stratum") === "long" && col("h") < 500))
+      .select(col("doc_id"), col("source"), col("stratum"),
+        col("n_tokens"), col("quality"))
+  }
+
+  /** Run the pipeline: write the surviving docs as stratum-partitioned
+    * parquet (the training-shard layout) and return the per-
+    * (source, stratum) summary a pipeline report wants. The summary
+    * aggregates the same `survivors` subplan the write consumed, so
+    * the returned DataFrame IS the full composed plan — plan-audited
+    * as `training_pipeline`. */
+  def run(spark: SparkSession, dir: String, outDir: String = ""): DataFrame = {
+    val s = survivors(spark, dir)
+    val out =
+      if (outDir.nonEmpty) outDir
+      else sys.props("java.io.tmpdir") + "/graft-train-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s.write.mode("overwrite").partitionBy("stratum").parquet(out)
+    s.groupBy(col("source"), col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        min(col("quality")).as("min_quality"))
+  }
+}

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke + shape checks for every SparkEntry query at sf0.001, plus
@@ -128,6 +130,44 @@ class QueriesSpec extends AnyFunSuite {
     val split = operators.VectorOps.annIvfQuery(spark, sf, idx)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(split === fused)
+  }
+
+  test("training_pipeline output satisfies every component predicate") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-train-spec").toString
+    val summary = operators.TrainingPipeline.run(spark, sf, out)
+    assert(summary.count() > 0)
+
+    // the partitioned write landed and round-trips
+    val written = spark.read.parquet(out)
+    val ids = written.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    assert(written.columns.contains("stratum"), "stratum partition column lost")
+
+    // survivors carry no doc from the bench source, no contaminated
+    // doc, no larger side of a near-dup pair, nothing below the
+    // quality bar, nothing outside the sample
+    val bench = Tables(spark, sf, "documents")
+      .filter(col("source") === operators.TextOps.decontamBenchSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = operators.TextOps.decontamination(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupDropped = operators.DedupOps.minhashLsh(spark, sf, exactRecallUnion = false)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val lowQuality = operators.TextOps.textQuality(spark, sf)
+      .filter(col("quality") < operators.TrainingPipeline.qualityMin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = operators.TextOps.docSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ids intersect bench).isEmpty, "bench-source docs leaked")
+    assert((ids intersect contaminated).isEmpty, "contaminated docs leaked")
+    assert((ids intersect dupDropped).isEmpty, "near-dup larger sides leaked")
+    assert((ids intersect lowQuality).isEmpty, "low-quality docs leaked")
+    assert((ids -- sampled).isEmpty, "docs outside the deterministic sample leaked")
+
+    // summary totals agree with the written shards
+    val nSummary = summary.collect().map(_.getAs[Long]("n_docs")).sum
+    assert(nSummary === ids.size)
   }
 
   test("approx percentiles agree with exact rank-based percentiles") {
