@@ -51,6 +51,12 @@ object SparkEntry {
     "topic_route"    -> EventOps.topicRoute _,
     "msg_dedup"      -> EventOps.msgDedup _,
     "q_skew_salted"  -> ((s: SparkSession, d: String) => EventOps.skewSaltedJoin(s, d)),
+    // forced shuffle-merge skew stress pair (dim not broadcastable at
+    // 100 TB): salted spreads the hot key, unsalted is the straggler
+    "q_skew_shuffle_salted"   -> ((s: SparkSession, d: String) =>
+      EventOps.skewShuffleJoin(s, d, salted = true)),
+    "q_skew_shuffle_unsalted" -> ((s: SparkSession, d: String) =>
+      EventOps.skewShuffleJoin(s, d, salted = false)),
     "q_stats_moments" -> EventOps.statsMoments _,
     "q_percentiles"  -> EventOps.percentiles _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
@@ -137,6 +143,8 @@ object SparkEntry {
     "topic_route"    -> EventOps.topicRouteSql,
     "msg_dedup"      -> EventOps.msgDedupSql,
     "q_skew_salted"  -> EventOps.skewSaltedSql,
+    "q_skew_shuffle_salted"   -> EventOps.skewSaltedSql,
+    "q_skew_shuffle_unsalted" -> EventOps.skewSaltedSql,
     "q_stats_moments" -> EventOps.statsMomentsSql,
     "q_percentiles"  -> EventOps.percentilesSql,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,

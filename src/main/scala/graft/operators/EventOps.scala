@@ -182,6 +182,39 @@ object EventOps {
       |FROM ev JOIN dim USING (k)
       |GROUP BY segment""".stripMargin
 
+  /** Skew STRESS pair — same semantics as [[skewSaltedJoin]] but with
+    * the join FORCED to shuffle-merge (`hint("merge")`): the 100 TB
+    * case where the dim side is not broadcastable and the fact must
+    * shuffle on the join key. Unsalted, the hot key (70% of rows)
+    * lands in ONE reducer's sort — the straggler that stretches the
+    * stage to the hot key's share of the data; salted, it spreads over
+    * `salts` reducers. Benched as q_skew_shuffle_salted /
+    * q_skew_shuffle_unsalted so the salting claim is a measured
+    * number, not an assertion. (AQE's skew-join split would also
+    * rescue the unsalted plan once the hot partition crosses
+    * skewedPartitionThresholdInBytes=256 MB; below that threshold —
+    * as in local bench runs — explicit salting is the only spread,
+    * which is exactly why known-hot keys get salted at plan level.)
+    * Salting must not change results: both variants share the
+    * UNSALTED oracle, hash-gated. */
+  def skewShuffleJoin(spark: SparkSession, dir: String,
+                      salts: Int = saltBuckets,
+                      salted: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val saltCol = if (salted) pmod(col("event_id"), lit(salts)).cast("int") else lit(0)
+    val ev = events(spark, dir)
+      .withColumn("k",
+        when(col("event_id") % 10 < 7, lit(0L)).otherwise(col("event_id") % 100))
+      .withColumn("salt", saltCol)
+    val dim = (0L until 100L).map(k => (k, s"seg${k % 7}")).toDF("k", "segment")
+    val dimSalted =
+      if (salted) dim.withColumn("salt", explode(lit((0 until salts).toArray)))
+      else dim.withColumn("salt", lit(0))
+    ev.join(dimSalted.hint("merge"), Seq("k", "salt"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
+  }
+
   /** Statistical moments per event type from EXACT sums: mean,
     * population variance, and corr(value, lag). Spark's corr/stddev
     * use Welford-style merges whose float result depends on partition
