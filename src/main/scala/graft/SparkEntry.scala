@@ -96,7 +96,7 @@ object SparkEntry {
     "dedup_clusters"      -> DedupOps.dupClusters _,
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
-    "dedup_embedding_lsh" -> VectorOps.embeddingNearDupLsh _,
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
     "ann_ivf"         -> VectorOps.annIvf _,

@@ -145,22 +145,37 @@ object VectorOps {
   /** Scale-path near-dup: multi-table hyperplane LSH candidates with
     * exact cosine verification — the plan you run at 100 TB, where the
     * near-dup threshold has angular margin (semantic dups cluster well
-    * above background). Candidates are pairs sharing any of
-    * [[lshTables]] per-table codes ([[lshBits]] seeded hyperplanes
-    * each); only candidates are verified, so compute is Σ bucket² not
-    * n². Recall < 1 by construction on a zero-margin threshold →
+    * above background). Candidates are pairs sharing any of `tables`
+    * per-table codes (`bits` seeded hyperplanes each); only candidates
+    * are verified, so compute is Σ bucket² not n².
+    *
+    * `bits` MUST scale with the corpus: per-table candidate cost is
+    * ~n²/2^bits (expected bucket size n/2^bits, pairs per bucket
+    * quadratic in it), so a FIXED code space degrades quadratically —
+    * measured 23.7× time for 10× vectors at the 4-bit default (sf1
+    * bench). Size bits ≈ log₂(n / m) for a target per-bucket m (a few
+    * hundred): 10⁹ vectors want ~22 bits, not 4. More bits per table
+    * lowers per-table recall; deployments add tables (recall unions
+    * across tables) as bits grow. The small-sf default (8×4) keeps the
+    * recall spec meaningful on the tiny test corpus.
+    *
+    * Recall < 1 by construction on a zero-margin threshold →
     * rows-only gate + ScalaTest recall spec vs [[embeddingNearDup]]. */
   val lshTables = 8
   val lshBits = 4
 
-  private lazy val dupPlanes: Seq[Seq[Seq[Double]]] = {
+  /** Seeded hyperplanes for (tables, bits) — the default (8, 4) draws
+    * the identical sequence every call, so plans are deterministic. */
+  private def dupPlanes(tables: Int, bits: Int): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(43)
-    Seq.fill(lshTables, lshBits)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(tables, bits)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDupLsh(spark: SparkSession, dir: String,
+                          tables: Int = lshTables,
+                          bits: Int = lshBits): DataFrame = {
     val v = vecs(spark, dir)
-    val keys = dupPlanes.zipWithIndex.map { case (tbl, t) =>
+    val keys = dupPlanes(tables, bits).zipWithIndex.map { case (tbl, t) =>
       val code = tbl.zipWithIndex.map { case (p, i) =>
         when(dot(col("vd"), typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
