@@ -81,6 +81,9 @@ object SparkEntry {
     // sample -> partitioned write; rows-gated (LSH recall < 1), the
     // component-predicate spec is the correctness gate
     "training_pipeline"  -> ((s: SparkSession, d: String) => TrainingPipeline.run(s, d)),
+    // deterministic twin: exact-Jaccard dedup -> the COMPOSED pipeline
+    // is hash-gated end to end against one DuckDB oracle
+    "training_pipeline_exact" -> TrainingPipeline.runExact _,
     // Dedup suite
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccard _,
     // gate entry keeps the deterministic exact-recall union; the
@@ -163,6 +166,7 @@ object SparkEntry {
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
     "decontamination"    -> TextOps.decontaminationSql,
+    "training_pipeline_exact" -> TrainingPipeline.runExactSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
     "dedup_containment"   -> DedupOps.containmentSql,

@@ -45,12 +45,21 @@ object TrainingPipeline {
     * linear score) a surviving document must reach. */
   val qualityMin = 0.55
 
-  /** Surviving documents with their per-doc pipeline columns. */
-  def survivors(spark: SparkSession, dir: String): DataFrame = {
+  /** Surviving documents with their per-doc pipeline columns.
+    * `exactDedup = false` (the scale mode) draws the near-dup drop-set
+    * from the pure-LSH candidates; `true` draws it from the exact
+    * prefix-filtered join, which makes the WHOLE pipeline
+    * deterministic and therefore DuckDB-oracle-able — that variant
+    * ships as the hash-gated `training_pipeline_exact` entry. */
+  def survivors(spark: SparkSession, dir: String,
+                exactDedup: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
-    // near-dup drop-set: larger id of every pure-LSH near-dup pair
-    val nearDup = DedupOps.minhashLsh(spark, dir, exactRecallUnion = false)
+    // near-dup drop-set: larger id of every near-dup pair
+    val pairSource =
+      if (exactDedup) DedupOps.ngramJaccard(spark, dir)
+      else DedupOps.minhashLsh(spark, dir, exactRecallUnion = false)
+    val nearDup = pairSource
       .select(col("doc_b").as("doc_id")).distinct()
 
     // eval-leak drop-set: docs sharing an 8-gram with the bench source
@@ -92,9 +101,41 @@ object TrainingPipeline {
       else sys.props("java.io.tmpdir") + "/graft-train-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
     s.write.mode("overwrite").partitionBy("stratum").parquet(out)
+    summarize(s)
+  }
+
+  /** Deterministic twin of [[run]]: exact-Jaccard dedup, no write —
+    * every stage reproduces bit-for-bit in DuckDB, so the COMPOSED
+    * pipeline is hash-gated end to end, not just its components. */
+  def runExact(spark: SparkSession, dir: String): DataFrame =
+    summarize(survivors(spark, dir, exactDedup = true))
+
+  private def summarize(s: DataFrame): DataFrame =
     s.groupBy(col("source"), col("stratum"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tot_tokens"),
         min(col("quality")).as("min_quality"))
-  }
+
+  /** DuckDB oracle for [[runExact]] — the component oracles composed
+    * into one query: exact pairs, contaminated ids, quality, sample. */
+  val runExactSql: String =
+    s"""WITH pairs AS (${DedupOps.jaccardSql}),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM (${TextOps.decontaminationSql})),
+       |quality AS (${TextOps.textQualitySql}),
+       |sample AS (${TextOps.docSampleSql}),
+       |surv AS (
+       |  SELECT d.doc_id, d.source, smp.stratum, q.n_tokens, q.quality
+       |  FROM documents d
+       |  JOIN quality q ON q.doc_id = d.doc_id
+       |  JOIN sample smp ON smp.doc_id = d.doc_id
+       |  WHERE d.source <> '${TextOps.decontamBenchSource}'
+       |    AND q.quality >= $qualityMin
+       |    AND d.doc_id NOT IN (SELECT doc_b FROM pairs)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT source, stratum, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |  min(quality) AS min_quality
+       |FROM surv
+       |GROUP BY source, stratum""".stripMargin
 }
