@@ -91,17 +91,18 @@ object TrainingPipeline {
   /** Run the pipeline: write the surviving docs as stratum-partitioned
     * parquet (the training-shard layout) and return the per-
     * (source, stratum) summary a pipeline report wants. The summary
-    * aggregates the same `survivors` subplan the write consumed, so
-    * the returned DataFrame IS the full composed plan — plan-audited
-    * as `training_pipeline`. */
+    * reads the WRITTEN SHARDS, not the pipeline subplan — re-running
+    * the composed plan for the report would be a second full corpus
+    * pass, a 2× cost at 100 TB; the shards are the sample's size.
+    * (The fully-planned composed query is separately audited and
+    * hash-gated as `training_pipeline_exact`.) */
   def run(spark: SparkSession, dir: String, outDir: String = ""): DataFrame = {
-    val s = survivors(spark, dir)
     val out =
       if (outDir.nonEmpty) outDir
       else sys.props("java.io.tmpdir") + "/graft-train-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s.write.mode("overwrite").partitionBy("stratum").parquet(out)
-    summarize(s)
+    survivors(spark, dir).write.mode("overwrite").partitionBy("stratum").parquet(out)
+    summarize(spark.read.parquet(out))
   }
 
   /** Deterministic twin of [[run]]: exact-Jaccard dedup, no write —
