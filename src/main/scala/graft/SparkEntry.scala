@@ -102,7 +102,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> VectorOps.annLsh _,
-    "ann_ivf"         -> VectorOps.annIvf _,
+    "ann_ivf"         -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     // deployment split: parquet index built once (first call), query
     // path only reads it — bit-identical output to ann_ivf (spec-pinned)
     "ann_ivf_query"   -> ((s: SparkSession, d: String) => VectorOps.annIvfQuery(s, d)),

@@ -275,8 +275,12 @@ object VectorOps {
     * with the lowest corpus ids), inverted lists keyed by nearest
     * centroid, and nprobe-list exact search per query. At scale the
     * inverted lists are the shuffle partitioning: each query touches
-    * nprobe/k of the corpus. Recall < 1 by construction → rows-only
-    * check + recall spec. */
+    * nprobe/k of the corpus, so `k` must scale with corpus size —
+    * k ≈ √n (the classic IVF balance point: assignment cost n·k vs
+    * probe cost n·nprobe/k) keeps per-list size √n; the 16-centroid
+    * default fits the tiny test corpus only. Both `k` and `probes`
+    * are caller knobs on every IVF entry point. Recall < 1 by
+    * construction → rows-only check + recall spec. */
   val ivfK = 16
   val ivfProbes = 4
 
@@ -285,7 +289,8 @@ object VectorOps {
     * plus the inverted lists (vector → nearest centroid). Shared by
     * the one-shot [[annIvf]] and the deployment-split
     * [[ivfBuildIndex]]/[[annIvfQuery]] pair. */
-  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def ivfIndex(spark: SparkSession, dir: String,
+                       k: Int): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
     val corpus = v.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("vd"), col("norm"))
@@ -294,7 +299,7 @@ object VectorOps {
     // is the centroid tag — any distinct ascending values work for the
     // tie-break order, and this avoids an unpartitioned row_number()
     // window (a single-task sort that also spams WindowExec warnings).
-    var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(ivfK)
+    var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), transform(col("vd"), x => x.cast("double")).as("cv"))
 
     def assign(points: DataFrame, cents: DataFrame): DataFrame = {
@@ -325,7 +330,8 @@ object VectorOps {
     * onto the inverted lists, and the candidate ids broadcast onto the
     * corpus scan; the only exchanges are the two query-keyed windows. */
   private def ivfSearch(spark: SparkSession, dir: String,
-                        cents: DataFrame, invlist: DataFrame): DataFrame = {
+                        cents: DataFrame, invlist: DataFrame,
+                        nprobe: Int): DataFrame = {
     val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
@@ -333,7 +339,7 @@ object VectorOps {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("d2", vecDistSq(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= ivfProbes)
+      .filter(col("rk") <= nprobe)
       .select("query_id", "qv", "qn", "cid")
 
     val corpus = v.filter(col("vec_id") >= nQueries)
@@ -348,9 +354,10 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (cents, invlist) = ivfIndex(spark, dir)
-    ivfSearch(spark, dir, cents, invlist)
+  def annIvf(spark: SparkSession, dir: String,
+             k: Int = ivfK, probes: Int = ivfProbes): DataFrame = {
+    val (cents, invlist) = ivfIndex(spark, dir, k)
+    ivfSearch(spark, dir, cents, invlist, probes)
   }
 
   /** Materialize the IVF index to parquet (`<indexDir>/centroids`,
@@ -360,8 +367,9 @@ object VectorOps {
     * [[annIvf]] gate entry does) pays the ~17-shuffle build on each
     * call. Parquet round-trips doubles exactly, so the split path is
     * bit-identical to the fused one (spec-pinned). */
-  def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
-    val (cents, invlist) = ivfIndex(spark, dir)
+  def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String,
+                    k: Int = ivfK): Unit = {
+    val (cents, invlist) = ivfIndex(spark, dir, k)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
   }
@@ -372,16 +380,17 @@ object VectorOps {
     * joins the inverted lists without ever re-running Lloyd — the
     * steady-state serving cost, benched as `ann_ivf_query`. */
   def annIvfQuery(spark: SparkSession, dir: String,
-                  indexDir: String = ""): DataFrame = {
+                  indexDir: String = "", k: Int = ivfK,
+                  probes: Int = ivfProbes): DataFrame = {
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
     if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
-      ivfBuildIndex(spark, dir, idx)
+      ivfBuildIndex(spark, dir, idx, k)
     ivfSearch(spark, dir,
       spark.read.parquet(s"$idx/centroids"),
-      spark.read.parquet(s"$idx/invlist"))
+      spark.read.parquet(s"$idx/invlist"), probes)
   }
 
   /** PQ (product quantization) ANN — the memory-compression scale path:
