@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   *    would be an exact dup of its 9 siblings), while cross-copy
   *    shingle overlap is zero. Per-shingle df is unchanged (max 25
   *    at sf0.1, far under the 20%-of-corpus cap at either scale), so
-  *    the df-capped universe behaves identically.
+  *    the df-capped universe behaves identically. CAVEAT: token-level
+  *    LEXICAL stats do shift for c > 0 — suffixed tokens no longer
+  *    match stopword/marker lists (stop_ratio → 0, so quality scores
+  *    rise) and grow ~3 chars (docs near the 100-char stratum
+  *    boundary change stratum). Set-similarity structure is what this
+  *    scaler preserves; operators keyed on lexical constants see the
+  *    suffixed copies as different (valid, but differently
+  *    distributed) text, which is fine for throughput measurement and
+  *    wrong for semantic ×N claims — don't make them.
   *  - embeddings: vec_id offset; coordinates multiplied by a per-copy
   *    deterministic ±1 sign pattern (copy 0 = identity). Sign flips
   *    preserve WITHIN-copy cosines bit-exactly (s_i² = 1 in every

@@ -35,6 +35,8 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/events.parquet"))) {
+      // events-only copy of ScaleData's key-offset scheme (the full
+      // scaler regenerates every table; this harness needs one)
       val ev = spark.read.parquet(s"$src/events.parquet")
       val span = ev.agg(max(col("event_id")).cast("long")).first().getLong(0) + 1L
       (0 until copies).map(c =>
@@ -44,14 +46,15 @@ object SkewBench {
     }
     val n = spark.read.parquet(s"$dst/events.parquet").count()
 
+    def runOnce(salted: Boolean): Double = {
+      val t0 = System.nanoTime()
+      operators.EventOps.skewShuffleJoin(spark, dst, salted = salted).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     def timeOf(salted: Boolean): Double =
-      (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        operators.EventOps.skewShuffleJoin(spark, dst, salted = salted).count()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      (1 to timedRuns).map(_ => runOnce(salted)).min
 
-    timeOf(true); timeOf(false) // warm both plans (untimed)
+    runOnce(salted = true); runOnce(salted = false) // warm both plans (untimed)
     val salted = timeOf(true)
     val unsalted = timeOf(false)
     println(s"""{"metric":"skew_stress","events":$n,"hot_share":0.7,""" +

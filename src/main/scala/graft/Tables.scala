@@ -21,6 +21,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Collision-resistant key for per-data-dir cached artifacts (tmp
+    * IVF indexes, pipeline shards): readable sanitized path plus a
+    * hash of the raw string — sanitizing alone maps dirs differing
+    * only in punctuation ('/d/sf0-1' vs '/d/sf0_1') to the same key
+    * and silently cross-wires their outputs. String.hashCode is
+    * spec-fixed, so keys are stable across JVMs. */
+  def dirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

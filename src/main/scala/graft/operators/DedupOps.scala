@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *  - Shingling/minhashing are narrow map-side work.
-  *  - A frequency cap (drop shingles present in more than
-  *    1/[[maxDfShareDenom]] of the corpus) bounds inverted-index skew
-  *    the way stop-word removal does — deterministically, so the
-  *    oracle applies the same cap. The cap is RELATIVE to corpus size:
-  *    an absolute constant would silently drop every boilerplate
-  *    shingle at 10⁹ docs and gut recall for template-heavy near-dups.
+  *  - A two-part frequency cap bounds inverted-index skew
+  *    deterministically (the oracle applies the identical predicate):
+  *    a RELATIVE share cap (drop shingles in > 1/[[maxDfShareDenom]]
+  *    of the corpus — an absolute-only constant would silently drop
+  *    every boilerplate shingle at 10⁹ docs and gut recall for
+  *    template-heavy near-dups) AND an absolute bucket ceiling
+  *    ([[maxDfCeiling]]) so no single shingle's inverted list can
+  *    drive Σ bucket² toward n² regardless of corpus size.
   *  - Exact path = PREFIX FILTER (SSJoin/PPJoin): under a global
   *    (df, shingle) order, a pair with J ≥ t must share an element in
   *    each doc's first n − ⌈t·n⌉ + 1 shingles. Only those prefixes are
@@ -37,6 +39,19 @@ object DedupOps {
     * corpus). Pure-integer predicate `df * denom <= n_docs` so the
     * DuckDB oracle is bit-identical with no float/ceil mismatch. */
   val maxDfShareDenom = 5
+
+  /** Absolute ceiling on shingle document frequency, alongside the
+    * relative share cap: the share cap governs RECALL (don't drop
+    * boilerplate evidence just because the corpus grew), but on its
+    * own it stops bounding inverted-index bucket size — at 10⁹ docs a
+    * 19%-share shingle is a 2·10⁸-row bucket and the candidate join's
+    * Σ bucket² cost degrades toward n². The ceiling bounds per-bucket
+    * work regardless of corpus size; a deployment sizes it to the
+    * largest tolerable bucket² (default 100k → ≤5·10⁹ candidate pairs
+    * per hot shingle, spread across tasks). Inactive at test SFs
+    * (max observed df is 25 at sf0.1), so oracle results are
+    * unchanged; the oracle applies the identical two-part predicate. */
+  val maxDfCeiling = 100000
   val threshold = 0.8      // near-dup Jaccard threshold
   val numHashes = 128
   val numBands = 16        // × 8 rows per band
@@ -54,7 +69,7 @@ object DedupOps {
     val ex = docs
       .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
     val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") * maxDfShareDenom <= nDocs)
+      .filter(col("df") * maxDfShareDenom <= nDocs && col("df") <= maxDfCeiling)
     ex.join(keep, "s") // keeps df column for the prefix order
   }
 
@@ -185,7 +200,7 @@ object DedupOps {
        |    ELSE [] END) AS shs
        |  FROM toks),
        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) * $maxDfShareDenom <= (SELECT count(*) FROM documents)),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) * $maxDfShareDenom <= (SELECT count(*) FROM documents) AND count(*) <= $maxDfCeiling),
        |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
        |sz AS (SELECT doc_id, count(*) AS n FROM ex2 GROUP BY doc_id),
        |p AS (
@@ -260,7 +275,7 @@ object DedupOps {
        |    ELSE [] END) AS shs
        |  FROM toks),
        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) * $maxDfShareDenom <= (SELECT count(*) FROM documents)),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) * $maxDfShareDenom <= (SELECT count(*) FROM documents) AND count(*) <= $maxDfCeiling),
        |ex2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
        |sz AS (SELECT doc_id, count(*) AS n FROM ex2 GROUP BY doc_id),
        |p AS (

@@ -99,8 +99,7 @@ object TrainingPipeline {
   def run(spark: SparkSession, dir: String, outDir: String = ""): DataFrame = {
     val out =
       if (outDir.nonEmpty) outDir
-      else sys.props("java.io.tmpdir") + "/graft-train-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      else sys.props("java.io.tmpdir") + "/graft-train-" + Tables.dirKey(dir)
     survivors(spark, dir).write.mode("overwrite").partitionBy("stratum").parquet(out)
     summarize(spark.read.parquet(out))
   }

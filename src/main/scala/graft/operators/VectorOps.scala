@@ -378,14 +378,22 @@ object VectorOps {
     * parquet IVF index, building it first only if absent. The query
     * plan reads the (cluster-wide tiny) centroids as a broadcast and
     * joins the inverted lists without ever re-running Lloyd — the
-    * steady-state serving cost, benched as `ann_ivf_query`. */
+    * steady-state serving cost, benched as `ann_ivf_query`.
+    *
+    * The default cache location is keyed by BOTH the data dir (hash-
+    * qualified — see [[graft.Tables.dirKey]]) and `k`, so a k=256
+    * call never silently serves a k=16 index. An EXPLICIT `indexDir`
+    * is the caller's contract: they own its lifecycle and must
+    * rebuild when the source data or k changes — the build-if-missing
+    * probe only checks existence, exactly like any versioned index a
+    * serving system manages. */
   def annIvfQuery(spark: SparkSession, dir: String,
                   indexDir: String = "", k: Int = ivfK,
                   probes: Int = ivfProbes): DataFrame = {
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.Tables.dirKey(dir) + s"-k$k"
     if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
       ivfBuildIndex(spark, dir, idx, k)
     ivfSearch(spark, dir,
