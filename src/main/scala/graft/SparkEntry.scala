@@ -76,7 +76,11 @@ object SparkEntry {
     "doc_shingle_stats"  -> TextOps.shingleStats _,
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     "doc_sample"         -> TextOps.docSample _,
-    "decontamination"    -> TextOps.decontamination _,
+    "decontamination"    -> ((s: SparkSession, d: String) => TextOps.decontamination(s, d)),
+    // 8-byte hashed gram keys (the 100 TB shuffle-volume mode);
+    // spec-gated by equality against the raw-gram oracle twin
+    "decontamination_hashed" -> ((s: SparkSession, d: String) =>
+      TextOps.decontamination(s, d, hashGrams = true)),
     // composed end-to-end job: dedup -> decontaminate -> quality ->
     // sample -> partitioned write; rows-gated (LSH recall < 1), the
     // component-predicate spec is the correctness gate

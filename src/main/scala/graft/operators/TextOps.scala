@@ -300,7 +300,16 @@ object TextOps {
   val decontamBenchSource = "src0"
   val decontamGram = 8
 
-  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+  /** `hashGrams = true` is the deployment mode: the join/distinct
+    * keys become xxhash64(gram) — 8-byte shuffle keys instead of
+    * ~50-byte strings, the dominant shuffle-volume win at 100 TB. A
+    * 64-bit collision between two distinct grams in the same doc (or
+    * between a corpus gram and a bench gram) could perturb a count
+    * with probability ~n²/2⁶⁴ — negligible in practice but nonzero,
+    * so the raw-gram mode keeps the cross-engine oracle and the
+    * hashed mode is spec-gated by equality against it. */
+  def decontamination(spark: SparkSession, dir: String,
+                      hashGrams: Boolean = false): DataFrame = {
     val n = decontamGram
     val w = tokens(col("text"))
     // sequence(1, k) DESCENDS for k <= 0 — guard short docs explicitly
@@ -308,13 +317,15 @@ object TextOps {
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+    val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
     val g = docs(spark, dir)
       .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+      .select(col("doc_id"), col("source"), key.as("gk"))
     val bench = g.filter(col("source") === decontamBenchSource)
-      .select("gram").distinct()
+      .select("gk").distinct()
     g.filter(col("source") =!= decontamBenchSource)
-      .join(bench, Seq("gram"))
-      .select("doc_id", "source", "gram").distinct()
+      .join(bench, Seq("gk"))
+      .select("doc_id", "source", "gk").distinct()
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -132,6 +132,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(split === fused)
   }
 
+  test("hashed-gram decontamination equals the raw-gram mode") {
+    def rows(hashed: Boolean) =
+      operators.TextOps.decontamination(spark, sf, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(true) === rows(false))
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString
