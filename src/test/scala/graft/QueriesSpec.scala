@@ -132,6 +132,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(split === fused)
   }
 
+  test("ANN/LSH scale knobs stay sound off their defaults") {
+    // the knobs exist for 100 TB sizing; this pins that non-default
+    // settings still satisfy each operator's contract (emitted pairs
+    // are true pairs with exact cosines; IVF returns ranked rows)
+    val exact = operators.VectorOps.embeddingNearDup(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = operators.VectorOps.embeddingNearDupLsh(spark, sf, tables = 4, bits = 6)
+      .collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"knobbed LSH emitted non-qualifying pair $key")
+      assert(exact(key) === r.getDouble(2), s"cosine mismatch for $key")
+    }
+    val ivf = operators.VectorOps.annIvf(spark, sf, k = 8, probes = 2).collect()
+    assert(ivf.nonEmpty)
+    val bf = operators.VectorOps.annBruteForce(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    ivf.foreach { r => // exact re-rank cosines must agree where bf ranked the pair
+      bf.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+
   test("hashed-gram decontamination equals the raw-gram mode") {
     def rows(hashed: Boolean) =
       operators.TextOps.decontamination(spark, sf, hashGrams = hashed)
