@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Flatten a ScaleData output dir into testdata-shaped single-file
+tables so the DuckDB oracle gate (tools/check.py) can run at the
+scaled SF: Spark writes each table as a directory of part files and
+loses the TIMESTAMP(NANOS) annotation on events.ts (it reads it via
+nanosAsLong); DuckDB's read_parquet wants the single-file layout and
+the ns annotation the original testdata carries. Usage:
+
+  sbt "runMain graft.ScaleData /root/testdata/sf0.1 /tmp/sf1 10"
+  python3 tools/flatten_sf.py /tmp/sf1 /tmp/sf1f
+  sbt "runMain graft.Verify /tmp/sf1f /tmp/verify_sf1"
+  python3 tools/check.py /tmp/sf1f /tmp/verify_sf1
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        tbl = ds.dataset(f"{src}/{t}.parquet", format="parquet").to_table()
+        if t == "events":
+            i = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(i, pa.field("ts", pa.timestamp("ns")),
+                                 tbl.column("ts").cast(pa.timestamp("ns")))
+        pq.write_table(tbl, f"{dst}/{t}.parquet")
+        print(t, tbl.num_rows)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
