@@ -114,7 +114,18 @@ object DedupOps {
     * Length bound: with na ≤ nb, J ≤ na/nb, so J ≥ 0.8 forces
     * 4·nb ≤ 5·na (integer form, no float compare). Carrying set sizes
     * into the prefix rows lets the join drop impossible pairs before
-    * the `distinct()`, shrinking the candidate shuffle. */
+    * the `distinct()`, shrinking the candidate shuffle.
+    *
+    * Deliberately NOT applied: PPJoin's positional bound
+    * (ubound = min(ia,ib) + min(na−ia, nb−ib) ≥ ⌈t/(1+t)·(na+nb)⌉).
+    * Implemented and measured (round 4): 15-35% SLOWER at sf0.1 and
+    * sf1 on this corpus — with ~54-shingle docs of uniform length the
+    * prefix+length filters already bound the candidates, and carrying
+    * positions through the explode + join (posexplode, two extra int
+    * columns in the widest shuffle) costs more than the extra pruning
+    * saves. Worth revisiting only for corpora with heavy length
+    * variance, where the positional bound prunes what the length
+    * filter cannot. */
   private def prefixCandidates(sets: DataFrame): DataFrame = {
     val withPrefix = sets
       .withColumn("p", col("n") - floor((col("n") * 4 + 4) / 5) + 1)
