@@ -21,7 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * list_zip ...))` oracle fold, so no rounding is needed anywhere.
   */
 object VecOps {
+  private def checkLengths(a: ArrayData, b: ArrayData): Unit =
+    if (a.numElements() != b.numElements())
+      // an UnsafeArrayData read past numElements() returns adjacent
+      // memory — silent garbage; mismatched dims must fail loudly
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    checkLengths(a, b)
     val n = a.numElements()
     var acc = 0.0
     var i = 0
@@ -35,6 +43,7 @@ object VecOps {
   }
 
   def distSq(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    checkLengths(a, b)
     val n = a.numElements()
     var acc = 0.0
     var i = 0
@@ -51,6 +60,22 @@ object VecOps {
 
 sealed abstract class VecBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  // SQL-registered (GraftExtensions) → wrong-typed args must fail
+  // analysis with a message, not throw ClassCastException at codegen
+  // (same convention as MinHashSig/SimHashSig via TypeChecks)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float>/array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   protected def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -89,9 +89,16 @@ object DedupOps {
   private def setShingles(arr: Column): Column =
     transform(arr, e => e.getField("s"))
 
-  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
-    * against the full shingle sets; emits pairs ≥ threshold. */
-  private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame = {
+  /** Exact verification of candidate (doc_a, doc_b) pairs against the
+    * full shingle sets: computes the exact intersection size and emits
+    * pairs whose `metric(c, na, nb)` reaches `minValue` — the one
+    * verification join every set-similarity operator (Jaccard and
+    * containment) shares, so a fix here reaches them all. */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame,
+      metricName: String = "jaccard",
+      metric: (Column, Column, Column) => Column =
+        (c, na, nb) => c / (na + nb - c),
+      minValue: Double = threshold): DataFrame = {
     val va = sets.select(col("doc_id").as("da"),
       setShingles(col("arr")).as("sha"), col("n").as("na"))
     val vb = sets.select(col("doc_id").as("db"),
@@ -100,9 +107,9 @@ object DedupOps {
       .join(va, col("doc_a") === col("da"))
       .join(vb, col("doc_b") === col("db"))
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn(metricName, metric(col("c"), col("na"), col("nb")))
+      .filter(col(metricName) >= minValue)
+      .select("doc_a", "doc_b", metricName)
   }
 
   /** Exact-recall candidate pairs: prefix filter + PPJoin length bound.
@@ -263,17 +270,8 @@ object DedupOps {
       .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
         greatest(col("doc_s"), col("doc_l")).as("doc_b"))
       .distinct()
-    val va = sets.select(col("doc_id").as("da"),
-      setShingles(col("arr")).as("sha"), col("n").as("na"))
-    val vb = sets.select(col("doc_id").as("db"),
-      setShingles(col("arr")).as("shb"), col("n").as("nb"))
-    cands
-      .join(va, col("doc_a") === col("da"))
-      .join(vb, col("doc_b") === col("db"))
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("containment", col("c") / least(col("na"), col("nb")))
-      .filter(col("containment") >= containThreshold)
-      .select("doc_a", "doc_b", "containment")
+    verifyPairs(cands, sets, "containment",
+      (c, na, nb) => c / least(na, nb), containThreshold)
   }
 
   val containmentSql: String =
@@ -369,8 +367,12 @@ object DedupOps {
     // Labels only ever decrease, so the (exact decimal) label sum is
     // strictly monotone until the fixpoint — equal sums ⟺ converged.
     // Dup clusters converge in 2-3 rounds; ccIters is the backstop.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    // A clean corpus has no pairs at all: sum over zero rows is NULL,
+    // which must read as "converged" (zero), not an NPE.
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = lblSum(labels)
     var iter = 0
     var converged = false

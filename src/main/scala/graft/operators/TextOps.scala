@@ -260,16 +260,23 @@ object TextOps {
   // "identical on any engine" claim requires staying in range
   val sampleFold = 1000003L
 
-  def docSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = when(length(col("text")) < 100, lit("short")).otherwise(lit("long"))
-    val h = pmod((col("doc_id") % sampleFold) * sampleHashMul, lit(sampleMod))
+  /** Shared sampling columns — [[docSample]] and the composed
+    * TrainingPipeline consume these SAME definitions, so the two can
+    * never drift apart (the pipeline's "agrees with docSample
+    * doc-for-doc" invariant is structural, not a comment). */
+  def stratumCol: Column =
+    when(length(col("text")) < 100, lit("short")).otherwise(lit("long"))
+  def sampleHashCol: Column =
+    pmod((col("doc_id") % sampleFold) * sampleHashMul, lit(sampleMod))
+  def sampleKeep(stratum: Column, h: Column): Column =
+    (stratum === "short" && h < 100) || (stratum === "long" && h < 500)
+
+  def docSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), bucket.as("stratum"), h.as("h"),
+      .select(col("doc_id"), stratumCol.as("stratum"), sampleHashCol.as("h"),
         length(col("text")).cast("long").as("n_chars"))
-      .filter((col("stratum") === "short" && col("h") < 100) ||
-              (col("stratum") === "long" && col("h") < 500))
+      .filter(sampleKeep(col("stratum"), col("h")))
       .select("doc_id", "stratum", "n_chars")
-  }
 
   val docSampleSql: String =
     s"""WITH t AS (

@@ -70,20 +70,16 @@ object TrainingPipeline {
     val quality = TextOps.textQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
 
-    // deterministic stratified sample — identical constants to
-    // TextOps.docSample so the two agree doc-for-doc
-    val stratum = when(length(col("text")) < 100, lit("short")).otherwise(lit("long"))
-    val h = pmod((col("doc_id") % TextOps.sampleFold) * TextOps.sampleHashMul,
-      lit(TextOps.sampleMod))
-
+    // deterministic stratified sample — the SAME column definitions
+    // TextOps.docSample uses, so the two agree doc-for-doc by
+    // construction
     d.filter(col("source") =!= TextOps.decontamBenchSource)
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(quality.filter(col("quality") >= qualityMin), Seq("doc_id"))
-      .withColumn("stratum", stratum)
-      .withColumn("h", h)
-      .filter((col("stratum") === "short" && col("h") < 100) ||
-              (col("stratum") === "long" && col("h") < 500))
+      .withColumn("stratum", TextOps.stratumCol)
+      .withColumn("h", TextOps.sampleHashCol)
+      .filter(TextOps.sampleKeep(col("stratum"), col("h")))
       .select(col("doc_id"), col("source"), col("stratum"),
         col("n_tokens"), col("quality"))
   }

@@ -208,7 +208,15 @@ object GraftQueueSource {
     val body = json.trim.stripPrefix("{").stripSuffix("}").trim
     if (body.isEmpty) Map.empty
     else body.split(",").map { kv =>
-      val Array(k, v) = kv.split(":", 2)
+      // split at the LAST colon: the value is always a bare count, but
+      // a queue name may legally contain ':' — splitting at the first
+      // one would make the stream unable to restart from its own
+      // checkpoint. (Names cannot contain ',' or '"': the reader's
+      // comma-separated `queues` option and this JSON quoting already
+      // exclude them — enforced at publish.)
+      val cut = kv.lastIndexOf(':')
+      val k = kv.substring(0, cut)
+      val v = kv.substring(cut + 1)
       k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
     }.toMap
   }
@@ -235,18 +243,46 @@ object GraftQueueBroker {
       0L, text.getBytes(StandardCharsets.UTF_8))
 
   def publish(brokerDir: String, queue: String, msgs: Seq[Msg]): Unit = synchronized {
+    if (msgs.isEmpty) return // an empty batch must not spool a phantom blank line
+    require(!queue.exists(c => c == ',' || c == '"' || c == '/'),
+      s"queue name must not contain ',', '\"' or '/': '$queue'")
+    msgs.foreach { m =>
+      // the spool framing is TSV lines; a tab or newline in a string
+      // field would shift every later field and corrupt the line count
+      require(!m.destination.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"destination must not contain tab/newline: '${m.destination}'")
+      require(!m.replyTo.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"replyTo must not contain tab/newline: '${m.replyTo}'")
+    }
     val dir = GraftQueueSource.queueDir(brokerDir, queue)
     dir.mkdirs()
-    val existing = GraftQueueSource.spoolFiles(brokerDir, queue).size
-    val target = new File(dir, f"spool-$existing%08d.log")
-    val tmp = new File(dir, target.getName + ".tmp")
+    // Claim the next spool name atomically (createFile throws if it
+    // exists — a plain rename would SILENTLY REPLACE a concurrent
+    // publisher's file and lose its batch), then land the content with
+    // an atomic move. Readers seeing the claimed-but-empty file count
+    // zero messages; once content lands, length+mtime change and the
+    // line-count cache re-reads.
+    var existing = GraftQueueSource.spoolFiles(brokerDir, queue).size
+    var target = new File(dir, f"spool-$existing%08d.log")
+    var claimed = false
+    while (!claimed) {
+      try { Files.createFile(target.toPath); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        existing += 1
+        target = new File(dir, f"spool-$existing%08d.log")
+      }
+    }
+    // dot-prefixed so spoolFiles' "spool-" filter can never list the
+    // half-written tmp as an available spool file mid-publish
+    val tmp = new File(dir, "." + target.getName + ".tmp")
     val body = msgs.map { m =>
       Seq(m.messageId.toString, m.senderTsMicros.toString, m.receiveTsMicros.toString,
         m.priority.toString, m.destination, m.replyTo, m.timeToLive.toString,
         Base64.getEncoder.encodeToString(m.payload)).mkString("\t")
     }.mkString("", "\n", "\n")
     Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }
 
@@ -269,8 +305,11 @@ class MalformedLinesMetric extends org.apache.spark.sql.connector.metric.CustomS
 
 class GraftQueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   private val brokerDir = options.get("brokerDir")
+  // null-safe: the require below must be the error surface for a
+  // missing option, not an NPE from .split in a field initializer
   private val queues: Seq[String] =
-    options.get("queues").split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+    Option(options.get("queues")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).sorted
   private val permissive =
     options.getOrDefault("parseMode", "failfast").toLowerCase == "permissive"
   require(brokerDir != null && queues.nonEmpty, "brokerDir and queues options are required")
