@@ -380,20 +380,31 @@ object VectorOps {
     * joins the inverted lists without ever re-running Lloyd — the
     * steady-state serving cost, benched as `ann_ivf_query`.
     *
-    * The default cache location is keyed by BOTH the data dir (hash-
-    * qualified — see [[graft.Tables.dirKey]]) and `k`, so a k=256
-    * call never silently serves a k=16 index. An EXPLICIT `indexDir`
-    * is the caller's contract: they own its lifecycle and must
-    * rebuild when the source data or k changes — the build-if-missing
-    * probe only checks existence, exactly like any versioned index a
-    * serving system manages. */
+    * The default cache location is keyed by the data dir (hash-
+    * qualified — see [[graft.Tables.dirKey]]), by `k` (a k=256 call
+    * never silently serves a k=16 index), and by a CONTENT STAMP of
+    * the embeddings files (XOR of per-file length^mtime, the same
+    * freshness key the spool line-count cache uses) — regenerating
+    * the data at the same path invalidates the cache instead of
+    * silently serving neighbors from the old corpus. An EXPLICIT
+    * `indexDir` is the caller's contract: they own its lifecycle and
+    * must rebuild when the source data or k changes — the
+    * build-if-missing probe only checks existence, exactly like any
+    * versioned index a serving system manages. (Single builder per
+    * index assumed, as with any unmanaged index directory.) */
   def annIvfQuery(spark: SparkSession, dir: String,
                   indexDir: String = "", k: Int = ivfK,
                   probes: Int = ivfProbes): DataFrame = {
+    def stamp(f: java.io.File): Long =
+      if (f.isFile) f.length ^ f.lastModified
+      else if (f.isDirectory)
+        f.listFiles().foldLeft(f.listFiles().length.toLong)((acc, x) => acc ^ stamp(x))
+      else 0L
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +
-        graft.Tables.dirKey(dir) + s"-k$k"
+        graft.Tables.dirKey(dir) + s"-k$k-" +
+        java.lang.Long.toHexString(stamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
       ivfBuildIndex(spark, dir, idx, k)
     ivfSearch(spark, dir,
