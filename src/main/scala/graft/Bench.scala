@@ -44,6 +44,16 @@ object Bench {
       if (runs.forall(_._1)) (name, runs.map(_._2).min, runs.map(_._2).max)
       else (name, -1.0, -1.0)
     }
+    // STDOUT gets a COMPACT line (ms resolution, minima only): the
+    // driver keeps a bounded tail of stdout, and both BENCH_r03 and
+    // BENCH_r04 lost the line's head — full-precision doubles plus the
+    // [min,max] spread map pushed it past the capture window. The full-
+    // precision line (with the spread) goes to the file artifact.
+    def ms(v: Double): String = // Locale.ROOT: a comma decimal separator is not JSON
+      if (v < 0) "-1"
+      else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
@@ -51,10 +61,10 @@ object Bench {
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"errors":$errors,"sf":"$sfDir"}""")
+    // Defensive full-precision copy: a truncated stdout capture must
+    // not lose the round's numbers.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
-    println(line)
-    // Defensive copy of the result line: a truncated stdout capture
-    // (BENCH_r03's `parsed: null`) must not lose the round's total.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-results.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }

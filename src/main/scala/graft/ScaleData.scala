@@ -66,13 +66,30 @@ object ScaleData {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key)).cast("long")).first().getLong(0) + 1L
 
-    /** N copies with per-copy key offsets applied to `keys`. */
-    def offsetCopies(df: DataFrame, keys: Map[String, Long]): DataFrame =
+    /** N copies with per-copy key offsets applied to `keys`. The cast
+      * back to the column's original dtype runs with ANSI off, so an
+      * overflowing key would WRAP SILENTLY and corrupt FK integrity —
+      * assert the largest offset value fits the target dtype first
+      * (multiplyExact also rejects long-range overflow of the offsets
+      * themselves). */
+    def offsetCopies(df: DataFrame, keys: Map[String, Long]): DataFrame = {
+      keys.foreach { case (k, s) =>
+        val top = Math.addExact(Math.multiplyExact((copies - 1).toLong, s), s - 1L)
+        val ceiling = df.schema(k).dataType match {
+          case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
+          case org.apache.spark.sql.types.ShortType   => Short.MaxValue.toLong
+          case _                                      => Long.MaxValue
+        }
+        require(top <= ceiling,
+          s"key '$k': max offset key $top overflows ${df.schema(k).dataType} " +
+            s"($copies copies x span $s) — promote the column to long or reduce copies")
+      }
       (0 until copies).map { c =>
         keys.foldLeft(df) { case (acc, (k, s)) =>
           acc.withColumn(k, (col(k) + lit(c * s)).cast(acc.schema(k).dataType))
         }
       }.reduce(_ unionAll _)
+    }
 
     // dimensions: single copy
     write("region", read("region"))

@@ -34,7 +34,10 @@ object SkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/events.parquet"))) {
+    // _SUCCESS marker, not bare directory existence: a crashed prior
+    // run leaves a partial directory that would be silently reused,
+    // making the measured skew numbers wrong for that dst
+    if (!new java.io.File(s"$dst/events.parquet/_SUCCESS").isFile) {
       // events-only copy of ScaleData's key-offset scheme (the full
       // scaler regenerates every table; this harness needs one)
       val ev = spark.read.parquet(s"$src/events.parquet")

@@ -383,8 +383,10 @@ object VectorOps {
     * The default cache location is keyed by the data dir (hash-
     * qualified — see [[graft.Tables.dirKey]]), by `k` (a k=256 call
     * never silently serves a k=16 index), and by a CONTENT STAMP of
-    * the embeddings files (XOR of per-file length^mtime, the same
-    * freshness key the spool line-count cache uses) — regenerating
+    * the embeddings files (per-file name/length/mtime terms, the same
+    * freshness signal the spool line-count cache uses, chained with a
+    * non-commutative name-folded mix so reordered or equal-stat part
+    * files can't cancel out) — regenerating
     * the data at the same path invalidates the cache instead of
     * silently serving neighbors from the old corpus. An EXPLICIT
     * `indexDir` is the caller's contract: they own its lifecycle and
@@ -395,11 +397,21 @@ object VectorOps {
   def annIvfQuery(spark: SparkSession, dir: String,
                   indexDir: String = "", k: Int = ivfK,
                   probes: Int = ivfProbes): DataFrame = {
+    // Non-commutative mix over name-sorted children: a plain XOR of
+    // length^mtime is order- and multiplicity-insensitive (two part
+    // files with equal length+mtime cancel to 0, and ms-granularity
+    // mtimes make that real for a regenerated dir), so a stale index
+    // could collide with the fresh stamp. Folding the file NAME into
+    // each term and chaining with acc*31^term makes every (name,
+    // length, mtime, position) change move the stamp.
     def stamp(f: java.io.File): Long =
-      if (f.isFile) f.length ^ f.lastModified
-      else if (f.isDirectory)
-        f.listFiles().foldLeft(f.listFiles().length.toLong)((acc, x) => acc ^ stamp(x))
-      else 0L
+      if (f.isFile)
+        (f.getName.hashCode.toLong * 1315423911L) ^
+          java.lang.Long.rotateLeft(f.length, 17) ^ f.lastModified
+      else if (f.isDirectory) {
+        val kids = f.listFiles().sortBy(_.getName)
+        kids.foldLeft(kids.length.toLong)((acc, x) => acc * 31L ^ stamp(x))
+      } else 0L
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +

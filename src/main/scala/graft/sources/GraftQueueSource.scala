@@ -98,11 +98,31 @@ object GraftQueueSource {
     else d.listFiles((_, n) => n.startsWith("spool-")).toSeq.sortBy(_.getName)
   }
 
-  /** Total messages ever spooled to a queue. Per-file counts are
-    * cached: spool files are immutable once atomically renamed in, so
-    * polling cost is O(new files) per trigger, not O(spool bytes). */
+  /** The spool files whose content has LANDED, in name order, stopping
+    * at the first claimed-but-empty file. This is the ONLY file list
+    * offsets may be computed over: a publisher claims its spool name
+    * with an empty createFile and lands the content later (atomic
+    * move), so with concurrent cross-process publishers a later-named
+    * file can be full while an earlier claim is still empty. Counting
+    * past the gap would assign the later file's lines cumulative
+    * ordinals that SHIFT DOWNWARD once the earlier claim lands —
+    * duplicating already-emitted rows and skipping the landed ones.
+    * Stopping at the first unlanded claim makes the ordinal basis
+    * append-only: claims are name-ordered (the claim loop always takes
+    * the next free name), landed files are immutable, so the landed
+    * prefix only ever extends. Liveness caveat: a crashed publisher's
+    * orphaned empty claim stalls the queue behind it until removed —
+    * the same stall as a broker transaction left open, surfaced by
+    * `adminView`'s pending-claim count rather than by corrupt offsets. */
+  def landedSpoolFiles(brokerDir: String, queue: String): Seq[File] =
+    spoolFiles(brokerDir, queue).takeWhile(_.length > 0L)
+
+  /** Total landed messages spooled to a queue (the offset high-water
+    * basis — see [[landedSpoolFiles]]). Per-file counts are cached:
+    * spool files are immutable once atomically renamed in, so polling
+    * cost is O(new files) per trigger, not O(spool bytes). */
   def available(brokerDir: String, queue: String): Long =
-    spoolFiles(brokerDir, queue).map(countLines).sum
+    landedSpoolFiles(brokerDir, queue).map(countLines).sum
 
   private val lineCountCacheMax = 65536
 
@@ -190,12 +210,19 @@ object GraftQueueSource {
         .filter(f => f.isDirectory && f.getName != "_acks")
         .sortBy(_.getName)
     queues.map { q =>
-      val files = spoolFiles(brokerDir, q.getName)
-      val spooled = files.map(countLines).sum
+      val all = spoolFiles(brokerDir, q.getName)
+      val landed = landedSpoolFiles(brokerDir, q.getName)
+      val spooled = landed.map(countLines).sum
       val acked = ackedCount(brokerDir, q.getName)
+      // pending_claims > 0 for more than an instant = a publisher died
+      // between claim and landing; the queue is stalled behind it
+      // (landed files past the first claim exist but are not yet
+      // consumable, so they are not in `spooled` either)
       (q.getName, spooled, acked, math.max(0L, spooled - acked),
-        files.size.toLong, files.map(_.length).sum)
-    }.toDF("queue", "spooled", "acked", "backlog", "spool_files", "spool_bytes")
+        landed.size.toLong, landed.map(_.length).sum,
+        all.count(_.length == 0L).toLong)
+    }.toDF("queue", "spooled", "acked", "backlog", "spool_files", "spool_bytes",
+      "pending_claims")
   }
 
   /** Offsets as a sorted-key JSON object {"q":count,...}. */
@@ -215,6 +242,12 @@ object GraftQueueSource {
       // comma-separated `queues` option and this JSON quoting already
       // exclude them — enforced at publish.)
       val cut = kv.lastIndexOf(':')
+      if (cut < 0)
+        // a corrupted checkpoint must name the payload it choked on,
+        // not surface a bare StringIndexOutOfBoundsException
+        throw new IllegalStateException(
+          s"corrupted checkpoint offset entry '$kv' " +
+            s"""(expected "queue":count) in offset JSON: $json""")
       val k = kv.substring(0, cut)
       val v = kv.substring(cut + 1)
       k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
@@ -259,9 +292,11 @@ object GraftQueueBroker {
     // Claim the next spool name atomically (createFile throws if it
     // exists — a plain rename would SILENTLY REPLACE a concurrent
     // publisher's file and lose its batch), then land the content with
-    // an atomic move. Readers seeing the claimed-but-empty file count
-    // zero messages; once content lands, length+mtime change and the
-    // line-count cache re-reads.
+    // an atomic move. Readers never count past the first claimed-but-
+    // unlanded file (landedSpoolFiles), so a claim that lands AFTER a
+    // later-named file cannot shift already-planned ordinals; once the
+    // content lands, length+mtime change and the line-count cache
+    // re-reads.
     var existing = GraftQueueSource.spoolFiles(brokerDir, queue).size
     var target = new File(dir, f"spool-$existing%08d.log")
     var claimed = false
@@ -463,7 +498,10 @@ class GraftQueuePartitionReader(p: GraftQueuePartition)
   }
 
   private val lines: Iterator[(String, Long, String)] = {
-    val files = GraftQueueSource.spoolFiles(p.brokerDir, p.queue)
+    // landed prefix ONLY — the same ordinal basis the planner's
+    // available() used, so a claim landing between planning and
+    // reading can never shift which lines the ordinals denote
+    val files = GraftQueueSource.landedSpoolFiles(p.brokerDir, p.queue)
     val counts = files.map(GraftQueueSource.countLines)
     // Long-safe range math; files wholly before fromLine are skipped
     // without opening (cached counts give each file's start ordinal).

@@ -761,4 +761,67 @@ class StreamingSpec extends AnyFunSuite {
         s"range [$from,$to) over $counts covered $covered lines")
     }
   }
+
+  test("a claimed-but-unlanded spool file freezes ordinals (cross-process publish safety)") {
+    // Publisher A (another process) claims spool-N with an empty
+    // createFile; publisher B claims and LANDS spool-N+1 before A's
+    // content arrives. Offsets are cumulative line ordinals over the
+    // name-sorted spool, so counting past A's empty claim would give
+    // B's lines ordinals that SHIFT once A lands — duplicating rows
+    // already emitted and skipping A's. The landed-prefix rule stops
+    // the ordinal basis at the first unlanded claim instead.
+    val broker = tmpDir("graft-broker")
+    publishText(broker, "qc", 0 until 4, i => s"early $i")   // spool-0, landed
+    val qdir = GraftQueueSource.queueDir(broker, "qc")
+    val claim = new java.io.File(qdir, "spool-00000001.log")
+    Files.createFile(claim.toPath)                            // A's empty claim
+    publishText(broker, "qc", 10 until 13, i => s"late $i")   // B lands spool-2
+
+    // available() must stop at the claim: only the 4 landed-prefix rows
+    assert(GraftQueueSource.available(broker, "qc") === 4L)
+    val admin = GraftQueueSource.adminView(spark, broker).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Long]("pending_claims"))).toMap
+    assert(admin("qc") === ((4L, 1L)), "adminView must surface the stalled claim")
+
+    val q = Pipelines.readQueues(spark, broker, Seq("qc"))
+      .writeStream.format("memory").queryName("landed_prefix")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("landed_prefix").count() === 4,
+        "rows past an unlanded claim must not be emitted")
+
+      // A's content lands (atomic move, same as publish's landing step)
+      val tmp = new java.io.File(qdir, ".a-landing.tmp")
+      Files.write(tmp.toPath,
+        (20 until 22).map(i => s"$i\t1700000000000000\t1700000000001000\t4\tt/qc/0\t\t0\t" +
+          java.util.Base64.getEncoder.encodeToString(s"claimed $i".getBytes("UTF-8")))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.move(tmp.toPath, claim.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+      q.processAllAvailable()
+      val got = spark.table("landed_prefix")
+        .select("message_id", "sequence_number").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._2)
+      // all 9 rows exactly once, ordinals assigned in landed order —
+      // A's rows take ordinals 4-5, B's 6-8, nothing replayed
+      assert(got.map(_._1).toSeq ===
+        Seq(0L, 1L, 2L, 3L, 20L, 21L, 10L, 11L, 12L))
+      assert(got.map(_._2).toSeq === (0L until 9L))
+    } finally q.stop()
+  }
+
+  test("a corrupted checkpoint offset entry fails with the offending payload named") {
+    val e = intercept[IllegalStateException] {
+      GraftQueueSource.offsetsFromJson("""{"qa"5}""")
+    }
+    assert(e.getMessage.contains(""""qa"5"""))
+    // round-trip with ':' in the queue name still works
+    val m = Map("a:b" -> 7L, "plain" -> 2L)
+    assert(GraftQueueSource.offsetsFromJson(
+      GraftQueueSource.offsetsToJson(m)) === m)
+  }
 }
