@@ -74,6 +74,8 @@ object SparkEntry {
     "lang_id"            -> TextOps.langId _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "doc_shingle_stats"  -> TextOps.shingleStats _,
+    "doc_repetition"     -> TextOps.docRepetition _,
+    "doc_novelty"        -> TextOps.docNovelty _,
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     "doc_sample"         -> TextOps.docSample _,
     "decontamination"    -> ((s: SparkSession, d: String) => TextOps.decontamination(s, d)),
@@ -101,6 +103,7 @@ object SparkEntry {
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
+    "source_overlap"      -> DedupOps.sourceOverlap _,
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),
@@ -167,6 +170,8 @@ object SparkEntry {
     "lang_id"            -> TextOps.langIdSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
+    "doc_repetition"     -> TextOps.docRepetitionSql,
+    "doc_novelty"        -> TextOps.docNoveltySql,
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
     "decontamination"    -> TextOps.decontaminationSql,
@@ -176,6 +181,7 @@ object SparkEntry {
     "dedup_containment"   -> DedupOps.containmentSql,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     "dedup_clusters"      -> DedupOps.dupClustersSql,
+    "source_overlap"      -> DedupOps.sourceOverlapSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,

@@ -445,4 +445,37 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= simhashMaxHamming)
   }
+
+  /** Cross-source duplication matrix — the contamination report a
+    * corpus owner reads before mixing sources: for every (source,
+    * source) pair, how many exact near-dup pairs (J ≥ [[threshold]])
+    * straddle it, and how strong is the worst one. Composes the
+    * exact-Jaccard pair generator with the document metadata: the
+    * pair set is tiny relative to the corpus (it already survived the
+    * near-dup threshold), so AQE broadcasts the pair side into the
+    * two metadata attachment joins and the corpus-sized side never
+    * shuffles for them — the [[fuzzyEdit]] attachment shape. The
+    * aggregate uses count + max only (order-independent, exact;
+    * avg-of-doubles would be partitioning-dependent). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    ngramJaccard(spark, dir)
+      .join(meta.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH pairs AS (
+       |$jaccardSql
+       |)
+       |SELECT least(da.source, db.source) AS source_a,
+       | greatest(da.source, db.source) AS source_b,
+       | count(*) AS n_pairs, max(jaccard) AS max_jaccard
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.doc_a
+       |JOIN documents db ON db.doc_id = pairs.doc_b
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -353,6 +353,148 @@ object TextOps {
        |WHERE g.source <> '$decontamBenchSource'
        |GROUP BY 1, 2""".stripMargin
 
+  /** Repetition-quality thresholds (Gopher-rule shape: drop documents
+    * dominated by a single token or by repeated n-grams). Chosen to
+    * split the test corpus non-trivially (312/500 kept at sf0.01);
+    * a deployment tunes them per corpus. */
+  val repTopWordMax = 0.1
+  val repDup2gramMax = 0.3
+
+  /** Gopher-style repetition metrics per document — the second family
+    * of quality filters a training-data pipeline runs (alongside the
+    * [[textQuality]] ratio rules): top-word share (what fraction of
+    * the doc is its single most frequent token) and duplicate 2-/
+    * 3-gram fractions (how much of the doc is n-grams it already
+    * used). A `keep` flag applies the thresholds.
+    *
+    * Shape at scale: the gram stats are pure map-side array math
+    * (size / array_distinct on per-doc arrays — no shuffle); the
+    * top-word count is the one aggregate that needs a shuffle and it
+    * is the [[tfidfTopTerm]] shape: explode to (doc, word), count,
+    * per-doc max — partial aggregation collapses each doc's words
+    * within its scan partition, so the shuffle carries per-doc vocab,
+    * not token volume. Ratios are ONE double division of exact ints
+    * (bit-identical cross-engine); `keep` is pure integer/boolean
+    * logic on those. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    def grams(k: Int): Column =
+      when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", slice(w, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    val g2 = grams(2)
+    val g3 = grams(3)
+    val base = docs(spark, dir).select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(g2).as("n2"), size(array_distinct(g2)).as("u2"),
+      size(g3).as("n3"), size(array_distinct(g3)).as("u3"))
+    val tops = docs(spark, dir)
+      .select(col("doc_id"), explode(w).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_cnt"))
+    base.join(tops, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_share"),
+        when(col("n2") > 0,
+          (col("n2") - col("u2")).cast("double") / col("n2").cast("double"))
+          .as("dup_2gram_frac"),
+        when(col("n3") > 0,
+          (col("n3") - col("u3")).cast("double") / col("n3").cast("double"))
+          .as("dup_3gram_frac"))
+      // null dup fraction (degenerate doc) -> not kept, same as SQL's
+      // CASE WHEN null THEN .. ELSE 0
+      .withColumn("keep",
+        when(col("top_word_share") <= repTopWordMax
+          && col("dup_2gram_frac") <= repDup2gramMax, lit(1L)).otherwise(lit(0L)))
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       | FROM documents),
+       |m AS (SELECT doc_id, unnest(w) AS word FROM t),
+       |topc AS (
+       | SELECT doc_id, max(c) AS top_cnt FROM (
+       |  SELECT doc_id, word, count(*) AS c FROM m GROUP BY doc_id, word)
+       | GROUP BY doc_id),
+       |g AS (
+       | SELECT doc_id, len(w) AS n_tokens,
+       |  CASE WHEN len(w) >= 2
+       |   THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+       |   ELSE [] END AS g2,
+       |  CASE WHEN len(w) >= 3
+       |   THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+       |   ELSE [] END AS g3
+       | FROM t),
+       |s AS (
+       | SELECT g.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(top_cnt AS BIGINT) AS top_cnt,
+       |  CAST(top_cnt AS DOUBLE)/n_tokens AS top_word_share,
+       |  CASE WHEN len(g2) > 0
+       |   THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)/len(g2)
+       |   END AS dup_2gram_frac,
+       |  CASE WHEN len(g3) > 0
+       |   THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)/len(g3)
+       |   END AS dup_3gram_frac
+       | FROM g JOIN topc ON g.doc_id = topc.doc_id)
+       |SELECT *,
+       | CAST(CASE WHEN top_word_share <= $repTopWordMax
+       |   AND dup_2gram_frac <= $repDup2gramMax THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s""".stripMargin
+
+  /** Per-document n-gram novelty — a data-curation signal: what
+    * fraction of a doc's distinct 3-shingles appear here FIRST (the
+    * corpus-wide minimum doc_id owning the shingle is this doc)?
+    * Boilerplate-heavy or near-duplicate documents score low; the
+    * first copy of duplicated content keeps its score — which is
+    * exactly the ordering a keep-first dedup policy wants.
+    *
+    * Shape at scale: explode distinct shingles (map-side kernel), ONE
+    * shuffle on the shingle key for the min-owner aggregate, join
+    * back, re-aggregate per doc. Both consumers of the exploded
+    * shingle set reference the SAME subplan, so the exchange is
+    * reused rather than re-scanning the corpus. Novelty is one double
+    * division of exact ints. Docs with no 3-shingles (<3 tokens) have
+    * no rows to aggregate and are absent, same as the oracle. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.distinctShingles3(col("text"))).as("s"))
+    val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  val docNoveltySql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |   THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+      |   ELSE [] END) AS shs
+      | FROM toks),
+      |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |f AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s),
+      |a AS (
+      | SELECT ex.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN ex.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel
+      | FROM ex JOIN f USING (s) GROUP BY ex.doc_id)
+      |SELECT doc_id, n_shingles, n_novel,
+      | CAST(n_novel AS DOUBLE)/n_shingles AS novelty
+      |FROM a""".stripMargin
+
   /** Shingle-set profile per document (feeds the dedup suite). */
   def shingleStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))

@@ -266,4 +266,62 @@ class QueriesSpec extends AnyFunSuite {
       bf.get(key).foreach(c => assert(c === r.getDouble(3)))
     }
   }
+
+  test("doc_repetition metrics are internally consistent") {
+    import org.apache.spark.sql.functions._
+    val rep = operators.TextOps.docRepetition(spark, sf).cache()
+    try {
+      val n = rep.count()
+      assert(n > 0)
+      // every ratio in range; keep agrees with the thresholds row-wise
+      assert(rep.filter(col("top_word_share") <= 0 || col("top_word_share") > 1).count() === 0)
+      assert(rep.filter(col("dup_2gram_frac") < 0 || col("dup_2gram_frac") >= 1).count() === 0)
+      val disagree = rep.filter(
+        (col("keep") === 1) =!= (col("top_word_share") <= operators.TextOps.repTopWordMax
+          && col("dup_2gram_frac") <= operators.TextOps.repDup2gramMax)).count()
+      assert(disagree === 0)
+      // thresholds must split the corpus non-trivially, or the filter
+      // is vacuous on this data
+      val kept = rep.filter(col("keep") === 1).count()
+      assert(kept > 0 && kept < n, s"keep=$kept of $n is a vacuous split")
+      // the mode count is positive and never exceeds the doc length
+      assert(rep.filter(col("top_cnt") < 1 || col("top_cnt") > col("n_tokens")).count() === 0)
+    } finally rep.unpersist()
+  }
+
+  test("doc_novelty: the first copy of duplicated content scores 1, later copies score low") {
+    import org.apache.spark.sql.functions._
+    val nov = operators.TextOps.docNovelty(spark, sf).cache()
+    try {
+      // novelty in [0, 1] — 0 is real (every shingle seen earlier)
+      assert(nov.filter(col("novelty") < 0 || col("novelty") > 1).count() === 0)
+      // sound bound for the LATER doc of any J >= 0.8 pair: c >=
+      // (4/9)(na+nb) >= (4/9)nb of its shingles are shared with an
+      // earlier doc (min owner < b), so novelty(b) <= 5/9. (No claim
+      // about the earlier doc — it may itself duplicate an even
+      // earlier one.)
+      val pairs = operators.DedupOps.ngramJaccard(spark, sf)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty)
+      val nv = nov.select("doc_id", "novelty").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      pairs.foreach { case (_, b) =>
+        assert(nv(b) <= 5.0 / 9.0,
+          s"later near-dup $b has novelty ${nv(b)} > 5/9 — shared shingles not counted as seen?")
+      }
+      // the corpus-wide minimum doc of any shingle exists, so at least
+      // one doc is fully novel
+      assert(nov.filter(col("novelty") === 1.0).count() > 0)
+    } finally nov.unpersist()
+  }
+
+  test("source_overlap totals equal the near-dup pair count") {
+    import org.apache.spark.sql.functions._
+    val pairs = operators.DedupOps.ngramJaccard(spark, sf).count()
+    val matrix = operators.DedupOps.sourceOverlap(spark, sf)
+    val total = matrix.agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(total === pairs, "every near-dup pair lands in exactly one matrix cell")
+    // canonical ordering: source_a <= source_b in every cell
+    assert(matrix.filter(col("source_a") > col("source_b")).count() === 0)
+  }
 }
