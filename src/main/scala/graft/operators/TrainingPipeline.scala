@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** The composed end-to-end training-data job — the thing a user of
   * this library actually runs at 100 TB: ingest → near-dup dedup
   * (pure-LSH scale mode) → benchmark decontamination → quality filter
-  * → deterministic stratified sample → partitioned parquet write,
-  * one DataFrame program.
+  * (ratio rules + Gopher-style repetition rules) → deterministic
+  * stratified sample → partitioned parquet write, one DataFrame
+  * program.
   *
   * Composition is where a pipeline wins or loses at scale, not the
   * individual stages:
@@ -70,6 +71,12 @@ object TrainingPipeline {
     val quality = TextOps.textQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
 
+    // repetition filter (Gopher-rule stage): drop docs dominated by a
+    // repeated token or n-gram — exact integer metrics, so both
+    // pipeline modes stay deterministic in this stage
+    val nonRepetitive = TextOps.docRepetition(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+
     // deterministic stratified sample — the SAME column definitions
     // TextOps.docSample uses, so the two agree doc-for-doc by
     // construction
@@ -77,6 +84,7 @@ object TrainingPipeline {
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(quality.filter(col("quality") >= qualityMin), Seq("doc_id"))
+      .join(nonRepetitive, Seq("doc_id"), "left_semi")
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)
       .filter(TextOps.sampleKeep(col("stratum"), col("h")))
@@ -119,6 +127,8 @@ object TrainingPipeline {
        |contaminated AS (
        |  SELECT DISTINCT doc_id FROM (${TextOps.decontaminationSql})),
        |quality AS (${TextOps.textQualitySql}),
+       |nonrep AS (
+       |  SELECT doc_id FROM (${TextOps.docRepetitionSql}) WHERE keep = 1),
        |sample AS (${TextOps.docSampleSql}),
        |surv AS (
        |  SELECT d.doc_id, d.source, smp.stratum, q.n_tokens, q.quality
@@ -128,7 +138,8 @@ object TrainingPipeline {
        |  WHERE d.source <> '${TextOps.decontamBenchSource}'
        |    AND q.quality >= $qualityMin
        |    AND d.doc_id NOT IN (SELECT doc_b FROM pairs)
-       |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND d.doc_id IN (SELECT doc_id FROM nonrep))
        |SELECT source, stratum, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
        |  min(quality) AS min_quality

@@ -116,6 +116,21 @@ object Pipelines {
       }
   }
 
+  /** Exactly-once dedup with WATERMARK-bounded state — the built-in
+    * alternative to [[statefulDedup]]: `dropDuplicatesWithinWatermark`
+    * keeps a (queue, message_id) key only until the event-time
+    * watermark passes it, so state is bounded by the redelivery
+    * horizon instead of by total key cardinality (or by a processing-
+    * time TTL that needs no-data micro-batches to fire). The contract
+    * matches real broker redelivery: a duplicate arrives within the
+    * redelivery window or not at all; a copy later than `watermark`
+    * past the original MAY be re-emitted — that is the documented
+    * trade for O(window) state at 100 TB key volumes. */
+  def watermarkDedup(messages: DataFrame, watermark: String = "1 minute"): DataFrame =
+    messages
+      .withWatermark("sender_ts", watermark)
+      .dropDuplicatesWithinWatermark("queue", "message_id")
+
   /** Stream-stream interval join: correlate messages from two queues
     * by payload key within ± `tolerance` of event time. Watermarks on
     * both sides bound the join state — the cross-stream enrichment

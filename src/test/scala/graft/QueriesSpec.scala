@@ -188,10 +188,14 @@ class QueriesSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val sampled = operators.TextOps.docSample(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    val repetitive = operators.TextOps.docRepetition(spark, sf)
+      .filter(col("keep") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     assert((ids intersect bench).isEmpty, "bench-source docs leaked")
     assert((ids intersect contaminated).isEmpty, "contaminated docs leaked")
     assert((ids intersect dupDropped).isEmpty, "near-dup larger sides leaked")
     assert((ids intersect lowQuality).isEmpty, "low-quality docs leaked")
+    assert((ids intersect repetitive).isEmpty, "repetition-flagged docs leaked")
     assert((ids -- sampled).isEmpty, "docs outside the deterministic sample leaked")
 
     // summary totals agree with the written shards

@@ -762,6 +762,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark-bounded dedup: exactly-once within the window, state evicted after it") {
+    val broker = tmpDir("graft-broker")
+    val t0 = 1700000000000000L
+    publishText(broker, "qd", 0 until 11, i => s"m$i")  // ids 0-10
+    publishText(broker, "qd", 0 until 6, i => s"m$i")   // redelivered 0-5, same sender_ts
+
+    val q = Pipelines.watermarkDedup(
+        Pipelines.readQueues(spark, broker, Seq("qd")), "1 minute")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() === 11,
+        "redeliveries within the watermark window must be dropped")
+
+      // advance the watermark ~1h past the originals -> their keys are
+      // evicted from state (the bounded-state contract)
+      GraftQueueBroker.publish(broker, "qd", Seq(
+        GraftQueueBroker.textMsg(99L, t0 + 3600L * 1000000L, "t/qd/0", "late horizon")))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() === 12)
+
+      // the SAME key re-arriving after eviction is re-emitted — the
+      // documented trade for O(redelivery window) state instead of
+      // O(total keys): a real broker redelivers within the window
+      GraftQueueBroker.publish(broker, "qd", Seq(
+        GraftQueueBroker.textMsg(0L, t0 + 3601L * 1000000L, "t/qd/0", "post-eviction copy")))
+      q.processAllAvailable()
+      val id0 = spark.table("wm_dedup").filter(col("message_id") === 0L).count()
+      assert(id0 === 2, s"expected the post-eviction copy to re-emit (got $id0 rows)")
+      assert(spark.table("wm_dedup").count() === 13)
+    } finally q.stop()
+  }
+
   test("a claimed-but-unlanded spool file freezes ordinals (cross-process publish safety)") {
     // Publisher A (another process) claims spool-N with an empty
     // createFile; publisher B claims and LANDS spool-N+1 before A's
