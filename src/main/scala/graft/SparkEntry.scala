@@ -65,6 +65,8 @@ object SparkEntry {
     "q_approx_percentile" -> EventOps.approxPercentiles _,
     "q_asof_join"    -> TemporalJoins.asofJoin _,
     "q_range_join"   -> TemporalJoins.rangeJoin _,
+    "q_funnel"       -> EventOps.funnel _,
+    "q_retention"    -> EventOps.retention _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
     "windowed_wordcount" -> TextOps.windowedWordCount _,
@@ -162,6 +164,8 @@ object SparkEntry {
     "q_json_props"   -> EventOps.jsonPropsSql,
     "q_asof_join"    -> TemporalJoins.asofJoinSql,
     "q_range_join"   -> TemporalJoins.rangeJoinSql,
+    "q_funnel"       -> EventOps.funnelSql,
+    "q_retention"    -> EventOps.retentionSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,

@@ -383,4 +383,89 @@ object EventOps {
       | w_run AS (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       | w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** Per-step funnel conversion window: a later step only counts if it
+    * happens within this long of the previous step (µs). Unbounded
+    * funnels saturate — every active user eventually does everything. */
+  val funnelWindowUs: Long = 3600L * 1000000L
+
+  /** Conversion funnel view → click → purchase: per user, the first
+    * view, the first click within [[funnelWindowUs]] of it, the first
+    * purchase within the window of THAT — then one summary row with
+    * per-step user counts and exact total step-lag µs.
+    *
+    * Shape at scale: each step is a groupBy(user) min over a filtered
+    * event scan joined to the previous step's (user, ts) table — all
+    * equi-joins on user_id, each step's output strictly shrinks, and
+    * the final roll-ups are 1-row aggregates crossed together (the
+    * q22 scalar pattern). Timestamps stay integer µs end to end:
+    * counts and lag sums are exact, no interval/double drift. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("tu") > col("t1") && col("tu") <= col("t1") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("tu") > col("t2") && col("tu") <= col("t2") + funnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+    val r1 = s1.agg(count(lit(1)).as("n_view"))
+    val r2 = s2.join(s1, "user_id")
+      .agg(count(lit(1)).as("n_click"),
+        sum(col("t2") - col("t1")).as("view_to_click_us"))
+    val r3 = s3.join(s2, "user_id")
+      .agg(count(lit(1)).as("n_purchase"),
+        sum(col("t3") - col("t2")).as("click_to_purchase_us"))
+    r1.crossJoin(r2).crossJoin(r3)
+  }
+
+  val funnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+       |s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click'
+       |         AND tu > t1 AND tu <= t1 + $funnelWindowUs GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase'
+       |         AND tu > t2 AND tu <= t2 + $funnelWindowUs GROUP BY 1),
+       |r1 AS (SELECT count(*) AS n_view FROM s1),
+       |r2 AS (SELECT count(*) AS n_click,
+       |        CAST(sum(t2 - t1) AS BIGINT) AS view_to_click_us
+       |       FROM s2 JOIN s1 USING (user_id)),
+       |r3 AS (SELECT count(*) AS n_purchase,
+       |        CAST(sum(t3 - t2) AS BIGINT) AS click_to_purchase_us
+       |       FROM s3 JOIN s2 USING (user_id))
+       |SELECT * FROM r1, r2, r3""".stripMargin
+
+  /** Cohort retention matrix: users grouped by first-seen day, active
+    * users counted per (cohort, day offset). Rows are (user, day)
+    * distinct BEFORE the join — the count is then a plain count, not a
+    * count-distinct carrying user sets through the shuffle. Integer
+    * date math only. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    // day-truncated TIMESTAMPS (not DATE) so both engines land on the
+    // same pandas dtype in the hash compare; the offset is integer µs
+    // division — exact on day-truncated stamps, no calendar functions
+    val act = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort"),
+        expr("(unix_micros(day) - unix_micros(cohort)) div 86400000000")
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  val retentionSql: String =
+    """WITH act AS (
+      | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+      |SELECT cohort,
+      | (epoch_us(day) - epoch_us(cohort)) // 86400000000 AS day_offset,
+      | count(*) AS n_active
+      |FROM act JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 }

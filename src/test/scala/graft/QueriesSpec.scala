@@ -319,6 +319,40 @@ class QueriesSpec extends AnyFunSuite {
     } finally nov.unpersist()
   }
 
+  test("q_funnel steps are monotone and lag sums are consistent") {
+    val r = operators.EventOps.funnel(spark, sf).collect()(0)
+    val (nView, nClick, nPurchase) =
+      (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))
+    assert(nView >= nClick && nClick >= nPurchase, s"funnel grew: $nView -> $nClick -> $nPurchase")
+    assert(nView > 0)
+    // each converted user contributes a positive lag bounded by the window
+    if (nClick > 0) {
+      val lag = r.getAs[Long]("view_to_click_us")
+      assert(lag > 0 && lag <= nClick * operators.EventOps.funnelWindowUs)
+    }
+    if (nPurchase > 0) {
+      val lag = r.getAs[Long]("click_to_purchase_us")
+      assert(lag > 0 && lag <= nPurchase * operators.EventOps.funnelWindowUs)
+    }
+  }
+
+  test("q_retention cohort matrix: day-0 activity covers each cohort exactly") {
+    import org.apache.spark.sql.functions._
+    val m = operators.EventOps.retention(spark, sf).cache()
+    try {
+      // every cohort has a day-0 row (the first-seen day itself), and
+      // no offset is negative
+      assert(m.filter(col("day_offset") < 0).count() === 0)
+      val cohorts = m.select("cohort").distinct().count()
+      assert(m.filter(col("day_offset") === 0).count() === cohorts)
+      // day-0 actives per cohort == cohort size (first day counts everyone)
+      val total = m.filter(col("day_offset") === 0)
+        .agg(sum(col("n_active"))).collect()(0).getLong(0)
+      val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+      assert(total === users, "day-0 rows must partition the user base by cohort")
+    } finally m.unpersist()
+  }
+
   test("source_overlap totals equal the near-dup pair count") {
     import org.apache.spark.sql.functions._
     val pairs = operators.DedupOps.ngramJaccard(spark, sf).count()
