@@ -102,6 +102,11 @@ object SparkEntry {
     "dedup_minhash_pure_lsh" -> ((s: SparkSession, d: String) =>
       DedupOps.minhashLsh(s, d, exactRecallUnion = false)),
     "dedup_containment"   -> DedupOps.containment _,
+    // ingestion-time incremental dedup: a ~10% "incoming" batch probes
+    // the parquet minhash index (universe/sets/bands built once);
+    // gate mode unions the batch-touching exact prefix pairs so the
+    // hash oracle applies; pure-probe scale mode is spec-gated
+    "dedup_incremental"   -> ((s: SparkSession, d: String) => DedupOps.dedupIncremental(s, d)),
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
@@ -183,6 +188,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,
     "dedup_containment"   -> DedupOps.containmentSql,
+    "dedup_incremental"   -> DedupOps.dedupIncrementalSql,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     "dedup_clusters"      -> DedupOps.dupClustersSql,
     "source_overlap"      -> DedupOps.sourceOverlapSql,

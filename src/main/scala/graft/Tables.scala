@@ -31,6 +31,22 @@ object Tables {
     dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  /** Content stamp of a file tree for cache freshness (tmp index
+    * caches keyed by data dir + this): per-file terms fold the NAME
+    * with length and mtime, chained with a non-commutative mix over
+    * name-sorted children — a plain XOR of length^mtime is order- and
+    * multiplicity-insensitive (two part files with equal stats cancel
+    * to 0), so a regenerated dir could collide with its old stamp and
+    * silently serve a stale index. */
+  def contentStamp(f: java.io.File): Long =
+    if (f.isFile)
+      (f.getName.hashCode.toLong * 1315423911L) ^
+        java.lang.Long.rotateLeft(f.length, 17) ^ f.lastModified
+    else if (f.isDirectory) {
+      val kids = f.listFiles().sortBy(_.getName)
+      kids.foldLeft(kids.length.toLong)((acc, x) => acc * 31L ^ contentStamp(x))
+    } else 0L
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -446,6 +446,119 @@ object DedupOps {
       .filter(col("hamming") <= simhashMaxHamming)
   }
 
+  /** Batch slice predicate for the incremental-dedup entry: docs with
+    * doc_id ≡ 7 (mod 10) play the "incoming batch" (~10% of the
+    * corpus) probed against the index of the whole corpus. */
+  private def incomingBatch(c: Column): Column = pmod(c, lit(10)) === 7
+
+  /** Build the minhash dedup index to parquet — the state a streaming
+    * ingestion pipeline maintains so NEW documents dedup against the
+    * corpus without recomputing corpus-wide aggregates:
+    *  - `universe`: the df-capped shingle vocabulary (shingle, df) —
+    *    the frozen cap decisions new docs must shingle against;
+    *  - `sets`: per-doc prefix-ordered shingle arrays (the verify
+    *    side);
+    *  - `bands`: the LSH band-key inverted index (band, bkey, doc_id).
+    * Written last, `bands/_SUCCESS` is the build-complete marker. */
+  def incrementalIndexBuild(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val universe = cappedShingles(spark, dir)
+      .select(col("s"), col("df")).distinct()
+    universe.write.mode("overwrite").parquet(s"$indexDir/universe")
+    val sets = docSets(spark, dir)
+    sets.write.mode("overwrite").parquet(s"$indexDir/sets")
+    val sigs = sets.select(col("doc_id"),
+      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
+    val bandKeys = (0 until numBands).map { j =>
+      val rows = (0 until rowsPerBand).map(k => element_at(col("sig"), rowsPerBand * j + k + 1))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Incremental dedup — the ingestion-time shape at 100 TB: a NEW
+    * batch of documents (here the deterministic ~10% [[incomingBatch]]
+    * slice) is deduplicated against the indexed corpus by PROBING the
+    * parquet index, never rebuilding it. Only the batch is shingled
+    * and signed; its shingles join the frozen `universe` (so cap
+    * decisions match the index), its band keys probe the `bands`
+    * inverted index, and survivors verify exactly against the `sets`
+    * arrays. Corpus-side cost is index reads — no corpus-wide
+    * df aggregate, no corpus signature pass — which is what makes
+    * per-batch dedup affordable when the corpus is 10⁶× the batch.
+    *
+    * Modes, mirroring [[minhashLsh]]:
+    *  - `exactRecallUnion = true` (gate): candidates union the exact
+    *    prefix-filtered pairs RESTRICTED to pairs touching the batch,
+    *    so the output deterministically equals the exact pair set
+    *    `{(a,b) : J ≥ t, a or b in batch}` and the DuckDB oracle is
+    *    [[jaccardSql]] plus that predicate.
+    *  - `exactRecallUnion = false` (scale): LSH probe only — recall
+    *    spec'd against the exact twin, one band-key shuffle.
+    *
+    * Index caching matches [[VectorOps.annIvfQuery]]: the default
+    * location is keyed by the data dir (hash-qualified) and a content
+    * stamp of documents.parquet; an explicit `indexDir` is the
+    * caller's lifecycle contract. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+                       indexDir: String = "",
+                       exactRecallUnion: Boolean = true): DataFrame = {
+    val idx =
+      if (indexDir.nonEmpty) indexDir
+      else sys.props("java.io.tmpdir") + "/graft-mhidx-" +
+        graft.Tables.dirKey(dir) + "-" +
+        java.lang.Long.toHexString(
+          graft.Tables.contentStamp(new java.io.File(s"$dir/documents.parquet")))
+    if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
+      incrementalIndexBuild(spark, dir, idx)
+
+    val universe = spark.read.parquet(s"$idx/universe")
+    val sets = spark.read.parquet(s"$idx/sets")
+    val bands = spark.read.parquet(s"$idx/bands")
+
+    // the batch is shingled fresh (as ingestion would), against the
+    // FROZEN universe — cap decisions identical to the index build
+    val batchSets = Tables(spark, dir, "documents")
+      .filter(incomingBatch(col("doc_id")))
+      .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
+      .join(universe, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
+        count(lit(1)).as("n"))
+    val batchSigs = batchSets.select(col("doc_id"),
+      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
+    val bandKeys = (0 until numBands).map { j =>
+      val rows = (0 until rowsPerBand).map(k => element_at(col("sig"), rowsPerBand * j + k + 1))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    val probe = batchSigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val lshCands = probe
+      .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(least(col("doc_id"), col("old_id")).as("doc_a"),
+        greatest(col("doc_id"), col("old_id")).as("doc_b"))
+      .distinct()
+
+    val cands =
+      if (exactRecallUnion)
+        lshCands.union(
+          prefixCandidates(sets).filter(
+            incomingBatch(col("doc_a")) || incomingBatch(col("doc_b"))))
+          .distinct()
+      else lshCands
+
+    verifyPairs(cands, sets)
+  }
+
+  /** Oracle: the exact near-dup pairs touching the incoming batch. */
+  val dedupIncrementalSql: String =
+    s"""WITH pairs AS (
+       |$jaccardSql
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""".stripMargin
+
   /** Cross-source duplication matrix — the contamination report a
     * corpus owner reads before mixing sources: for every (source,
     * source) pair, how many exact near-dup pairs (J ≥ [[threshold]])

@@ -397,26 +397,12 @@ object VectorOps {
   def annIvfQuery(spark: SparkSession, dir: String,
                   indexDir: String = "", k: Int = ivfK,
                   probes: Int = ivfProbes): DataFrame = {
-    // Non-commutative mix over name-sorted children: a plain XOR of
-    // length^mtime is order- and multiplicity-insensitive (two part
-    // files with equal length+mtime cancel to 0, and ms-granularity
-    // mtimes make that real for a regenerated dir), so a stale index
-    // could collide with the fresh stamp. Folding the file NAME into
-    // each term and chaining with acc*31^term makes every (name,
-    // length, mtime, position) change move the stamp.
-    def stamp(f: java.io.File): Long =
-      if (f.isFile)
-        (f.getName.hashCode.toLong * 1315423911L) ^
-          java.lang.Long.rotateLeft(f.length, 17) ^ f.lastModified
-      else if (f.isDirectory) {
-        val kids = f.listFiles().sortBy(_.getName)
-        kids.foldLeft(kids.length.toLong)((acc, x) => acc * 31L ^ stamp(x))
-      } else 0L
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +
         graft.Tables.dirKey(dir) + s"-k$k-" +
-        java.lang.Long.toHexString(stamp(new java.io.File(s"$dir/embeddings.parquet")))
+        java.lang.Long.toHexString(
+          graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
       ivfBuildIndex(spark, dir, idx, k)
     ivfSearch(spark, dir,

@@ -319,6 +319,29 @@ class QueriesSpec extends AnyFunSuite {
     } finally nov.unpersist()
   }
 
+  test("dedup_incremental: probe of the parquet index equals the exact batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val touching = operators.DedupOps.ngramJaccard(spark, sf)
+      .filter(col("doc_a") % 10 === 7 || col("doc_b") % 10 === 7)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    assert(touching.nonEmpty, "test corpus has no batch-touching near-dup pairs")
+    // gate mode: exactly the touching pairs, jaccard bit-identical
+    val gate = operators.DedupOps.dedupIncremental(spark, sf)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    assert(gate === touching)
+    // scale mode: pure index probe — a subset (verify is exact) with
+    // high recall (a borderline pair escapes 16x8 bands ~5% of the time)
+    val probe = operators.DedupOps.dedupIncremental(spark, sf, exactRecallUnion = false)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    probe.foreach { case (k, v) =>
+      assert(touching.contains(k), s"probe emitted a non-pair $k")
+      assert(touching(k) === v, "probe jaccard must be the exact verify value")
+    }
+    val recall = probe.size.toDouble / touching.size
+    assert(recall >= 0.9, s"incremental probe recall too low: $recall")
+  }
+
   test("q_funnel steps are monotone and lag sums are consistent") {
     val r = operators.EventOps.funnel(spark, sf).collect()(0)
     val (nView, nClick, nPurchase) =
