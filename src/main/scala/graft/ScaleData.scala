@@ -75,10 +75,16 @@ object ScaleData {
     def offsetCopies(df: DataFrame, keys: Map[String, Long]): DataFrame = {
       keys.foreach { case (k, s) =>
         val top = Math.addExact(Math.multiplyExact((copies - 1).toLong, s), s - 1L)
+        // closed dtype list: an unknown narrow type falling through to
+        // a Long ceiling would re-admit the silent wrap this guard
+        // exists to reject
         val ceiling = df.schema(k).dataType match {
+          case org.apache.spark.sql.types.LongType    => Long.MaxValue
           case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
           case org.apache.spark.sql.types.ShortType   => Short.MaxValue.toLong
-          case _                                      => Long.MaxValue
+          case org.apache.spark.sql.types.ByteType    => Byte.MaxValue.toLong
+          case other => throw new IllegalArgumentException(
+            s"key '$k' has unsupported dtype $other for offset scaling")
         }
         require(top <= ceiling,
           s"key '$k': max offset key $top overflows ${df.schema(k).dataType} " +

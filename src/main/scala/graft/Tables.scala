@@ -43,8 +43,15 @@ object Tables {
       (f.getName.hashCode.toLong * 1315423911L) ^
         java.lang.Long.rotateLeft(f.length, 17) ^ f.lastModified
     else if (f.isDirectory) {
-      val kids = f.listFiles().sortBy(_.getName)
-      kids.foldLeft(kids.length.toLong)((acc, x) => acc * 31L ^ contentStamp(x))
+      // listFiles returns null for a dir deleted/unreadable between
+      // the isDirectory check and the walk — treat as empty, same as
+      // a missing path, rather than NPE inside cache-key computation
+      val kids0 = f.listFiles()
+      if (kids0 == null) 0L
+      else {
+        val kids = kids0.sortBy(_.getName)
+        kids.foldLeft(kids.length.toLong)((acc, x) => acc * 31L ^ contentStamp(x))
+      }
     } else 0L
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =

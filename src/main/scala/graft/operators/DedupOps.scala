@@ -89,6 +89,25 @@ object DedupOps {
   private def setShingles(arr: Column): Column =
     transform(arr, e => e.getField("s"))
 
+  /** (doc_id, band, bkey) rows for a sets-shaped frame (doc_id, arr,
+    * n): the 128-way MinHashSig projection (min over a set is order-
+    * independent, so the prefix-sorted array is fine) exploded into
+    * [[numBands]] keys of [[rowsPerBand]] signature rows each,
+    * xxhash64-seeded by band index. ONE definition shared by the
+    * in-plan LSH join, the incremental index BUILD, and the index
+    * PROBE — a banding drift between build and probe would not error,
+    * it would silently produce zero collisions. */
+  private def minhashBands(sets: DataFrame): DataFrame = {
+    val sigs = sets.select(col("doc_id"),
+      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
+    val keys = (0 until numBands).map { j =>
+      val rows = (0 until rowsPerBand).map(k =>
+        element_at(col("sig"), rowsPerBand * j + k + 1))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+  }
+
   /** Exact verification of candidate (doc_a, doc_b) pairs against the
     * full shingle sets: computes the exact intersection size and emits
     * pairs whose `metric(c, na, nb)` reaches `minValue` — the one
@@ -173,19 +192,7 @@ object DedupOps {
                  exactRecallUnion: Boolean = true): DataFrame = {
     val sets = docSets(spark, dir)
 
-    // The whole 128-way signature is ONE projection over the shared
-    // per-doc aggregate via the MinHashSig kernel (min over a set is
-    // order-independent, so the prefix-sorted array is fine).
-    val sigs = sets.select(col("doc_id"),
-      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
-
-    // 16 band keys, each hashing 8 signature rows.
-    val bandKeys = (0 until numBands).map { j =>
-      val rows = (0 until rowsPerBand).map(k => element_at(col("sig"), rowsPerBand * j + k + 1))
-      xxhash64((lit(j) +: rows): _*)
-    }
-    val bands = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val bands = minhashBands(sets)
 
     val ba = bands.withColumnRenamed("doc_id", "doc_a")
     val bb = bands.withColumnRenamed("doc_id", "doc_b")
@@ -461,19 +468,19 @@ object DedupOps {
     *  - `bands`: the LSH band-key inverted index (band, bkey, doc_id).
     * Written last, `bands/_SUCCESS` is the build-complete marker. */
   def incrementalIndexBuild(spark: SparkSession, dir: String, indexDir: String): Unit = {
-    val universe = cappedShingles(spark, dir)
-      .select(col("s"), col("df")).distinct()
-    universe.write.mode("overwrite").parquet(s"$indexDir/universe")
-    val sets = docSets(spark, dir)
-    sets.write.mode("overwrite").parquet(s"$indexDir/sets")
-    val sigs = sets.select(col("doc_id"),
-      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
-    val bandKeys = (0 until numBands).map { j =>
-      val rows = (0 until rowsPerBand).map(k => element_at(col("sig"), rowsPerBand * j + k + 1))
-      xxhash64((lit(j) +: rows): _*)
-    }
-    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    // ONE corpus pass: materialize the per-doc sets, then derive the
+    // universe and the band index FROM THE WRITTEN PARQUET — each
+    // lazy re-use of the docSets frame would otherwise re-run the
+    // whole corpus scan + shingle + df-cap aggregation per output
+    // (3× the build cost this index exists to amortize)
+    docSets(spark, dir).write.mode("overwrite").parquet(s"$indexDir/sets")
+    val sets = spark.read.parquet(s"$indexDir/sets")
+    // every kept (shingle, df) appears in some doc's array, so the
+    // exploded distinct IS the capped universe
+    sets.select(explode(col("arr")).as("e"))
+      .select(col("e.s").as("s"), col("e.df").as("df")).distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/universe")
+    minhashBands(sets).write.mode("overwrite").parquet(s"$indexDir/bands")
   }
 
   /** Incremental dedup — the ingestion-time shape at 100 TB: a NEW
@@ -525,14 +532,7 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))
-    val batchSigs = batchSets.select(col("doc_id"),
-      graft.functions.MinHashSigColumns.minhashSig(setShingles(col("arr"))).as("sig"))
-    val bandKeys = (0 until numBands).map { j =>
-      val rows = (0 until rowsPerBand).map(k => element_at(col("sig"), rowsPerBand * j + k + 1))
-      xxhash64((lit(j) +: rows): _*)
-    }
-    val probe = batchSigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val probe = minhashBands(batchSets)
     val lshCands = probe
       .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("old_id"))

@@ -403,21 +403,22 @@ object EventOps {
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    // each step CARRIES the previous step's timestamp through its
+    // aggregate (min of a per-user constant), so the lag roll-ups are
+    // plain 1-row aggregates — no join-back to the previous step
     val s1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
     val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
       .filter(col("tu") > col("t1") && col("tu") <= col("t1") + funnelWindowUs)
-      .groupBy(col("user_id")).agg(min(col("tu")).as("t2"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t2"), min(col("t1")).as("t1"))
     val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
       .filter(col("tu") > col("t2") && col("tu") <= col("t2") + funnelWindowUs)
-      .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t3"), min(col("t2")).as("t2"))
     val r1 = s1.agg(count(lit(1)).as("n_view"))
-    val r2 = s2.join(s1, "user_id")
-      .agg(count(lit(1)).as("n_click"),
-        sum(col("t2") - col("t1")).as("view_to_click_us"))
-    val r3 = s3.join(s2, "user_id")
-      .agg(count(lit(1)).as("n_purchase"),
-        sum(col("t3") - col("t2")).as("click_to_purchase_us"))
+    val r2 = s2.agg(count(lit(1)).as("n_click"),
+      sum(col("t2") - col("t1")).as("view_to_click_us"))
+    val r3 = s3.agg(count(lit(1)).as("n_purchase"),
+      sum(col("t3") - col("t2")).as("click_to_purchase_us"))
     r1.crossJoin(r2).crossJoin(r3)
   }
 
@@ -425,19 +426,19 @@ object EventOps {
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
        |s1 AS (SELECT user_id, min(tu) AS t1 FROM e
        |       WHERE event_type = 'view' GROUP BY 1),
-       |s2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN s1 USING (user_id)
+       |s2 AS (SELECT e.user_id, min(tu) AS t2, min(t1) AS t1
+       |       FROM e JOIN s1 USING (user_id)
        |       WHERE event_type = 'click'
        |         AND tu > t1 AND tu <= t1 + $funnelWindowUs GROUP BY 1),
-       |s3 AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN s2 USING (user_id)
+       |s3 AS (SELECT e.user_id, min(tu) AS t3, min(t2) AS t2
+       |       FROM e JOIN s2 USING (user_id)
        |       WHERE event_type = 'purchase'
        |         AND tu > t2 AND tu <= t2 + $funnelWindowUs GROUP BY 1),
        |r1 AS (SELECT count(*) AS n_view FROM s1),
        |r2 AS (SELECT count(*) AS n_click,
-       |        CAST(sum(t2 - t1) AS BIGINT) AS view_to_click_us
-       |       FROM s2 JOIN s1 USING (user_id)),
+       |        CAST(sum(t2 - t1) AS BIGINT) AS view_to_click_us FROM s2),
        |r3 AS (SELECT count(*) AS n_purchase,
-       |        CAST(sum(t3 - t2) AS BIGINT) AS click_to_purchase_us
-       |       FROM s3 JOIN s2 USING (user_id))
+       |        CAST(sum(t3 - t2) AS BIGINT) AS click_to_purchase_us FROM s3)
        |SELECT * FROM r1, r2, r3""".stripMargin
 
   /** Cohort retention matrix: users grouped by first-seen day, active

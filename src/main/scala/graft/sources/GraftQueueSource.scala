@@ -315,9 +315,20 @@ object GraftQueueBroker {
         m.priority.toString, m.destination, m.replyTo, m.timeToLive.toString,
         Base64.getEncoder.encodeToString(m.payload)).mkString("\t")
     }.mkString("", "\n", "\n")
-    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        // under the landed-prefix rule an orphaned empty claim stalls
+        // the whole queue behind it — a failed publish must release
+        // its claim (and tmp) before surfacing the error, or a disk-
+        // full blip becomes a permanent availability loss
+        try Files.deleteIfExists(tmp.toPath) catch { case _: Throwable => () }
+        try Files.deleteIfExists(target.toPath) catch { case _: Throwable => () }
+        throw e
+    }
   }
 }
 
