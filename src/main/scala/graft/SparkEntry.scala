@@ -67,6 +67,7 @@ object SparkEntry {
     "q_range_join"   -> TemporalJoins.rangeJoin _,
     "q_funnel"       -> EventOps.funnel _,
     "q_retention"    -> EventOps.retention _,
+    "q_anomaly"      -> EventOps.anomalies _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
     "windowed_wordcount" -> TextOps.windowedWordCount _,
@@ -171,6 +172,7 @@ object SparkEntry {
     "q_range_join"   -> TemporalJoins.rangeJoinSql,
     "q_funnel"       -> EventOps.funnelSql,
     "q_retention"    -> EventOps.retentionSql,
+    "q_anomaly"      -> EventOps.anomaliesSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,

@@ -384,6 +384,62 @@ object EventOps {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       | w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** 3-sigma outlier report per event type — the anomaly screen an
+    * ops pipeline runs on a metric stream. Mean and variance come
+    * from exact decimal sums (one shuffle with map-side partials,
+    * the [[statsMoments]] moment shapes); the outlier test is
+    * `(v − mean)² > 9·var` — squared form, so no sqrt and no abs, and
+    * every operand is either an exact decimal cast to double or ONE
+    * IEEE division of exact decimals, making the flag bit-identical
+    * cross-engine. The tiny per-type stats table joins back to the
+    * event stream (AQE broadcasts it), and types with no outliers
+    * keep their row via the left join. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), d4(col("value")).as("v"))
+    val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sx2"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_value"),
+        ((col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
+          / col("n").cast("double")).as("var_pop"))
+    val vd = col("v").cast("double")
+    val out = ev.join(stats, "event_type")
+      .filter((vd - col("mean_value")) * (vd - col("mean_value"))
+        > lit(9.0) * col("var_pop"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_out"), max(vd).as("max_outlier"))
+    stats.join(out, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("mean_value"), col("var_pop"),
+        coalesce(col("n_out"), lit(0L)).as("n_outliers"), col("max_outlier"))
+  }
+
+  val anomaliesSql: String =
+    """WITH v AS (
+      | SELECT event_type, CAST(value AS DECIMAL(14,4)) AS v FROM events),
+      |s AS (
+      | SELECT event_type, count(*) AS n, sum(v) AS sx, sum(v*v) AS sx2
+      | FROM v GROUP BY 1),
+      |m AS (
+      | SELECT event_type, n,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+      |  (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS var_pop
+      | FROM s),
+      |o AS (
+      | SELECT v.event_type, count(*) AS n_out,
+      |  max(CAST(v AS DOUBLE)) AS max_outlier
+      | FROM v JOIN m USING (event_type)
+      | WHERE (CAST(v AS DOUBLE) - mean_value) * (CAST(v AS DOUBLE) - mean_value)
+      |   > 9 * var_pop
+      | GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, mean_value, var_pop,
+      | CAST(COALESCE(n_out, 0) AS BIGINT) AS n_outliers, max_outlier
+      |FROM m LEFT JOIN o USING (event_type)""".stripMargin
+
   /** Per-step funnel conversion window: a later step only counts if it
     * happens within this long of the previous step (µs). Unbounded
     * funnels saturate — every active user eventually does everything. */

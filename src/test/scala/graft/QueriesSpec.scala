@@ -342,6 +342,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"incremental probe recall too low: $recall")
   }
 
+  test("q_anomaly outliers really violate the 3-sigma bound") {
+    val rows = operators.EventOps.anomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, varp, nOut) = (r.getAs[Long]("n"), r.getAs[Double]("mean_value"),
+        r.getAs[Double]("var_pop"), r.getAs[Long]("n_outliers"))
+      assert(nOut >= 0 && nOut < n)
+      if (nOut > 0) {
+        val mx = r.getAs[Double]("max_outlier")
+        assert((mx - mean) * (mx - mean) > 9.0 * varp,
+          s"${r.getString(0)}: reported max outlier $mx is within 3 sigma")
+      }
+    }
+    // the heavy-tailed test stream has outliers in at least one type
+    assert(rows.map(_.getAs[Long]("n_outliers")).sum > 0)
+  }
+
   test("q_funnel steps are monotone and lag sums are consistent") {
     val r = operators.EventOps.funnel(spark, sf).collect()(0)
     val (nView, nClick, nPurchase) =
