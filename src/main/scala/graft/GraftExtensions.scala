@@ -47,7 +47,26 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSig(es(0))),
     ("simhash_sig",
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (es: Seq[Expression]) => SimHashSig(es(0))))
+      (es: Seq[Expression]) => SimHashSig(es(0))),
+    // Spark ships these two for its own runtime join filtering but does
+    // not register them in the SQL FunctionRegistry; exposing them makes
+    // the map-side bloom prefilter (decontamination_bloom) expressible
+    // as a scalar subquery — no driver-side filter build, no collect.
+    ("graft_bloom_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (es: Seq[Expression]) =>
+        if (es.size >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0))),
+    ("graft_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -86,6 +86,10 @@ object SparkEntry {
     // spec-gated by equality against the raw-gram oracle twin
     "decontamination_hashed" -> ((s: SparkSession, d: String) =>
       TextOps.decontamination(s, d, hashGrams = true)),
+    // bloom prefilter on the corpus scan (scalar-subquery
+    // BloomFilterAggregate); no false negatives + exact verify join
+    // => bit-identical to decontamination, shares its hash oracle
+    "decontamination_bloom" -> TextOps.decontaminationBloom _,
     // composed end-to-end job: dedup -> decontaminate -> quality ->
     // sample -> partitioned write; rows-gated (LSH recall < 1), the
     // component-predicate spec is the correctness gate
@@ -186,6 +190,7 @@ object SparkEntry {
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
     "decontamination"    -> TextOps.decontaminationSql,
+    "decontamination_bloom" -> TextOps.decontaminationSql,
     "training_pipeline_exact" -> TrainingPipeline.runExactSql,
     "dedup_ngram_jaccard" -> DedupOps.jaccardSql,
     "dedup_minhash"       -> DedupOps.jaccardSql,

@@ -353,6 +353,52 @@ object TextOps {
        |WHERE g.source <> '$decontamBenchSource'
        |GROUP BY 1, 2""".stripMargin
 
+  /** Bloom-prefiltered decontamination — the 100 TB plan shape. The
+    * raw/hashed modes shuffle every corpus (doc, gram) pair into the
+    * overlap join; at 100 TB that shuffle IS the job. Here a bloom
+    * filter over the bench grams' xxhash64 keys is built by a
+    * distributed aggregate (a scalar subquery — never collected to the
+    * driver as data) and applied as a map-side filter on the corpus
+    * scan, so only grams that might be bench grams reach the join.
+    * Benchmark suites are ~10⁻⁶ of a training corpus, so the filter
+    * passes roughly (bench-gram share + fpp) of corpus rows — the
+    * join shuffle collapses by orders of magnitude.
+    *
+    * Bloom filters have no false negatives and the exact gram join
+    * still runs on the survivors, so the result is bit-identical to
+    * [[decontamination]] — this entry shares its DuckDB oracle (full
+    * hash gate), and the equality is also spec-pinned.
+    *
+    * Uses Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
+    * (the runtime-join-filter kernels, codegen'd) registered as SQL
+    * functions by [[graft.GraftFunctions]]. */
+  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val n = decontamGram
+    val w = tokens(col("text"))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+      .select(col("doc_id"), col("source"), col("gram"),
+        xxhash64(col("gram")).as("gh"))
+      .createOrReplaceTempView("graft_decontam_grams")
+    spark.sql(
+      s"""WITH bench AS (
+         |  SELECT DISTINCT gram, gh FROM graft_decontam_grams
+         |  WHERE source = '$decontamBenchSource')
+         |SELECT c.doc_id, c.source, count(DISTINCT c.gram) AS n_hits
+         |FROM graft_decontam_grams c
+         |JOIN bench b ON c.gram = b.gram
+         |WHERE c.source <> '$decontamBenchSource'
+         |  AND graft_might_contain(
+         |        (SELECT graft_bloom_agg(gh, CAST(${1000L * 1000} AS BIGINT)) FROM bench),
+         |        c.gh)
+         |GROUP BY c.doc_id, c.source""".stripMargin)
+  }
+
   /** Repetition-quality thresholds (Gopher-rule shape: drop documents
     * dominated by a single token or by repeated n-grams). Chosen to
     * split the test corpus non-trivially (312/500 kept at sf0.01);

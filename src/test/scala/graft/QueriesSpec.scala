@@ -161,6 +161,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(true) === rows(false))
   }
 
+  test("bloom-prefiltered decontamination is bit-identical and plans the map-side filter") {
+    val bloom = operators.TextOps.decontaminationBloom(spark, sf)
+    val raw = operators.TextOps.decontamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = bloom.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === raw)
+    // the bloom probe must sit in the plan as a filter (map-side,
+    // before the join shuffle), not as a post-join residual
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      "bloom probe missing from the physical plan")
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString
