@@ -112,6 +112,10 @@ object SparkEntry {
     // gate mode unions the batch-touching exact prefix pairs so the
     // hash oracle applies; pure-probe scale mode is spec-gated
     "dedup_incremental"   -> ((s: SparkSession, d: String) => DedupOps.dedupIncremental(s, d)),
+    // substring-level dedup: maximal cross-doc duplicated token spans
+    // (gaps-and-islands over dup-gram positions); hashGrams deployment
+    // mode spec-gated by equality
+    "dedup_spans"         -> ((s: SparkSession, d: String) => DedupOps.dedupSpans(s, d)),
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
@@ -196,6 +200,7 @@ object SparkEntry {
     "dedup_minhash"       -> DedupOps.jaccardSql,
     "dedup_containment"   -> DedupOps.containmentSql,
     "dedup_incremental"   -> DedupOps.dedupIncrementalSql,
+    "dedup_spans"         -> DedupOps.dedupSpansSql,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     "dedup_clusters"      -> DedupOps.dupClustersSql,
     "source_overlap"      -> DedupOps.sourceOverlapSql,

@@ -591,4 +591,101 @@ object DedupOps {
        |JOIN documents da ON da.doc_id = pairs.doc_a
        |JOIN documents db ON db.doc_id = pairs.doc_b
        |GROUP BY 1, 2""".stripMargin
+
+  /** Token length of the duplicated-substring unit for [[dedupSpans]]:
+    * a span must contain a [[spanGram]]-token run that also appears in
+    * some OTHER document to count as duplicated (8 matches the
+    * decontamination gram — long enough that commonplace phrases don't
+    * qualify, short enough that trimmed copies still overlap). */
+  val spanGram = 8
+
+  /** SUBSTRING-level dedup — the third granularity after document
+    * ([[ngramJaccard]]) and containment ([[containment]]): find the
+    * maximal regions of each document whose [[spanGram]]-token runs
+    * also occur in another document. Document-level dedup misses a
+    * unique article that embeds a widely-copied paragraph; span-level
+    * reporting is what lets a pipeline CUT the duplicated region and
+    * keep the rest (the "exact substring" dedup of the
+    * deduplicating-training-data literature, re-expressed relationally
+    * instead of via a monolithic suffix array).
+    *
+    * Plan shape, in corpus-scale order:
+    *  1. gram extraction with positions — narrow map-side work
+    *     (posexplode of the per-doc gram array);
+    *  2. cross-doc grams — ONE shuffle keyed on the gram (partial
+    *     count-distinct collapses each doc's repeats map-side); the
+    *     surviving dup-gram set is orders of magnitude smaller than
+    *     the corpus, so AQE broadcasts it back onto the gram stream
+    *     (the corpus side never shuffles for the semi join);
+    *  3. span assembly — gaps-and-islands over (doc, pos): a per-doc
+    *     sort inside ONE doc-keyed shuffle; per-doc state is bounded
+    *     by document length, never corpus size.
+    * At 100 TB the gram shuffle dominates; `hashGrams = true` swaps
+    * the shuffle/broadcast keys to xxhash64(gram) 8-byte longs (the
+    * [[graft.operators.TextOps.decontamination]] deployment mode),
+    * spec-gated by equality against this raw-gram oracle twin.
+    *
+    * Output: one row per maximal duplicated span,
+    * (doc_id, span_start, span_end, span_tokens) in token positions
+    * (0-based, end inclusive). Integer math only — hash-exact
+    * cross-engine. */
+  def dedupSpans(spark: SparkSession, dir: String,
+                 hashGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = spanGram
+    val w = tokens(col("text"))
+    val grams = when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
+    val g = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), key.as("gk"))
+    val dupGrams = g.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gk")
+    val hits = g.join(dupGrams, Seq("gk"), "left_semi")
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_tokens"))
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
+  val dedupSpansSql: String = {
+    val k = spanGram
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${k - 1}], ' ') AS gram
+       |  FROM toks, unnest(generate_series(1, len(w) - ${k - 1})) AS t(i)),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       |h AS (SELECT doc_id, pos FROM g SEMI JOIN d USING (gram)),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM h),
+       |b AS (SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk
+       |      FROM m),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |      FROM b)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end,
+       |       max(pos) + $k - min(pos) AS span_tokens
+       |FROM i GROUP BY doc_id, island""".stripMargin
+  }
 }

@@ -174,6 +174,27 @@ class QueriesSpec extends AnyFunSuite {
       "bloom probe missing from the physical plan")
   }
 
+  test("dedup_spans: hashed-gram mode equals raw, spans are maximal and disjoint") {
+    def rows(hashed: Boolean) =
+      operators.DedupOps.dedupSpans(spark, sf, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val raw = rows(false)
+    assert(raw === rows(true))
+    // spans are well-formed, at least one gram long, and per-doc
+    // disjoint with a gap (otherwise islands should have merged)
+    raw.groupBy(_._1).foreach { case (doc, spans) =>
+      spans.foreach { case (_, s, e, n) =>
+        assert(e - s + 1 === n && n >= operators.DedupOps.spanGram)
+      }
+      val sorted = spans.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"doc $doc: spans touch — islands failed to merge")
+        case _ =>
+      }
+    }
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString
