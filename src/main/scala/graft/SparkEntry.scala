@@ -130,6 +130,9 @@ object SparkEntry {
     // path only reads it — bit-identical output to ann_ivf (spec-pinned)
     "ann_ivf_query"   -> ((s: SparkSession, d: String) => VectorOps.annIvfQuery(s, d)),
     "ann_pq"          -> VectorOps.annPq _,
+    // composed IVF-PQ serving path: probe-restricted code-list scan at
+    // 32x compression, exact re-rank; index built once to parquet
+    "ann_ivfpq_query" -> ((s: SparkSession, d: String) => VectorOps.annIvfPqQuery(s, d)),
     "knn_centroid"    -> VectorOps.knnCentroid _,
     // Multimodal plumbing
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,

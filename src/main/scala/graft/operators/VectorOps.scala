@@ -497,6 +497,146 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF-PQ composed index — the billion-scale serving layout (FAISS
+    * IVFPQ shape): the IVF coarse quantizer restricts each query to
+    * `nprobe` inverted lists, and the vectors INSIDE those lists are
+    * stored as PQ codes, so the list scan reads 8-byte codes instead
+    * of 256-byte floats. At 100 TB neither half suffices alone — IVF
+    * without PQ still stores full vectors in the lists; PQ without IVF
+    * still scans every code for every query. Composed, a query touches
+    * (nprobe/k) of the corpus at 32× compression.
+    *
+    * Encoding choice: codes quantize the unit-normalized vectors
+    * directly (the [[annPq]] codebooks) rather than per-list residuals.
+    * Classic IVF-PQ encodes `v − centroid` for extra precision, but
+    * residual codebooks make the query's distance tables depend on the
+    * probed centroid (nprobe table builds per query); direct encoding
+    * keeps the tables query-only — built once, broadcast once — and
+    * the exact re-rank restores precision at the end anyway. A
+    * deployment that needs residual encoding swaps the encode/table
+    * steps; the index layout is unchanged.
+    *
+    * Index on parquet: `centroids` (cid, cv), `codebook` (s, cid, cv),
+    * `codes` (neighbor_id, cid, s, code) — built once ([[ivfpqBuildIndex]]),
+    * served many times ([[annIvfPqQuery]]). */
+  def ivfpqBuildIndex(spark: SparkSession, dir: String, indexDir: String,
+                      k: Int = ivfK): Unit = {
+    val (cents, invlist) = ivfIndex(spark, dir, k)
+    val v = vecs(spark, dir)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+    val corpus = v.filter(col("vec_id") >= nQueries)
+
+    def subExplode(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("vn"),
+          explode(sequence(lit(0), lit(pqSub - 1))).as("s"))
+        .select(col(idAs), col("s"),
+          slice(col("vn"), col("s") * pqDims + 1, lit(pqDims)).as("sub"))
+
+    val subCorpus = subExplode(corpus, "vec_id")
+    var cb: DataFrame = subExplode(
+      corpus.orderBy(col("vec_id")).limit(pqK), "cid")
+      .select(col("s"), col("cid"),
+        transform(col("sub"), x => x.cast("double")).as("cv"))
+
+    def assign(pts: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      pts.join(broadcast(cb), Seq("s"))
+        .withColumn("d2", vecDistSq(col("sub"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("s"), col("cid"), col("sub"))
+    }
+    val e = assign(subCorpus)
+      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    cb = meanVectors(e, Seq("s", "cid"))
+
+    val codes = assign(subCorpus)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
+      .join(invlist, Seq("neighbor_id"))
+
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Query half of the IVF-PQ split (benched as `ann_ivfpq_query`).
+    * Serving plan: centroids broadcast → probe selection per query;
+    * the query's PQ distance tables (pqSub × pqK floats per query —
+    * tiny) broadcast; the codes scan is filtered to probed (query,
+    * cid) lists by the broadcast probe set, scored by table lookup,
+    * partially aggregated map-side; only candidate (query, neighbor)
+    * sums shuffle. Exact re-rank of the top [[pqRerank]] restores
+    * exact cosines. The corpus float vectors are touched ONLY by the
+    * re-rank's candidate broadcast-join — never shuffled, never
+    * scanned beyond the probed candidates' rows.
+    *
+    * Index cache contract mirrors [[annIvfQuery]]: default location
+    * keyed by data-dir hash + k + embeddings content stamp; explicit
+    * `indexDir` is caller-owned. */
+  def annIvfPqQuery(spark: SparkSession, dir: String,
+                    indexDir: String = "", k: Int = ivfK,
+                    probes: Int = ivfProbes): DataFrame = {
+    val idx =
+      if (indexDir.nonEmpty) indexDir
+      else sys.props("java.io.tmpdir") + "/graft-ivfpq-" +
+        graft.Tables.dirKey(dir) + s"-k$k-" +
+        java.lang.Long.toHexString(
+          graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
+    if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
+      ivfpqBuildIndex(spark, dir, idx, k)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val cb = spark.read.parquet(s"$idx/codebook")
+    val codes = spark.read.parquet(s"$idx/codes")
+
+    val v = vecs(spark, dir)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+    val q = v.filter(col("vec_id") < nQueries)
+
+    // probe selection: nprobe nearest coarse centroids per query
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probeSet = q.select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", vecDistSq(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= probes)
+      .select("query_id", "cid")
+
+    // query distance tables: one per (query, subspace, code) — global
+    // codebooks, so built once per query and broadcast
+    val dt = q.select(col("vec_id").as("query_id"), col("vn"),
+        explode(sequence(lit(0), lit(pqSub - 1))).as("s"))
+      .select(col("query_id"), col("s"),
+        slice(col("vn"), col("s") * pqDims + 1, lit(pqDims)).as("sub"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid").as("code"),
+        vecDistSq(col("sub"), col("cv")).as("d2"))
+
+    // scan only the probed lists; fixed-point adist sums (see annPq)
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val cands = codes.join(broadcast(probeSet), Seq("cid"))
+      .join(broadcast(dt), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(floor(col("d2") * 1e12 + 0.5).cast("long")).as("adist"))
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= pqRerank)
+      .select("query_id", "neighbor_id")
+
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val c = v.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("vd").as("cv2"), col("norm").as("cn"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(qv, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Nearest-centroid classification: per-label centroids (fixed-point
     * [[qmean]] → order-independent, bounded per-group state), broadcast
     * to every vector, argmin distance with label tie-break. */

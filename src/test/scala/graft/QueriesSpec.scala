@@ -132,6 +132,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(split === fused)
   }
 
+  test("ann_ivfpq_query: useful recall, exact cosines where brute force ranked the pair") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    val bf = operators.VectorOps.annBruteForce(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivfpq = operators.VectorOps.annIvfPqQuery(spark, sf, idx).collect()
+    assert(ivfpq.nonEmpty)
+    // double approximation (IVF probe miss + PQ code coarseness) may
+    // cost recall vs plain IVF, but the serving layout must still
+    // surface a useful fraction of the true top-k...
+    val recall = ivfpq.map(r => (r.getLong(0), r.getLong(2)))
+      .count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    // ...and every emitted cosine is EXACT (the re-rank contract)
+    ivfpq.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+
   test("ANN/LSH scale knobs stay sound off their defaults") {
     // the knobs exist for 100 TB sizing; this pins that non-default
     // settings still satisfy each operator's contract (emitted pairs
