@@ -519,36 +519,60 @@ object DedupOps {
     if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
       incrementalIndexBuild(spark, dir, idx)
 
-    val universe = spark.read.parquet(s"$idx/universe")
-    val sets = spark.read.parquet(s"$idx/sets")
-    val bands = spark.read.parquet(s"$idx/bands")
-
-    // the batch is shingled fresh (as ingestion would), against the
-    // FROZEN universe — cap decisions identical to the index build
-    val batchSets = Tables(spark, dir, "documents")
+    val batchDocs = Tables(spark, dir, "documents")
       .filter(incomingBatch(col("doc_id")))
+      .select("doc_id", "text")
+
+    if (exactRecallUnion) {
+      val sets = spark.read.parquet(s"$idx/sets")
+      val cands = probeCandidates(spark, batchDocs, idx)._1
+        .union(prefixCandidates(sets).filter(
+          incomingBatch(col("doc_a")) || incomingBatch(col("doc_b"))))
+        .distinct()
+      verifyPairs(cands, sets)
+    } else probeIndex(spark, batchDocs, idx)
+  }
+
+  /** Shared probe front half: shingle an arbitrary (doc_id, text)
+    * batch against the index's FROZEN universe (cap decisions
+    * identical to the build) and band-join it into the inverted
+    * index. Returns (candidate pairs, the batch's freshly-built
+    * sets frame). */
+  private def probeCandidates(spark: SparkSession, batchDocs: DataFrame,
+                              idx: String): (DataFrame, DataFrame) = {
+    val universe = spark.read.parquet(s"$idx/universe")
+    val bands = spark.read.parquet(s"$idx/bands")
+    val batchSets = batchDocs
       .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
       .join(universe, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))
-    val probe = minhashBands(batchSets)
-    val lshCands = probe
+    val cands = minhashBands(batchSets)
       .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("old_id"))
       .select(least(col("doc_id"), col("old_id")).as("doc_a"),
         greatest(col("doc_id"), col("old_id")).as("doc_b"))
       .distinct()
+    (cands, batchSets)
+  }
 
-    val cands =
-      if (exactRecallUnion)
-        lshCands.union(
-          prefixCandidates(sets).filter(
-            incomingBatch(col("doc_a")) || incomingBatch(col("doc_b"))))
-          .distinct()
-      else lshCands
-
-    verifyPairs(cands, sets)
+  /** LSH-probe an arbitrary (doc_id, text) batch against a built
+    * index (pure-probe mode — the ingestion-time path a STREAMING
+    * pipeline runs per micro-batch; see
+    * [[graft.streaming.Pipelines.incrementalDedupSink]]). Verification
+    * is exact against the union of the index sets and the batch's own
+    * freshly-shingled sets, so genuinely NEW documents — not yet in
+    * the index — still verify; for already-indexed doc_ids the two
+    * copies are identical by construction (frozen universe, same
+    * shingling) and the dedup keeps one. */
+  def probeIndex(spark: SparkSession, batchDocs: DataFrame,
+                 idx: String): DataFrame = {
+    val (cands, batchSets) = probeCandidates(spark, batchDocs, idx)
+    val sets = spark.read.parquet(s"$idx/sets")
+    verifyPairs(cands,
+      sets.unionByName(batchSets.select(sets.columns.map(col): _*))
+        .dropDuplicates("doc_id"))
   }
 
   /** Oracle: the exact near-dup pairs touching the incoming batch. */

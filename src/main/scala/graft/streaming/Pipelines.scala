@@ -284,6 +284,43 @@ object Pipelines {
   def readTable(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath + "/data")
 
+  /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
+    * documents (message_id = doc_id, payload = UTF-8 text) probes the
+    * parquet minhash index — [[graft.operators.DedupOps.probeIndex]],
+    * the pure-LSH scale mode — and the verified near-dup pairs land in
+    * an idempotently-merged parquet table. This is the online shape of
+    * the batch `dedup_incremental` entry: corpus cost stays index
+    * reads; per-trigger cost is shingling + signing the new docs only.
+    *
+    * Exactly-once pairs under redelivery AND micro-batch replay, the
+    * [[tableSink]] contract: a pair can legitimately arrive twice
+    * (doc A probes out pair (A,B) in one trigger; B streams in later
+    * and probes out the same pair), so each batch's pairs anti-join
+    * the existing table on (doc_a, doc_b) before appending. */
+  def incrementalDedupSink(messages: DataFrame, indexDir: String,
+                           tablePath: String): DataStreamWriter[Row] = {
+    val dataPath = tablePath + "/data"
+    messages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tablePath + "/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val docs = batch
+          .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
+          .dropDuplicates("doc_id") // redelivery within the trigger
+        val pairs = graft.operators.DedupOps.probeIndex(spark, docs, indexDir)
+        val existing =
+          try spark.read.parquet(dataPath).select("doc_a", "doc_b")
+          catch { case _: org.apache.spark.sql.AnalysisException => // first batch
+            spark.emptyDataFrame
+              .select(lit(0L).as("doc_a"), lit(0L).as("doc_b")).limit(0)
+          }
+        pairs.join(existing, Seq("doc_a", "doc_b"), "left_anti")
+          .write.mode("append").parquet(dataPath)
+        ()
+      }
+  }
+
   /** SolaceIO withMaxReadTime equivalent: start the query with
     * Trigger.AvailableNow — the source freezes the backlog snapshot
     * and the query self-terminates once it is drained — and stop early

@@ -369,6 +369,52 @@ class StreamingSpec extends AnyFunSuite {
       (0 until 15).map(i => s"row$i").toSet)
   }
 
+  test("streaming incremental dedup: per-trigger index probe equals the batch probe") {
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-dedup-table")
+    val idx = tmpDir("graft-mhidx-stream")
+    val sf = SparkSpec.sf
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx)
+
+    // the "incoming" slice streams in as messages (message_id = doc_id)
+    val incoming = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    GraftQueueBroker.publish(broker, "docs", incoming.map { case (id, text) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L, "t/docs/0", text)
+    })
+
+    def run(ckpt: String): Unit = {
+      // small trigger cap: the slice must span several micro-batches so
+      // cross-trigger pairs prove the index probe (not batch locality)
+      val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+        maxRecordsPerTrigger = Some(2))
+      val q = Pipelines.incrementalDedupSink(msgs, idx, table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+
+    def tablePairs() = spark.read.parquet(table + "/data")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val batch = operators.DedupOps
+      .dedupIncremental(spark, sf, idx, exactRecallUnion = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = tablePairs()
+    assert(streamed === batch,
+      "stream-probed pairs must equal the batch pure-LSH probe")
+    assert(spark.read.parquet(table + "/data").count() === streamed.size,
+      "cross-trigger duplicate pairs must be merged away")
+
+    // full replay from a fresh checkpoint (lost offsets): every pair is
+    // re-derived and must anti-join away — the table stays fixed
+    run(tmpDir("graft-ckpt"))
+    assert(tablePairs() === batch)
+    assert(spark.read.parquet(table + "/data").count() === streamed.size)
+  }
+
   test("withMaxReadTime: AvailableNow drains the snapshot; deadline caps a slow read") {
     val broker = tmpDir("graft-broker")
     publishText(broker, "q1", 0 until 20, i => s"m$i")
