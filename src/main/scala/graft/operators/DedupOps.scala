@@ -63,8 +63,10 @@ object DedupOps {
     * planned once, reused across consumers (ReuseSubquery), and adds
     * no join to the shingle-df aggregate — the `keep` side keeps its
     * broadcast-join shape. */
-  private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  private def cappedShingles(spark: SparkSession, dir: String): DataFrame =
+    cappedShinglesOf(Tables(spark, dir, "documents"))
+
+  private def cappedShinglesOf(docs: DataFrame): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs")).scalar()
     val ex = docs
       .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
@@ -82,7 +84,10 @@ object DedupOps {
     * stay bounded by document length — this is not a per-key corpus
     * collect). */
   private def docSets(spark: SparkSession, dir: String): DataFrame =
-    cappedShingles(spark, dir).groupBy("doc_id")
+    docSetsOf(cappedShingles(spark, dir))
+
+  private def docSetsOf(capped: DataFrame): DataFrame =
+    capped.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
            count(lit(1)).as("n"))
 
@@ -467,13 +472,16 @@ object DedupOps {
     *    side);
     *  - `bands`: the LSH band-key inverted index (band, bkey, doc_id).
     * Written last, `bands/_SUCCESS` is the build-complete marker. */
-  def incrementalIndexBuild(spark: SparkSession, dir: String, indexDir: String): Unit = {
+  def incrementalIndexBuild(spark: SparkSession, dir: String, indexDir: String,
+                            docFilter: Column = lit(true)): Unit = {
     // ONE corpus pass: materialize the per-doc sets, then derive the
     // universe and the band index FROM THE WRITTEN PARQUET — each
     // lazy re-use of the docSets frame would otherwise re-run the
     // whole corpus scan + shingle + df-cap aggregation per output
     // (3× the build cost this index exists to amortize)
-    docSets(spark, dir).write.mode("overwrite").parquet(s"$indexDir/sets")
+    docSetsOf(cappedShinglesOf(
+      Tables(spark, dir, "documents").filter(docFilter)))
+      .write.mode("overwrite").parquet(s"$indexDir/sets")
     val sets = spark.read.parquet(s"$indexDir/sets")
     // every kept (shingle, df) appears in some doc's array, so the
     // exploded distinct IS the capped universe
@@ -538,16 +546,23 @@ object DedupOps {
     * identical to the build) and band-join it into the inverted
     * index. Returns (candidate pairs, the batch's freshly-built
     * sets frame). */
-  private def probeCandidates(spark: SparkSession, batchDocs: DataFrame,
-                              idx: String): (DataFrame, DataFrame) = {
-    val universe = spark.read.parquet(s"$idx/universe")
-    val bands = spark.read.parquet(s"$idx/bands")
-    val batchSets = batchDocs
+  /** A batch's sets frame built against a FROZEN universe: shingle,
+    * keep only universe members (cap decisions identical to the index
+    * build), aggregate per doc. */
+  private def batchSetsAgainst(batchDocs: DataFrame,
+                               universe: DataFrame): DataFrame =
+    batchDocs
       .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
       .join(universe, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))
+
+  private def probeCandidates(spark: SparkSession, batchDocs: DataFrame,
+                              idx: String): (DataFrame, DataFrame) = {
+    val universe = spark.read.parquet(s"$idx/universe")
+    val bands = spark.read.parquet(s"$idx/bands")
+    val batchSets = batchSetsAgainst(batchDocs, universe)
     val cands = minhashBands(batchSets)
       .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bkey"))
       .filter(col("doc_id") =!= col("old_id"))
@@ -573,6 +588,32 @@ object DedupOps {
     verifyPairs(cands,
       sets.unionByName(batchSets.select(sets.columns.map(col): _*))
         .dropDuplicates("doc_id"))
+  }
+
+  /** Fold an accepted batch INTO the index — the write half of the
+    * ingestion lifecycle (probe → accept survivors → index them so
+    * the NEXT batch dedups against today's corpus, not last month's
+    * rebuild). The batch is shingled against the FROZEN universe and
+    * appended to `sets` and `bands`; the universe itself never
+    * changes between rebuilds (that drift — new vocabulary absent
+    * from the cap decisions — is the documented trade of incremental
+    * maintenance, reconciled by periodic full rebuilds).
+    *
+    * Append-only parquet: no index rewrite, batch-sized work per
+    * call. At-least-once ingestion may replay an update; the probe
+    * path tolerates the duplicate rows ([[probeIndex]] dedups by
+    * doc_id, candidate pairs are `distinct()`), spec-pinned.
+    * Single-writer contract per index dir, like every unmanaged
+    * index ([[VectorOps.annIvfQuery]]). */
+  def incrementalIndexUpdate(spark: SparkSession, batchDocs: DataFrame,
+                             idx: String): Unit = {
+    val universe = spark.read.parquet(s"$idx/universe")
+    val bs = batchSetsAgainst(batchDocs, universe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bs.write.mode("append").parquet(s"$idx/sets")
+      minhashBands(bs).write.mode("append").parquet(s"$idx/bands")
+    } finally bs.unpersist()
   }
 
   /** Oracle: the exact near-dup pairs touching the incoming batch. */

@@ -213,6 +213,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index update makes an unindexed dup pair visible; replay is harmless") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // adaptive target: the strongest exact near-dup pair in the corpus
+    // (minhash is seeded, so at J≈1 its band collision is deterministic)
+    val best = operators.DedupOps.ngramJaccard(spark, sf)
+      .orderBy(col("jaccard").desc, col("doc_a").asc).limit(1)
+      .collect().head
+    val (a0, b0) = (best.getLong(0), best.getLong(1))
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-upd").toString
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx,
+      docFilter = !col("doc_id").isin(a0, b0))
+    val batch = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(a0, b0)).select("doc_id", "text")
+
+    // both sides unindexed: candidates only arise from probe x index,
+    // so the pair is structurally invisible
+    def pairs() = operators.DedupOps.probeIndex(spark, batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(!before.contains((a0, b0)),
+      "a pair with neither side indexed must not be emitted by the probe")
+
+    // fold the batch in: the next probe sees it
+    operators.DedupOps.incrementalIndexUpdate(spark, batch, idx)
+    val after = pairs()
+    assert(after.contains((a0, b0)), "indexed pair must now be visible")
+    assert(before.subsetOf(after), "update must not lose existing matches")
+
+    // at-least-once ingestion replays the update: duplicate index rows
+    // must not change the probe result
+    operators.DedupOps.incrementalIndexUpdate(spark, batch, idx)
+    assert(pairs() === after)
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString
