@@ -81,6 +81,9 @@ object SparkEntry {
     "doc_novelty"        -> TextOps.docNovelty _,
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     "doc_sample"         -> TextOps.docSample _,
+    // source-weighted data mixing: keep thresholds derived from
+    // corpus counts in-plan (dimension-sized aggs broadcast back)
+    "doc_mixture_sample" -> TextOps.docMixtureSample _,
     "decontamination"    -> ((s: SparkSession, d: String) => TextOps.decontamination(s, d)),
     // 8-byte hashed gram keys (the 100 TB shuffle-volume mode);
     // spec-gated by equality against the raw-gram oracle twin
@@ -196,6 +199,7 @@ object SparkEntry {
     "doc_novelty"        -> TextOps.docNoveltySql,
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
+    "doc_mixture_sample" -> TextOps.docMixtureSampleSql,
     "decontamination"    -> TextOps.decontaminationSql,
     "decontamination_bloom" -> TextOps.decontaminationSql,
     "training_pipeline_exact" -> TrainingPipeline.runExactSql,

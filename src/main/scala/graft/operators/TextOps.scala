@@ -307,6 +307,55 @@ object TextOps {
   val decontamBenchSource = "src0"
   val decontamGram = 8
 
+  /** Source-weighted mixture sampling — the data-MIXING step of a
+    * training run: given per-source mixture weights, emit a
+    * deterministic sample whose per-source volumes approach
+    * `budget · w_s / Σw`, bounded by availability. Unlike
+    * [[docSample]]'s fixed per-stratum rates, the keep thresholds here
+    * are DERIVED FROM CORPUS COUNTS inside the plan (per-source count
+    * aggregate + a 1-row total, both dimension-sized and broadcast
+    * back) — no driver collect, no precomputed rates to drift out of
+    * sync with the corpus.
+    *
+    * The demo weight rule: the bench source ([[decontamBenchSource]])
+    * gets 0 (eval data never mixes into training), even-numbered
+    * sources 3, odd 1 — a deployment passes its own weights table.
+    * All integer arithmetic (`div`, 64-bit; MOD-granular thresholds,
+    * multiplicative-hash keep test) so DuckDB reproduces the sample
+    * bit-for-bit. */
+  def docMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = when(col("source") === decontamBenchSource, lit(0L))
+      .otherwise(when(substring(col("source"), 4, 10).cast("long") % 2 === 0,
+        lit(3L)).otherwise(lit(1L)))
+    val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", w)
+    val totals = bySrc.agg(sum(col("n_s")).as("n_total"), sum(col("w")).as("sum_w"))
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .withColumn("thresh", least(lit(sampleMod),
+        expr(s"((n_total div 2) * w * $sampleMod) div (sum_w * n_s)")))
+      .select("source", "thresh")
+    d.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(pmod((col("doc_id") % sampleFold) * sampleHashMul,
+        lit(sampleMod)) < col("thresh"))
+      .select("doc_id", "source")
+  }
+
+  val docMixtureSampleSql: String =
+    s"""WITH w AS (
+       |  SELECT source, count(*) AS n_s,
+       |    CASE WHEN source = '$decontamBenchSource' THEN 0
+       |         WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 THEN 3
+       |         ELSE 1 END AS w
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_s) AS n_total, sum(w) AS sum_w FROM w),
+       |r AS (SELECT source,
+       |        least($sampleMod, ((n_total // 2) * w * $sampleMod) // (sum_w * n_s)) AS thresh
+       |      FROM w, t)
+       |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+       |WHERE ((d.doc_id % $sampleFold) * $sampleHashMul) % $sampleMod < r.thresh""".stripMargin
+
   /** `hashGrams = true` is the deployment mode: the join/distinct
     * keys become xxhash64(gram) — 8-byte shuffle keys instead of
     * ~50-byte strings, the dominant shuffle-volume win at 100 TB. A

@@ -172,6 +172,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_mixture_sample: bench source excluded, volumes track the weights") {
+    val rows = operators.TextOps.docMixtureSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains(operators.TextOps.decontamBenchSource),
+      "eval-bench docs must never mix into training")
+    val even = bySrc.collect { case (s, n) if s.drop(3).toLong % 2 == 0 => n }
+    val odd = bySrc.collect { case (s, n) if s.drop(3).toLong % 2 == 1 => n }
+    assert(even.nonEmpty && odd.nonEmpty)
+    // weight rule is 3:1; MOD-granular thresholds + hash noise on a
+    // small corpus justify loose bounds, not exact ratios
+    val ratio = (even.sum.toDouble / even.size) / (odd.sum.toDouble / odd.size)
+    assert(ratio > 1.5 && ratio < 6.0, s"even:odd volume ratio off: $ratio")
+  }
+
   test("hashed-gram decontamination equals the raw-gram mode") {
     def rows(hashed: Boolean) =
       operators.TextOps.decontamination(spark, sf, hashGrams = hashed)
