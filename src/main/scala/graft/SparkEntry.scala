@@ -84,6 +84,9 @@ object SparkEntry {
     // source-weighted data mixing: keep thresholds derived from
     // corpus counts in-plan (dimension-sized aggs broadcast back)
     "doc_mixture_sample" -> TextOps.docMixtureSample _,
+    // contact-info redaction over deterministically planted PII:
+    // map-side codegen regexp, zero shuffles
+    "doc_pii_scrub"      -> TextOps.docPiiScrub _,
     "decontamination"    -> ((s: SparkSession, d: String) => TextOps.decontamination(s, d)),
     // 8-byte hashed gram keys (the 100 TB shuffle-volume mode);
     // spec-gated by equality against the raw-gram oracle twin
@@ -200,6 +203,7 @@ object SparkEntry {
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
     "doc_mixture_sample" -> TextOps.docMixtureSampleSql,
+    "doc_pii_scrub"      -> TextOps.docPiiScrubSql,
     "decontamination"    -> TextOps.decontaminationSql,
     "decontamination_bloom" -> TextOps.decontaminationSql,
     "training_pipeline_exact" -> TrainingPipeline.runExactSql,

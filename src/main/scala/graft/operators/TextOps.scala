@@ -448,6 +448,60 @@ object TextOps {
          |GROUP BY c.doc_id, c.source""".stripMargin)
   }
 
+  /** PII-shaped patterns for [[docPiiScrub]]. Simple ASCII character
+    * classes on purpose: Java (Spark) and RE2 (DuckDB) regex dialects
+    * agree on them exactly, so the scrubbed text hash-matches
+    * cross-engine. A deployment swaps in its jurisdiction's pattern
+    * pack; the plumbing (codegen regexp over the scan, no shuffle)
+    * is what this operator pins. */
+  val piiEmailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  val piiPhonePat = "555-[0-9]{4}"
+
+  /** Contact-info redaction — the PII-scrub pass a training pipeline
+    * runs before anything leaves the ingest zone. The corpus is
+    * synthetic (no real contact strings), so the operator PLANTS
+    * deterministic ones first ([[dedupExact]]'s synthesized-tail
+    * idiom): every doc_id ≡ 3 (mod 10) gains an email, ≡ 6 a phone
+    * number — both derived from doc_id, so DuckDB plants the identical
+    * corpus. Then the scrub: count matches, replace with typed tags,
+    * emit md5 of the cleaned text. Pure map-side codegen (regexp over
+    * the scan, zero shuffles) — at 100 TB this runs at scan speed. */
+  def docPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(10)) === 3,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com for details")))
+        .when(pmod(col("doc_id"), lit(10)) === 6,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" now")))
+        .otherwise(lit("")))
+    docs(spark, dir).select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$piiEmailPat', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$piiPhonePat', 0)"))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("raw"), piiEmailPat, "<EMAIL>"),
+          piiPhonePat, "<PHONE>").cast("binary")).as("clean_md5"))
+  }
+
+  val docPiiScrubSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || CASE
+       |      WHEN doc_id % 10 = 3 THEN ' contact user' || doc_id || '@example.com for details'
+       |      WHEN doc_id % 10 = 6 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+       |      ELSE '' END AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(raw, '$piiEmailPat')) AS n_emails,
+       |  len(regexp_extract_all(raw, '$piiPhonePat')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(raw, '$piiEmailPat', '<EMAIL>', 'g'),
+       |      '$piiPhonePat', '<PHONE>', 'g')) AS clean_md5
+       |FROM t""".stripMargin
+
   /** Repetition-quality thresholds (Gopher-rule shape: drop documents
     * dominated by a single token or by repeated n-grams). Chosen to
     * split the test corpus non-trivially (312/500 kept at sf0.01);
