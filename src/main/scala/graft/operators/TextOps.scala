@@ -429,23 +429,29 @@ object TextOps {
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+    // unique per-call view name (concurrent callers in one session must
+    // not clobber each other's plan); spark.sql analyzes eagerly, so the
+    // view can be dropped as soon as the DataFrame is built
+    val view = "graft_decontam_grams_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
     docs(spark, dir)
       .select(col("doc_id"), col("source"), explode(grams).as("gram"))
       .select(col("doc_id"), col("source"), col("gram"),
         xxhash64(col("gram")).as("gh"))
-      .createOrReplaceTempView("graft_decontam_grams")
-    spark.sql(
+      .createOrReplaceTempView(view)
+    try spark.sql(
       s"""WITH bench AS (
-         |  SELECT DISTINCT gram, gh FROM graft_decontam_grams
+         |  SELECT DISTINCT gram, gh FROM $view
          |  WHERE source = '$decontamBenchSource')
          |SELECT c.doc_id, c.source, count(DISTINCT c.gram) AS n_hits
-         |FROM graft_decontam_grams c
+         |FROM $view c
          |JOIN bench b ON c.gram = b.gram
          |WHERE c.source <> '$decontamBenchSource'
          |  AND graft_might_contain(
          |        (SELECT graft_bloom_agg(gh, CAST(${1000L * 1000} AS BIGINT)) FROM bench),
          |        c.gh)
          |GROUP BY c.doc_id, c.source""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** PII-shaped patterns for [[docPiiScrub]]. Simple ASCII character

@@ -427,20 +427,21 @@ object VectorOps {
   val pqK = 16
   val pqRerank = 50
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
-    val corpus = v.filter(col("vec_id") >= nQueries)
+  /** Subspace slices of unit-normalized vectors: (id, s, sub). */
+  private def subExplode(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), col("vn"),
+        explode(sequence(lit(0), lit(pqSub - 1))).as("s"))
+      .select(col(idAs), col("s"),
+        slice(col("vn"), col("s") * pqDims + 1, lit(pqDims)).as("sub"))
 
-    def subExplode(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("vn"),
-          explode(sequence(lit(0), lit(pqSub - 1))).as("s"))
-        .select(col(idAs), col("s"),
-          slice(col("vn"), col("s") * pqDims + 1, lit(pqDims)).as("sub"))
-
+  /** PQ training + encoding over a unit-normalized corpus (shared by
+    * the one-shot [[annPq]] and the [[ivfpqBuildIndex]] build half):
+    * per-subspace codebooks seeded from the pqK lowest-id vectors,
+    * one Lloyd pass with fixed-point means, then the corpus encoded
+    * against the trained books. Returns (codebook (s, cid, cv),
+    * codes (vec_id, s, cid)). */
+  private def pqEncode(corpus: DataFrame): (DataFrame, DataFrame) = {
     val subCorpus = subExplode(corpus, "vec_id")
-
-    // seed codebooks: subspace slices of the pqK lowest-id corpus vectors
     var cb: DataFrame = subExplode(
       corpus.orderBy(col("vec_id")).limit(pqK), "cid")
       .select(col("s"), col("cid"),
@@ -461,8 +462,14 @@ object VectorOps {
       .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
     cb = meanVectors(e, Seq("s", "cid"))
+    (cb, assign(subCorpus).select(col("vec_id"), col("s"), col("cid")))
+  }
 
-    val codes = assign(subCorpus).select(col("vec_id"), col("s"), col("cid"))
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+    val corpus = v.filter(col("vec_id") >= nQueries)
+    val (cb, codes) = pqEncode(corpus)
 
     // asymmetric distance: per-(query, subspace, code) lookup tables
     val q = v.filter(col("vec_id") < nQueries)
@@ -522,37 +529,11 @@ object VectorOps {
   def ivfpqBuildIndex(spark: SparkSession, dir: String, indexDir: String,
                       k: Int = ivfK): Unit = {
     val (cents, invlist) = ivfIndex(spark, dir, k)
-    val v = vecs(spark, dir)
+    val corpus = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
-    val corpus = v.filter(col("vec_id") >= nQueries)
-
-    def subExplode(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("vn"),
-          explode(sequence(lit(0), lit(pqSub - 1))).as("s"))
-        .select(col(idAs), col("s"),
-          slice(col("vn"), col("s") * pqDims + 1, lit(pqDims)).as("sub"))
-
-    val subCorpus = subExplode(corpus, "vec_id")
-    var cb: DataFrame = subExplode(
-      corpus.orderBy(col("vec_id")).limit(pqK), "cid")
-      .select(col("s"), col("cid"),
-        transform(col("sub"), x => x.cast("double")).as("cv"))
-
-    def assign(pts: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d2").asc, col("cid").asc)
-      pts.join(broadcast(cb), Seq("s"))
-        .withColumn("d2", vecDistSq(col("sub"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("s"), col("cid"), col("sub"))
-    }
-    val e = assign(subCorpus)
-      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
-      .withColumn("x", col("x").cast("double"))
-    cb = meanVectors(e, Seq("s", "cid"))
-
-    val codes = assign(subCorpus)
+      .filter(col("vec_id") >= nQueries)
+    val (cb, pqCodes) = pqEncode(corpus)
+    val codes = pqCodes
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
       .join(invlist, Seq("neighbor_id"))
 
