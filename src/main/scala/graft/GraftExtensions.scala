@@ -56,11 +56,16 @@ object GraftFunctions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg"),
-      (es: Seq[Expression]) =>
-        if (es.size >= 2)
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1))
-        else
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0))),
+      (es: Seq[Expression]) => es match {
+        case Seq(child) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+        case Seq(child, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${es.size}")
+      }),
     ("graft_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -28,6 +28,18 @@ object Texts {
           element_at(toks, i + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word k-grams (space-joined, 1-based slice), empty array below k
+    * tokens — ONE definition shared by decontamination (raw + bloom
+    * modes) and the span dedup, whose shared-oracle / equality-gate
+    * guarantees require the gram expression to stay byte-identical
+    * across call sites. (`sequence(1, m)` DESCENDS for m <= 0, hence
+    * the explicit short-doc guard.) */
+  def kGrams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Canonical form: tokens re-joined with single spaces. */
   def canonical(toks: Column): Column = concat_ws(" ", toks)
 

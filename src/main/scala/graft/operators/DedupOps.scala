@@ -532,6 +532,12 @@ object DedupOps {
       .select("doc_id", "text")
 
     if (exactRecallUnion) {
+      // gate mode always probes the pristine index it just built (or
+      // the caller's NEVER-UPDATED dir — the cross-engine gate needs a
+      // reproducible index, and an incrementally-updated one isn't):
+      // doc_id is unique by construction, so no dedup pass is needed
+      // and the verify keeps its exchange-reuse shape. Updated indexes
+      // belong to the probe path below, which tolerates replayed rows.
       val sets = spark.read.parquet(s"$idx/sets")
       val cands = probeCandidates(spark, batchDocs, idx)._1
         .union(prefixCandidates(sets).filter(
@@ -541,11 +547,6 @@ object DedupOps {
     } else probeIndex(spark, batchDocs, idx)
   }
 
-  /** Shared probe front half: shingle an arbitrary (doc_id, text)
-    * batch against the index's FROZEN universe (cap decisions
-    * identical to the build) and band-join it into the inverted
-    * index. Returns (candidate pairs, the batch's freshly-built
-    * sets frame). */
   /** A batch's sets frame built against a FROZEN universe: shingle,
     * keep only universe members (cap decisions identical to the index
     * build), aggregate per doc. */
@@ -576,18 +577,39 @@ object DedupOps {
     * index (pure-probe mode — the ingestion-time path a STREAMING
     * pipeline runs per micro-batch; see
     * [[graft.streaming.Pipelines.incrementalDedupSink]]). Verification
-    * is exact against the union of the index sets and the batch's own
+    * is exact against the index sets overlaid with the batch's own
     * freshly-shingled sets, so genuinely NEW documents — not yet in
-    * the index — still verify; for already-indexed doc_ids the two
-    * copies are identical by construction (frozen universe, same
-    * shingling) and the dedup keeps one. */
+    * the index — still verify. The BATCH copy wins a doc_id collision
+    * deterministically (anti-join, not an arbitrary dropDuplicates):
+    * for an unchanged redelivery the copies are identical anyway
+    * (frozen universe, same shingling), and for a re-ingested EDITED
+    * document verification must see the text that just arrived, not
+    * whichever copy a partition race happens to keep. */
   def probeIndex(spark: SparkSession, batchDocs: DataFrame,
                  idx: String): DataFrame = {
-    val (cands, batchSets) = probeCandidates(spark, batchDocs, idx)
-    val sets = spark.read.parquet(s"$idx/sets")
-    verifyPairs(cands,
-      sets.unionByName(batchSets.select(sets.columns.map(col): _*))
-        .dropDuplicates("doc_id"))
+    // candidate pairs are batch-bounded and referenced three times
+    // below (id extraction twice + the verify join); localCheckpoint
+    // materializes them once instead of re-running the band probe per
+    // reference (the dupClusters iteration idiom)
+    val (cands0, batchSets) = probeCandidates(spark, batchDocs, idx)
+    val cands = cands0.localCheckpoint(true)
+    val idxSets = spark.read.parquet(s"$idx/sets")
+    val bs = batchSets.select(idxSets.columns.map(col): _*)
+    // verification only needs candidate docs' rows: restrict the index
+    // side (broadcast semi join on the scan) before de-duplicating the
+    // copies a replayed incrementalIndexUpdate leaves — the dedup
+    // shuffle is candidate-sized, never corpus-sized. The BATCH copy
+    // wins a doc_id collision deterministically (anti-join overlay):
+    // for an unchanged redelivery the copies are identical anyway, and
+    // for a re-ingested EDITED document verification must see the text
+    // that just arrived, not whichever copy a partition race keeps.
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = idxSets.join(candIds, Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
+      .join(bs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(bs)
+    verifyPairs(cands, sets)
   }
 
   /** Fold an accepted batch INTO the index — the write half of the
@@ -698,11 +720,7 @@ object DedupOps {
                  hashGrams: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = spanGram
-    val w = tokens(col("text"))
-    val grams = when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = kGrams(tokens(col("text")), k)
     val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
     val g = Tables(spark, dir, "documents")
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))

@@ -367,12 +367,7 @@ object TextOps {
   def decontamination(spark: SparkSession, dir: String,
                       hashGrams: Boolean = false): DataFrame = {
     val n = decontamGram
-    val w = tokens(col("text"))
-    // sequence(1, k) DESCENDS for k <= 0 — guard short docs explicitly
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = kGrams(tokens(col("text")), n)
     val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
     val g = docs(spark, dir)
       .select(col("doc_id"), col("source"), explode(grams).as("gram"))
@@ -424,11 +419,7 @@ object TextOps {
   def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
     val n = decontamGram
-    val w = tokens(col("text"))
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = kGrams(tokens(col("text")), n)
     // unique per-call view name (concurrent callers in one session must
     // not clobber each other's plan); spark.sql analyzes eagerly, so the
     // view can be dropped as soon as the DataFrame is built
@@ -533,13 +524,8 @@ object TextOps {
     * logic on those. */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
     val w = tokens(col("text"))
-    def grams(k: Int): Column =
-      when(size(w) >= k,
-        transform(sequence(lit(1), size(w) - (k - 1)),
-          i => concat_ws(" ", slice(w, i, lit(k)))))
-        .otherwise(array().cast("array<string>"))
-    val g2 = grams(2)
-    val g3 = grams(3)
+    val g2 = kGrams(w, 2)
+    val g3 = kGrams(w, 3)
     val base = docs(spark, dir).select(
       col("doc_id"),
       size(w).cast("long").as("n_tokens"),

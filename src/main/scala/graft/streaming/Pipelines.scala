@@ -285,18 +285,26 @@ object Pipelines {
     spark.read.parquet(tablePath + "/data")
 
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
-    * documents (message_id = doc_id, payload = UTF-8 text) probes the
-    * parquet minhash index — [[graft.operators.DedupOps.probeIndex]],
-    * the pure-LSH scale mode — and the verified near-dup pairs land in
-    * an idempotently-merged parquet table. This is the online shape of
-    * the batch `dedup_incremental` entry: corpus cost stays index
-    * reads; per-trigger cost is shingling + signing the new docs only.
+    * documents (message_id = doc_id, payload = UTF-8 text) is first
+    * FOLDED INTO the parquet minhash index
+    * ([[graft.operators.DedupOps.incrementalIndexUpdate]] — the write
+    * half of the lifecycle) and then probed against it
+    * ([[graft.operators.DedupOps.probeIndex]], the pure-LSH scale
+    * mode); the verified near-dup pairs land in an idempotently-merged
+    * parquet table. Update-BEFORE-probe is what makes the sink
+    * complete: two brand-new near-identical docs in the same trigger
+    * pair up (the probe sees both in the index), and a doc pairs with
+    * every earlier trigger's docs without rebuilding anything. This is
+    * the online shape of the batch `dedup_incremental` entry: corpus
+    * cost stays index reads; per-trigger cost is shingling + signing
+    * the new docs only.
     *
     * Exactly-once pairs under redelivery AND micro-batch replay, the
-    * [[tableSink]] contract: a pair can legitimately arrive twice
-    * (doc A probes out pair (A,B) in one trigger; B streams in later
-    * and probes out the same pair), so each batch's pairs anti-join
-    * the existing table on (doc_a, doc_b) before appending. */
+    * [[tableSink]] contract: a pair legitimately derives twice (probing
+    * A emits (A,B); probing B later re-emits it), and a replayed
+    * trigger re-appends its batch to the index (tolerated — the probe
+    * path collapses duplicate index rows), so each batch's pairs
+    * anti-join the existing table on (doc_a, doc_b) before appending. */
   def incrementalDedupSink(messages: DataFrame, indexDir: String,
                            tablePath: String): DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
@@ -308,6 +316,7 @@ object Pipelines {
         val docs = batch
           .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
           .dropDuplicates("doc_id") // redelivery within the trigger
+        graft.operators.DedupOps.incrementalIndexUpdate(spark, docs, indexDir)
         val pairs = graft.operators.DedupOps.probeIndex(spark, docs, indexDir)
         val existing =
           try spark.read.parquet(dataPath).select("doc_a", "doc_b")

@@ -415,6 +415,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(table + "/data").count() === streamed.size)
   }
 
+  test("streaming dedup pairs two brand-new docs across triggers (update-before-probe)") {
+    import org.apache.spark.sql.functions.col
+    val sf = SparkSpec.sf
+    // adaptive target: the corpus's strongest near-dup pair — neither
+    // side is indexed, both arrive on the stream in SEPARATE triggers
+    val best = operators.DedupOps.ngramJaccard(spark, sf)
+      .orderBy(col("jaccard").desc, col("doc_a").asc).limit(1)
+      .collect().head
+    val (a0, b0) = (best.getLong(0), best.getLong(1))
+    val idx = tmpDir("graft-mhidx-newdocs")
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx,
+      docFilter = !col("doc_id").isin(a0, b0))
+
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-dedup-table2")
+    val texts = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(a0, b0))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    GraftQueueBroker.publish(broker, "docs", Seq(a0, b0).map { id =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id, "t/docs/0", texts(id))
+    })
+    // one record per trigger: the pair can only be found if trigger 1
+    // folded a0 into the index before trigger 2 probed b0
+    val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+      maxRecordsPerTrigger = Some(1))
+    val q = Pipelines.incrementalDedupSink(msgs, idx, table)
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(table + "/data")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got.contains((a0, b0)),
+      "brand-new near-dup pair must be detected across triggers")
+  }
+
   test("withMaxReadTime: AvailableNow drains the snapshot; deadline caps a slow read") {
     val broker = tmpDir("graft-broker")
     publishText(broker, "q1", 0 until 20, i => s"m$i")
