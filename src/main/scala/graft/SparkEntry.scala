@@ -68,6 +68,10 @@ object SparkEntry {
     "q_funnel"       -> EventOps.funnel _,
     "q_retention"    -> EventOps.retention _,
     "q_anomaly"      -> EventOps.anomalies _,
+    // event-sequence transition matrix (Markov view) + equi-width
+    // per-type value histograms
+    "q_user_path"    -> EventOps.userPath _,
+    "q_histogram"    -> EventOps.histogram _,
     // Text analysis / dedup
     "wordcount"          -> TextOps.wordCount _,
     "windowed_wordcount" -> TextOps.windowedWordCount _,
@@ -190,6 +194,8 @@ object SparkEntry {
     "q_funnel"       -> EventOps.funnelSql,
     "q_retention"    -> EventOps.retentionSql,
     "q_anomaly"      -> EventOps.anomaliesSql,
+    "q_user_path"    -> EventOps.userPathSql,
+    "q_histogram"    -> EventOps.histogramSql,
     "wordcount"          -> TextOps.wordCountSql,
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,

@@ -525,4 +525,76 @@ object EventOps {
       | count(*) AS n_active
       |FROM act JOIN f USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Event-sequence transition mining — the Markov-chain view of user
+    * behavior (which event type follows which): per user, order by
+    * (ts, event_id) — the id tiebreak makes equal-timestamp ordering
+    * deterministic cross-engine — take lead(event_type), count each
+    * (from, to) pair, and attach each transition's share of its
+    * from-type's outgoing edges.
+    *
+    * Shape at scale: ONE user-keyed shuffle for the sequence window
+    * (per-user state bounded by that user's events), a map-side-
+    * combinable pair count (|types|² groups), and a |types|-sized
+    * window for the shares. The share division casts both exact
+    * longs to double explicitly (DuckDB's sum(bigint) is HUGEINT —
+    * an implicit cast would diverge). */
+  def userPath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val out = Window.partitionBy(col("from_type"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("share", col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(out).cast("double"))
+  }
+
+  val userPathSql: String =
+    """WITH s AS (
+      | SELECT event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      | FROM events),
+      |t AS (
+      | SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+      | FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      | CAST(n_transitions AS DOUBLE) /
+      |   CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+      |FROM t""".stripMargin
+
+  /** Equi-width value histogram per event type: 10 buckets over the
+    * per-type [min, max] range. The per-type bounds are a dimension-
+    * sized aggregate broadcast back onto the scan; the bucket index is
+    * the SAME arithmetic expression `(v − lo) · 10 / (hi − lo)` in
+    * both engines (IEEE doubles, identical op order → identical
+    * floor), with the max value clamped into bucket 9. */
+  val histBuckets = 10
+
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bucket = least(lit(histBuckets - 1),
+      floor((col("value") - col("lo")) * histBuckets / (col("hi") - col("lo"))))
+      .cast("long")
+    e.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val histogramSql: String =
+    s"""WITH b AS (
+       | SELECT event_type, min(value) AS lo, max(value) AS hi
+       | FROM events GROUP BY 1)
+       |SELECT e.event_type,
+       | CAST(least(${histBuckets - 1},
+       |   floor((e.value - b.lo) * $histBuckets / (b.hi - b.lo))) AS BIGINT) AS bucket,
+       | count(*) AS n
+       |FROM events e JOIN b USING (event_type)
+       |GROUP BY 1, 2""".stripMargin
 }
