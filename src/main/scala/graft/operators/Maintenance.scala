@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance — the housekeeping that keeps a 100 TB parquet
+  * lake queryable. Streaming sinks and incremental appends (the
+  * file-per-window sink, the minhash index updates, any
+  * foreachBatch writer) accrete small files; scans then pay a
+  * per-file open/footer cost that dwarfs the data read, and
+  * unclustered layout defeats min/max row-group skipping. Both jobs
+  * here are plain DataFrame programs: the writes are distributed,
+  * only file METADATA (a directory listing — dimension-sized, the
+  * same listing every Spark scan performs) touches the driver.
+  */
+object Maintenance {
+
+  /** Rewrite a parquet directory into ~`targetBytes`-sized files.
+    * Output file count = ceil(input bytes / targetBytes), derived from
+    * the source listing via the Hadoop FileSystem API (HDFS/S3-correct,
+    * not java.io). `shuffle = true` (default) repartitions for even
+    * output sizes; `false` coalesces — no shuffle, but output files
+    * inherit input skew, the classic compaction trade. Returns the
+    * file count written. */
+  def compactTable(spark: SparkSession, srcDir: String, dstDir: String,
+                   targetBytes: Long = 128L << 20,
+                   shuffle: Boolean = true): Int = {
+    val path = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val src = spark.read.parquet(srcDir)
+    val out = if (shuffle) src.repartition(parts) else src.coalesce(parts)
+    out.write.mode("overwrite").parquet(dstDir)
+    parts
+  }
+
+  /** Range-clustered rewrite: `repartitionByRange` on the cluster key
+    * then an in-partition sort, so every output file covers a DISJOINT
+    * key range and its parquet min/max footer stats actually prune —
+    * a range-predicate scan opens only the files whose range overlaps
+    * the predicate instead of every file (the layout half of data
+    * skipping; the scan half is free in every parquet reader). The
+    * sort is by the cluster key alone — secondary sort columns would
+    * tighten other columns' row-group stats at the cost of a wider
+    * sort key; add them per workload. */
+  def clusterBy(spark: SparkSession, srcDir: String, dstDir: String,
+                key: String, files: Int): Unit =
+    spark.read.parquet(srcDir)
+      .repartitionByRange(files, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(dstDir)
+}
