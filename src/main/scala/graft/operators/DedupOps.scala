@@ -731,15 +731,25 @@ object DedupOps {
       .select("gk")
     val hits = g.join(dupGrams, Seq("gk"), "left_semi")
       .select("doc_id", "pos")
+    mergeSpans(hits, k)
+  }
+
+  /** Gaps-and-islands merge of duplicated k-gram START positions into
+    * maximal token spans: two positions coalesce when their
+    * [p, p+k−1] windows overlap or touch (p₂ ≤ end₁ + 1). One per-doc
+    * ordered window — per-doc state bounded by document length.
+    * Property-spec'd against a sequential reference merge. */
+  private[graft] def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + (k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = hits
+    hits
       .withColumn("brk",
         when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
       .withColumn("island",
         sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    islands.groupBy(col("doc_id"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (k - 1)).as("span_end"),
         (max(col("pos")) + k - min(col("pos"))).as("span_tokens"))

@@ -172,6 +172,43 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("span merge property: windowed islands equal a sequential reference merge") {
+    import spark.implicits._
+    // reference: sort positions, extend the open span while the next
+    // k-window overlaps or touches it, else emit and start a new one
+    def ref(pos: Seq[Long], k: Int): Set[(Long, Long, Long)] = {
+      val sorted = pos.distinct.sorted
+      if (sorted.isEmpty) Set.empty
+      else {
+        val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        var (start, end) = (sorted.head, sorted.head + k - 1)
+        sorted.tail.foreach { p =>
+          if (p <= end + 1) end = math.max(end, p + k - 1)
+          else { spans += ((start, end)); start = p; end = p + k - 1 }
+        }
+        spans += ((start, end))
+        spans.map { case (s, e) => (s, e, e - s + 1) }.toSet
+      }
+    }
+    val rnd = new scala.util.Random(11) // deterministic
+    for (round <- 1 to 40) {
+      val k = 2 + rnd.nextInt(8)
+      val docs = (0 until 1 + rnd.nextInt(4)).map { d =>
+        d.toLong -> Seq.fill(rnd.nextInt(12))(rnd.nextInt(40).toLong).distinct
+      }
+      val hits = docs.flatMap { case (d, ps) => ps.map(p => (d, p)) }
+      val got = operators.DedupOps.mergeSpans(hits.toDF("doc_id", "pos"), k)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+        .toMap
+      docs.foreach { case (d, ps) =>
+        assert(got.getOrElse(d, Set.empty) === ref(ps, k),
+          s"round $round doc $d k=$k positions ${ps.sorted}")
+      }
+    }
+  }
+
   test("doc_mixture_sample: bench source excluded, volumes track the weights") {
     val rows = operators.TextOps.docMixtureSample(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1)))
