@@ -397,6 +397,18 @@ object TextOps {
        |WHERE g.source <> '$decontamBenchSource'
        |GROUP BY 1, 2""".stripMargin
 
+  /** Materialize the held-out source's distinct gram set to parquet —
+    * the static side a STREAMING decontamination probe joins against
+    * ([[graft.streaming.Pipelines.decontaminationSink]]); built once,
+    * like the minhash index. Benchmark suites are tiny, so the table
+    * broadcast-joins onto every micro-batch. */
+  def benchGramBuild(spark: SparkSession, dir: String, outDir: String): Unit =
+    docs(spark, dir)
+      .filter(col("source") === decontamBenchSource)
+      .select(explode(kGrams(tokens(col("text")), decontamGram)).as("gram"))
+      .distinct()
+      .write.mode("overwrite").parquet(outDir)
+
   /** Bloom-prefiltered decontamination — the 100 TB plan shape. The
     * raw/hashed modes shuffle every corpus (doc, gram) pair into the
     * overlap join; at 100 TB that shuffle IS the job. Here a bloom

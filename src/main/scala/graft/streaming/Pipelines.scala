@@ -284,6 +284,52 @@ object Pipelines {
   def readTable(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath + "/data")
 
+  /** Ingestion-time DECONTAMINATION on the stream: every micro-batch
+    * of incoming documents (message_id = doc_id, payload = UTF-8
+    * text) is checked for [[graft.operators.TextOps.decontamGram]]-
+    * token overlap with the held-out bench gram set (built once to
+    * parquet — [[graft.operators.TextOps.benchGramBuild]]) and SPLIT:
+    * clean docs append to `<tablePath>/clean`, contaminated ones to
+    * `<tablePath>/quarantine` with their distinct-gram hit counts —
+    * auditable and reversible, never silently dropped. The bench side
+    * is tiny, so it broadcast-joins onto each trigger's gram stream;
+    * per-trigger cost is gram extraction over the new docs only.
+    *
+    * Idempotent under redelivery and replay like [[tableSink]]: both
+    * tables anti-join on doc_id before appending. */
+  def decontaminationSink(messages: DataFrame, benchGramsDir: String,
+                          tablePath: String): DataStreamWriter[Row] = {
+    messages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tablePath + "/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.functions.Texts.{kGrams, tokens}
+        val bench = spark.read.parquet(benchGramsDir)
+        val docs = batch
+          .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
+          .dropDuplicates("doc_id")
+        val hits = docs
+          .select(col("doc_id"), explode(
+            kGrams(tokens(col("text")), graft.operators.TextOps.decontamGram)).as("gram"))
+          .join(bench, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("gram")).as("n_hits"))
+        def existing(path: String) =
+          try spark.read.parquet(path).select("doc_id")
+          catch { case _: org.apache.spark.sql.AnalysisException => // first batch
+            spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+          }
+        val dirty = docs.join(hits, Seq("doc_id"))
+        val clean = docs.join(hits, Seq("doc_id"), "left_anti")
+        dirty.join(existing(tablePath + "/quarantine"), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(tablePath + "/quarantine")
+        clean.join(existing(tablePath + "/clean"), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(tablePath + "/clean")
+        ()
+      }
+  }
+
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
     * documents (message_id = doc_id, payload = UTF-8 text) is first
     * FOLDED INTO the parquet minhash index

@@ -450,6 +450,51 @@ class StreamingSpec extends AnyFunSuite {
       "brand-new near-dup pair must be detected across triggers")
   }
 
+  test("streaming decontamination splits clean and quarantined docs, replay-stable") {
+    import org.apache.spark.sql.functions.col
+    val sf = SparkSpec.sf
+    val benchGrams = tmpDir("graft-benchgrams")
+    operators.TextOps.benchGramBuild(spark, sf, benchGrams)
+
+    // plant one contaminated doc: it embeds the first 8 tokens of a
+    // bench-source document, so exactly that gram overlaps
+    val benchText = Tables(spark, sf, "documents")
+      .filter(col("source") === operators.TextOps.decontamBenchSource)
+      .select("text").collect().head.getString(0)
+    val leaked = benchText.split(" ").filter(_.nonEmpty).take(8).mkString(" ")
+    val dirtyId = 999999L
+    val incoming = Seq(
+      dirtyId -> s"entirely fresh words then $leaked and a tail",
+      1000000L -> "no overlap with anything held out here at all",
+      1000001L -> "another clean document with its own novel phrasing")
+
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-decontam-table")
+    GraftQueueBroker.publish(broker, "docs", incoming.map { case (id, text) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id, "t/docs/0", text)
+    })
+    def run(ckpt: String): Unit = {
+      val q = Pipelines.decontaminationSink(
+        Pipelines.readQueues(spark, broker, Seq("docs")), benchGrams, table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+
+    val quarantined = spark.read.parquet(table + "/quarantine")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val clean = spark.read.parquet(table + "/clean")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(quarantined.keySet === Set(dirtyId))
+    assert(quarantined(dirtyId) >= 1)
+    assert(clean === Set(1000000L, 1000001L))
+
+    // full replay (fresh checkpoint): both tables unchanged
+    run(tmpDir("graft-ckpt"))
+    assert(spark.read.parquet(table + "/quarantine").count() === 1)
+    assert(spark.read.parquet(table + "/clean").count() === 2)
+  }
+
   test("withMaxReadTime: AvailableNow drains the snapshot; deadline caps a slow read") {
     val broker = tmpDir("graft-broker")
     publishText(broker, "q1", 0 until 20, i => s"m$i")
