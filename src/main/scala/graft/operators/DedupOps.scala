@@ -624,7 +624,11 @@ object DedupOps {
     * Append-only parquet: no index rewrite, batch-sized work per
     * call. At-least-once ingestion may replay an update; the probe
     * path tolerates the duplicate rows ([[probeIndex]] dedups by
-    * doc_id, candidate pairs are `distinct()`), spec-pinned.
+    * doc_id, candidate pairs are `distinct()`), spec-pinned. The
+    * caller owns the one-copy-per-doc_id contract ACROSS calls — the
+    * streaming sink anti-joins the batch against the indexed ids
+    * first — because two different texts folded in under one doc_id
+    * would make later verifications pick an arbitrary copy.
     * Single-writer contract per index dir, like every unmanaged
     * index ([[VectorOps.annIvfQuery]]). */
   def incrementalIndexUpdate(spark: SparkSession, batchDocs: DataFrame,

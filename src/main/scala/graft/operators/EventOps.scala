@@ -572,16 +572,21 @@ object EventOps {
     * sized aggregate broadcast back onto the scan; the bucket index is
     * the SAME arithmetic expression `(v − lo) · 10 / (hi − lo)` in
     * both engines (IEEE doubles, identical op order → identical
-    * floor), with the max value clamped into bucket 9. */
+    * floor), with the max value clamped into bucket 9. A degenerate
+    * type (hi = lo — one event, or all values equal) is pinned to
+    * bucket 0 EXPLICITLY: the raw expression is 0/0 = NaN there, and
+    * the engines disagree on NaN (Spark's floor collapses it to 0,
+    * DuckDB's least(9, NaN) picks 9 — NaN sorts greatest). */
   val histBuckets = 10
 
   def histogram(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
     val bounds = e.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val bucket = least(lit(histBuckets - 1),
-      floor((col("value") - col("lo")) * histBuckets / (col("hi") - col("lo"))))
-      .cast("long")
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(histBuckets - 1),
+        floor((col("value") - col("lo")) * histBuckets / (col("hi") - col("lo"))))
+        .cast("long"))
     e.join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -592,8 +597,10 @@ object EventOps {
        | SELECT event_type, min(value) AS lo, max(value) AS hi
        | FROM events GROUP BY 1)
        |SELECT e.event_type,
-       | CAST(least(${histBuckets - 1},
-       |   floor((e.value - b.lo) * $histBuckets / (b.hi - b.lo))) AS BIGINT) AS bucket,
+       | CASE WHEN b.hi = b.lo THEN 0
+       |   ELSE CAST(least(${histBuckets - 1},
+       |     floor((e.value - b.lo) * $histBuckets / (b.hi - b.lo))) AS BIGINT)
+       | END AS bucket,
        | count(*) AS n
        |FROM events e JOIN b USING (event_type)
        |GROUP BY 1, 2""".stripMargin

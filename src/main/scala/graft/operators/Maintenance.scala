@@ -16,24 +16,39 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
-    * Output file count = ceil(input bytes / targetBytes), derived from
-    * the source listing via the Hadoop FileSystem API (HDFS/S3-correct,
-    * not java.io). `shuffle = true` (default) repartitions for even
-    * output sizes; `false` coalesces — no shuffle, but output files
-    * inherit input skew, the classic compaction trade. Returns the
-    * file count written. */
+    * Target file count = ceil(input bytes / targetBytes), derived from
+    * a RECURSIVE source listing via the Hadoop FileSystem API
+    * (HDFS/S3-correct, not java.io; recursion so a nested layout's
+    * bytes are counted, not silently missed). `shuffle = true`
+    * (default) repartitions for even output sizes; `false` coalesces —
+    * no shuffle, but output files inherit input skew AND the count
+    * only caps (coalesce cannot split partitions), the classic
+    * compaction trade. Returns the file count actually written (may be
+    * below the target in coalesce mode). Compact a HIVE-PARTITIONED
+    * table per partition directory — this rewrite flattens partition
+    * columns out of the directory structure. */
   def compactTable(spark: SparkSession, srcDir: String, dstDir: String,
                    targetBytes: Long = 128L << 20,
                    shuffle: Boolean = true): Int = {
-    val path = new org.apache.hadoop.fs.Path(srcDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetBytes(dir: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      }
+      total
+    }
+    val bytes = parquetBytes(srcDir)
+    require(bytes > 0, s"no parquet data under $srcDir")
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val src = spark.read.parquet(srcDir)
     val out = if (shuffle) src.repartition(parts) else src.coalesce(parts)
     out.write.mode("overwrite").parquet(dstDir)
-    parts
+    fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Range-clustered rewrite: `repartitionByRange` on the cluster key

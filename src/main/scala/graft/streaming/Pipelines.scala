@@ -296,7 +296,14 @@ object Pipelines {
     * per-trigger cost is gram extraction over the new docs only.
     *
     * Idempotent under redelivery and replay like [[tableSink]]: both
-    * tables anti-join on doc_id before appending. */
+    * tables anti-join on doc_id before appending (a single
+    * column-pruned doc_id read of each table per trigger — at very
+    * long stream lifetimes a deployment moves this key check into the
+    * upstream exactly-once layer or a key store; the tables
+    * themselves are append-only audit logs either way). The split is
+    * per-table: if an EDITED redelivery of an already-clean doc_id
+    * later quarantines, both tables hold the id — consumers read the
+    * corpus via [[readDecontaminated]], where quarantine wins. */
   def decontaminationSink(messages: DataFrame, benchGramsDir: String,
                           tablePath: String): DataStreamWriter[Row] = {
     messages.writeStream
@@ -309,12 +316,15 @@ object Pipelines {
         val docs = batch
           .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
           .dropDuplicates("doc_id")
+        // referenced by BOTH writes below — localCheckpoint so the gram
+        // explode + bench join runs once per trigger, not per sink
         val hits = docs
           .select(col("doc_id"), explode(
             kGrams(tokens(col("text")), graft.operators.TextOps.decontamGram)).as("gram"))
           .join(bench, Seq("gram"))
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("gram")).as("n_hits"))
+          .localCheckpoint(true)
         def existing(path: String) =
           try spark.read.parquet(path).select("doc_id")
           catch { case _: org.apache.spark.sql.AnalysisException => // first batch
@@ -329,6 +339,15 @@ object Pipelines {
         ()
       }
   }
+
+  /** The decontaminated corpus as consumers should read it: the clean
+    * table MINUS anything ever quarantined — so a doc_id whose edited
+    * redelivery flipped its verdict is excluded even though its
+    * earlier clean version remains in the append-only audit log. */
+  def readDecontaminated(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath + "/clean")
+      .join(spark.read.parquet(tablePath + "/quarantine").select("doc_id"),
+        Seq("doc_id"), "left_anti")
 
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
     * documents (message_id = doc_id, payload = UTF-8 text) is first
@@ -362,7 +381,20 @@ object Pipelines {
         val docs = batch
           .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
           .dropDuplicates("doc_id") // redelivery within the trigger
-        graft.operators.DedupOps.incrementalIndexUpdate(spark, docs, indexDir)
+        // only genuinely new doc_ids are folded in: CROSS-trigger
+        // broker redelivery would otherwise append an identical index
+        // row per redelivery, growing the index without bound (the
+        // check reads the single column-pruned doc_id column). First
+        // version wins for an edited re-ingest — the index keeps one
+        // deterministic copy per doc_id until a periodic rebuild.
+        // localCheckpoint: the anti-join reads the sets path the update
+        // is about to append to — materialize the (batch-sized) result
+        // first so the write plan never reads its own output path
+        val newDocs = docs.join(
+          spark.read.parquet(indexDir + "/sets").select("doc_id"),
+          Seq("doc_id"), "left_anti").localCheckpoint(true)
+        if (!newDocs.isEmpty)
+          graft.operators.DedupOps.incrementalIndexUpdate(spark, newDocs, indexDir)
         val pairs = graft.operators.DedupOps.probeIndex(spark, docs, indexDir)
         val existing =
           try spark.read.parquet(dataPath).select("doc_a", "doc_b")

@@ -493,6 +493,10 @@ class StreamingSpec extends AnyFunSuite {
     run(tmpDir("graft-ckpt"))
     assert(spark.read.parquet(table + "/quarantine").count() === 1)
     assert(spark.read.parquet(table + "/clean").count() === 2)
+
+    // the consumer view: clean minus ever-quarantined
+    assert(Pipelines.readDecontaminated(spark, table)
+      .collect().map(_.getAs[Long]("doc_id")).toSet === Set(1000000L, 1000001L))
   }
 
   test("withMaxReadTime: AvailableNow drains the snapshot; deadline caps a slow read") {
