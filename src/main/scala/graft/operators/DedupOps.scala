@@ -630,7 +630,10 @@ object DedupOps {
     * first — because two different texts folded in under one doc_id
     * would make later verifications pick an arbitrary copy.
     * Single-writer contract per index dir, like every unmanaged
-    * index ([[VectorOps.annIvfQuery]]). */
+    * index ([[VectorOps.annIvfQuery]]). `batchDocs` must not be a
+    * plan that READS this index's paths (materialize such a frame
+    * with localCheckpoint first, as the streaming sink does) — an
+    * append whose input scans its own output path corrupts silently. */
   def incrementalIndexUpdate(spark: SparkSession, batchDocs: DataFrame,
                              idx: String): Unit = {
     val universe = spark.read.parquet(s"$idx/universe")
