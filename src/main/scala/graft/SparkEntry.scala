@@ -91,6 +91,9 @@ object SparkEntry {
     // contact-info redaction over deterministically planted PII:
     // map-side codegen regexp, zero shuffles
     "doc_pii_scrub"      -> TextOps.docPiiScrub _,
+    // per-source corpus quality dashboard: integer counts of the
+    // quality / repetition / contamination / near-dup flags
+    "source_quality_report" -> TextOps.sourceQualityReport _,
     "decontamination"    -> ((s: SparkSession, d: String) => TextOps.decontamination(s, d)),
     // 8-byte hashed gram keys (the 100 TB shuffle-volume mode);
     // spec-gated by equality against the raw-gram oracle twin
@@ -210,6 +213,7 @@ object SparkEntry {
     "doc_sample"         -> TextOps.docSampleSql,
     "doc_mixture_sample" -> TextOps.docMixtureSampleSql,
     "doc_pii_scrub"      -> TextOps.docPiiScrubSql,
+    "source_quality_report" -> TextOps.sourceQualityReportSql,
     "decontamination"    -> TextOps.decontaminationSql,
     "decontamination_bloom" -> TextOps.decontaminationSql,
     "training_pipeline_exact" -> TrainingPipeline.runExactSql,

@@ -457,6 +457,69 @@ object TextOps {
     finally spark.catalog.dropTempView(view)
   }
 
+  /** Per-source corpus QUALITY REPORT — the dashboard a corpus owner
+    * reads before mixing sources into a training run, composing four
+    * operators into one grouped view: how many docs each source
+    * contributes, how many fail the quality bar, how many are
+    * repetition-flagged, how many leak bench content, and how many
+    * participate in a near-dup pair. Every metric is an integer COUNT
+    * of deterministic per-doc flags (no averaged doubles — a mean of
+    * per-doc doubles would be summation-order-dependent and break the
+    * cross-engine hash), so the report is hash-gated like everything
+    * else.
+    *
+    * Shape at scale: four doc-keyed flag frames left-joined onto the
+    * corpus and collapsed by a |sources|-sized aggregate; the flag
+    * subplans are the component operators' own (already audited)
+    * plans; the final groupBy is map-side combinable. */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val lowQ = textQuality(spark, dir)
+      .filter(col("quality") < TrainingPipeline.qualityMin)
+      .select(col("doc_id"), lit(1).as("low_q"))
+    val rep = docRepetition(spark, dir)
+      .filter(col("keep") === 0)
+      .select(col("doc_id"), lit(1).as("repet"))
+    val cont = decontamination(spark, dir)
+      .select(col("doc_id"), lit(1).as("contam"))
+    val pairs = DedupOps.ngramJaccard(spark, dir)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .select(col("doc_id"), lit(1).as("dup"))
+    d.join(lowQ, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("low_q")).as("n_low_quality"),
+        count(col("repet")).as("n_repetitive"),
+        count(col("contam")).as("n_contaminated"),
+        count(col("dup")).as("n_near_dup"))
+  }
+
+  lazy val sourceQualityReportSql: String =
+    s"""WITH q AS ($textQualitySql),
+       |r AS ($docRepetitionSql),
+       |c AS ($decontaminationSql),
+       |p AS (${DedupOps.jaccardSql}),
+       |dup AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)),
+       |lowq AS (SELECT doc_id FROM q WHERE quality < ${TrainingPipeline.qualityMin}),
+       |rep AS (SELECT doc_id FROM r WHERE keep = 0)
+       |SELECT d.source, count(*) AS n_docs,
+       |  count(lowq.doc_id) AS n_low_quality,
+       |  count(rep.doc_id) AS n_repetitive,
+       |  count(c.doc_id) AS n_contaminated,
+       |  count(dup.doc_id) AS n_near_dup
+       |FROM documents d
+       |LEFT JOIN lowq ON lowq.doc_id = d.doc_id
+       |LEFT JOIN rep ON rep.doc_id = d.doc_id
+       |LEFT JOIN c ON c.doc_id = d.doc_id
+       |LEFT JOIN dup ON dup.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   /** PII-shaped patterns for [[docPiiScrub]]. Simple ASCII character
     * classes on purpose: Java (Spark) and RE2 (DuckDB) regex dialects
     * agree on them exactly, so the scrubbed text hash-matches
