@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   * cost, not JIT/GC noise — and a "spread" map carries [min, max] per
   * query so a sub-second wobble between rounds is classifiable as
   * run-to-run variance without a re-run.
+  *
+  * Optional args restrict the run to the named queries (iteration
+  * aid); the driver's no-args invocation times the full suite.
   */
 object Bench {
   val timedRuns = 3
@@ -27,7 +30,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = if (args.isEmpty) all else {
+      val want = args.toSet
+      val unknown = want -- all.map(_._1).toSet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+      all.filter { case (n, _) => want(n) }
+    }
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }

@@ -463,6 +463,33 @@ object DedupOps {
     * corpus) probed against the index of the whole corpus. */
   private def incomingBatch(c: Column): Column = pmod(c, lit(10)) === 7
 
+  /** Key-hash partition count for BOUNDED membership checks: the
+    * index's `ids` table (and the streaming sinks' output tables —
+    * [[graft.streaming.Pipelines]]) are Hive-partitioned by
+    * kb = pmod(xxhash64(key…), keyBuckets), so an already-present
+    * check prunes its read to the buckets the incoming batch actually
+    * hashes into instead of scanning the whole key history every
+    * trigger. 64 keeps directory counts trivial while giving a
+    * small-trigger check a 64× read reduction; the check stays
+    * correct for any value because equal keys always share a bucket. */
+  val keyBuckets = 64
+
+  /** The bucket column for [[keyBuckets]]-partitioned key layouts. */
+  def keyBucket(keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(keyBuckets)).cast("int")
+
+  /** doc_ids already folded into an index, read PRUNED to the given
+    * key-hash buckets (≤ [[keyBuckets]] partition directories — per-
+    * trigger read work is bounded by the batch's bucket span, not by
+    * index history). Indexes written before the `ids` table existed
+    * fall back to the unpruned single-column `sets` read. */
+  def indexedIds(spark: SparkSession, idx: String, buckets: Seq[Int]): DataFrame =
+    try spark.read.parquet(s"$idx/ids")
+      .filter(col("kb").isin(buckets: _*)).select("doc_id")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.read.parquet(s"$idx/sets").select("doc_id")
+    }
+
   /** Build the minhash dedup index to parquet — the state a streaming
     * ingestion pipeline maintains so NEW documents dedup against the
     * corpus without recomputing corpus-wide aggregates:

@@ -152,32 +152,79 @@ object VectorOps {
     * `bits` MUST scale with the corpus: per-table candidate cost is
     * ~n²/2^bits (expected bucket size n/2^bits, pairs per bucket
     * quadratic in it), so a FIXED code space degrades quadratically —
-    * measured 23.7× time for 10× vectors at the 4-bit default (sf1
-    * bench). Size bits ≈ log₂(n / m) for a target per-bucket m (a few
-    * hundred): 10⁹ vectors want ~22 bits, not 4. More bits per table
-    * lowers per-table recall; deployments add tables (recall unions
-    * across tables) as bits grow. The small-sf default (8×4) keeps the
-    * recall spec meaningful on the tiny test corpus.
+    * measured 23.7× time for 10× vectors at a fixed 4-bit code (sf1
+    * bench). The DEFAULT therefore AUTO-SIZES the code space IN-PLAN:
+    * the corpus count enters as a 1-row scalar subquery (the
+    * DedupOps df-cap pattern — never a driver collect) and
+    * bits = clamp(⌈log₂(n / [[lshTargetBucket]])⌉, [[lshMinBits]],
+    * [[lshMaxBits]]), which holds expected bucket population at
+    * ~[[lshTargetBucket]] so per-table candidate work stays ~n·m/2 —
+    * linear — at any corpus size (10⁹ vectors → 22 bits, the tiny
+    * test corpus → the 4-bit floor where the recall spec lives).
+    * Per-bit codes above the runtime width are short-circuited (the
+    * `i < nbits` conjunct guards the hyperplane dot), so map-side
+    * cost tracks the chosen width, not [[lshMaxBits]]. More bits per
+    * table lowers per-table recall; deployments add tables (recall
+    * unions across tables) as bits grow. An explicit `bits > 0` pins
+    * a fixed code space (the knob spec and recall spec use this).
     *
     * Recall < 1 by construction on a zero-margin threshold →
     * rows-only gate + ScalaTest recall spec vs [[embeddingNearDup]]. */
   val lshTables = 8
-  val lshBits = 4
 
-  /** Seeded hyperplanes for (tables, bits) — the default (8, 4) draws
-    * the identical sequence every call, so plans are deterministic. */
+  /** Target expected per-table bucket population for the auto-sized
+    * code space: per-bucket verify work is ~m²/2 pairs and per-table
+    * candidate volume ~n·m/2 — both bounded and linear in n once m is
+    * pinned. 256 keeps the sf1 bench in its measured-linear regime
+    * (20k vectors → 7 bits) without shredding per-table recall. */
+  val lshTargetBucket = 256
+
+  /** Floor for the auto-sized code width — the tiny test corpus would
+    * otherwise degenerate to 1 bucket and the recall spec would gate
+    * nothing. */
+  val lshMinBits = 4
+
+  /** Ceiling for the auto-sized code width (also the number of seeded
+    * hyperplanes generated per table in auto mode): 256·2²⁴ ≈ 4.3·10⁹
+    * vectors before the ceiling binds and bucket growth resumes. */
+  val lshMaxBits = 24
+
+  /** Seeded hyperplanes for (tables, bits) — a given (tables, bits)
+    * draws the identical sequence every call, so plans are
+    * deterministic. */
   private def dupPlanes(tables: Int, bits: Int): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(43)
     Seq.fill(tables, bits)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
+  /** `bits = 0` (the default) auto-sizes the code space from the
+    * corpus count in-plan — see the sizing scaladoc above. An explicit
+    * `bits > 0` pins a fixed width. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
                           tables: Int = lshTables,
-                          bits: Int = lshBits): DataFrame = {
-    val v = vecs(spark, dir)
-    val keys = dupPlanes(tables, bits).zipWithIndex.map { case (tbl, t) =>
+                          bits: Int = 0): DataFrame = {
+    require(bits >= 0 && bits <= lshMaxBits, s"bits must be in [0, $lshMaxBits]")
+    val v0 = vecs(spark, dir)
+    // genBits hyperplanes are GENERATED per table; nbits of them are
+    // USED per row. Fixed mode pins both; auto mode generates the
+    // ceiling and masks to the in-plan width, so the bucket key is a
+    // pure function of (corpus count, seeded planes) — deterministic.
+    val genBits = if (bits > 0) bits else lshMaxBits
+    val nbits: Column =
+      if (bits > 0) lit(bits)
+      else {
+        val n = v0.agg(count(lit(1)).as("n_vecs")).scalar()
+        least(greatest(
+          ceil(log2(n.cast("double") / lshTargetBucket)).cast("int"),
+          lit(lshMinBits)), lit(lshMaxBits))
+      }
+    val v = v0.withColumn("nbits", nbits)
+    val keys = dupPlanes(tables, genBits).zipWithIndex.map { case (tbl, t) =>
       val code = tbl.zipWithIndex.map { case (p, i) =>
-        when(dot(col("vd"), typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+        // `i < nbits` first: And short-circuits in codegen, so planes
+        // above the runtime width never pay their 64-dim dot product
+        when(lit(i) < col("nbits") && dot(col("vd"), typedlit(p)) > 0,
+          lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), code.as("code"))
     }
@@ -188,8 +235,8 @@ object VectorOps {
     val cands = ca.join(cb, Seq("tbl", "code"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       .select("vec_id_a", "vec_id_b").distinct()
-    val va = v.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("na"))
-    val vb = v.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("nb"))
+    val va = v0.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("na"))
+    val vb = v0.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("nb"))
     cands.join(va, Seq("vec_id_a")).join(vb, Seq("vec_id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= nearDupThreshold)
