@@ -102,7 +102,7 @@ object SparkEntry {
     // bloom prefilter on the corpus scan (scalar-subquery
     // BloomFilterAggregate); no false negatives + exact verify join
     // => bit-identical to decontamination, shares its hash oracle
-    "decontamination_bloom" -> TextOps.decontaminationBloom _,
+    "decontamination_bloom" -> ((s: SparkSession, d: String) => TextOps.decontaminationBloom(s, d)),
     // composed end-to-end job: dedup -> decontaminate -> quality ->
     // sample -> partitioned write; rows-gated (LSH recall < 1), the
     // component-predicate spec is the correctness gate

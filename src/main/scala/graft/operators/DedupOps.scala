@@ -497,17 +497,38 @@ object DedupOps {
     *    the frozen cap decisions new docs must shingle against;
     *  - `sets`: per-doc prefix-ordered shingle arrays (the verify
     *    side);
+    *  - `ids`: the [[keyBucket]]-partitioned doc_id membership table
+    *    the streaming sink's already-indexed check prunes against;
     *  - `bands`: the LSH band-key inverted index (band, bkey, doc_id).
     * Written last, `bands/_SUCCESS` is the build-complete marker. */
   def incrementalIndexBuild(spark: SparkSession, dir: String, indexDir: String,
-                            docFilter: Column = lit(true)): Unit = {
+                            docFilter: Column = lit(true)): Unit =
+    rebuildIndex(spark,
+      Tables(spark, dir, "documents").filter(docFilter).select("doc_id", "text"),
+      indexDir)
+
+  /** (Re)build the index from an arbitrary (doc_id, text) corpus frame
+    * — ALSO the periodic FULL REBUILD that reconciles universe drift
+    * ([[incrementalIndexUpdate]]'s documented trade): shingles that
+    * entered the corpus after the last build are invisible to the
+    * frozen universe, so docs whose overlap lives in NEW vocabulary
+    * cannot pair until a rebuild recomputes the df-capped universe
+    * over the current corpus (original + accepted arrivals, e.g. the
+    * sink table read back). Spec-pinned: new-vocabulary near-dups
+    * pair only after the rebuild.
+    *
+    * Overwrites in place; `bands/_SUCCESS` stays the completion
+    * marker (ids lands before bands). Single-writer contract, and
+    * `corpusDocs` must not be a plan that READS this index's paths —
+    * the [[incrementalIndexUpdate]] self-read hazard. */
+  def rebuildIndex(spark: SparkSession, corpusDocs: DataFrame,
+                   indexDir: String): Unit = {
     // ONE corpus pass: materialize the per-doc sets, then derive the
     // universe and the band index FROM THE WRITTEN PARQUET — each
     // lazy re-use of the docSets frame would otherwise re-run the
     // whole corpus scan + shingle + df-cap aggregation per output
     // (3× the build cost this index exists to amortize)
-    docSetsOf(cappedShinglesOf(
-      Tables(spark, dir, "documents").filter(docFilter)))
+    docSetsOf(cappedShinglesOf(corpusDocs))
       .write.mode("overwrite").parquet(s"$indexDir/sets")
     val sets = spark.read.parquet(s"$indexDir/sets")
     // every kept (shingle, df) appears in some doc's array, so the
@@ -515,6 +536,13 @@ object DedupOps {
     sets.select(explode(col("arr")).as("e"))
       .select(col("e.s").as("s"), col("e.df").as("df")).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/universe")
+    // ids before bands so bands/_SUCCESS stays the LAST write — the
+    // build-complete marker convention callers already check.
+    // Membership covers EVERY corpus doc (the update's rule): a doc
+    // with zero universe-overlapping shingles has no sets row but is
+    // still indexed — the sink must not re-fold it forever.
+    corpusDocs.select(col("doc_id"), keyBucket(col("doc_id")).as("kb"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
     minhashBands(sets).write.mode("overwrite").parquet(s"$indexDir/bands")
   }
 
@@ -653,9 +681,18 @@ object DedupOps {
     * path tolerates the duplicate rows ([[probeIndex]] dedups by
     * doc_id, candidate pairs are `distinct()`), spec-pinned. The
     * caller owns the one-copy-per-doc_id contract ACROSS calls — the
-    * streaming sink anti-joins the batch against the indexed ids
+    * streaming sink anti-joins the batch against [[indexedIds]]
     * first — because two different texts folded in under one doc_id
     * would make later verifications pick an arbitrary copy.
+    *
+    * Crash-safe ordering: the `ids` MEMBERSHIP record is appended
+    * LAST, after both `bands` and `sets`. A crash mid-update can
+    * therefore only leave a doc with band/set rows but NO membership
+    * row — the replay's already-indexed check re-folds it (duplicate
+    * rows tolerated, above). The reverse ordering would be a silent
+    * recall hole: a doc marked as indexed whose band rows never
+    * landed is invisible to every future probe.
+    *
     * Single-writer contract per index dir, like every unmanaged
     * index ([[VectorOps.annIvfQuery]]). `batchDocs` must not be a
     * plan that READS this index's paths (materialize such a frame
@@ -667,8 +704,13 @@ object DedupOps {
     val bs = batchSetsAgainst(batchDocs, universe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bs.write.mode("append").parquet(s"$idx/sets")
       minhashBands(bs).write.mode("append").parquet(s"$idx/bands")
+      bs.write.mode("append").parquet(s"$idx/sets")
+      // membership covers EVERY batch doc, not just those with
+      // universe-overlapping shingles — a doc contributing zero set
+      // rows is still "folded" and must not be re-processed forever
+      batchDocs.select(col("doc_id"), keyBucket(col("doc_id")).as("kb"))
+        .write.mode("append").partitionBy("kb").parquet(s"$idx/ids")
     } finally bs.unpersist()
   }
 

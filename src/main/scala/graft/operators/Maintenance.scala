@@ -24,9 +24,9 @@ object Maintenance {
     * no shuffle, but output files inherit input skew AND the count
     * only caps (coalesce cannot split partitions), the classic
     * compaction trade. Returns the file count actually written (may be
-    * below the target in coalesce mode). Compact a HIVE-PARTITIONED
-    * table per partition directory — this rewrite flattens partition
-    * columns out of the directory structure. */
+    * below the target in coalesce mode). This rewrite flattens
+    * partition columns out of the directory structure — compact a
+    * HIVE-PARTITIONED table with [[compactPartitioned]] instead. */
   def compactTable(spark: SparkSession, srcDir: String, dstDir: String,
                    targetBytes: Long = 128L << 20,
                    shuffle: Boolean = true): Int = {
@@ -49,6 +49,39 @@ object Maintenance {
     out.write.mode("overwrite").parquet(dstDir)
     fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
       .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Partition-aware compaction: rewrite EACH Hive partition directory
+    * of a partitioned table into ~`targetBytes` files, preserving the
+    * `col=value` directory layout (so partition pruning — the reason
+    * the layout exists — keeps working on the compacted copy). This is
+    * the one-call compaction for the library's own partitioned
+    * producers: the file-per-window sink (one dir per window) and the
+    * kb-partitioned sink tables / index `ids`, all of which accrete a
+    * file per trigger. Walks nested `a=1/b=2/…` levels to the leaf
+    * data directories; a leaf with no parquet (e.g. only a marker
+    * file) is skipped, not an error. The per-partition rewrites run
+    * as successive Spark jobs — the loop is over partition COUNT
+    * (dimension-sized metadata, like the listing every scan does),
+    * never over rows. Returns total files written. */
+  def compactPartitioned(spark: SparkSession, srcDir: String, dstDir: String,
+                         targetBytes: Long = 128L << 20,
+                         shuffle: Boolean = true): Int = {
+    val root = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val parts = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(dir) else parts.toSeq.flatMap(p => leafDirs(p.getPath))
+    }
+    def hasParquet(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(dir).exists(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+    val rootUri = root.toUri.getPath
+    leafDirs(root).filter(hasParquet).map { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val dst = if (rel.isEmpty) dstDir else s"$dstDir/$rel"
+      compactTable(spark, leaf.toString, dst, targetBytes, shuffle)
+    }.sum
   }
 
   /** Range-clustered rewrite: `repartitionByRange` on the cluster key

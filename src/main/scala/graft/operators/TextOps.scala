@@ -346,7 +346,11 @@ object TextOps {
     s"""WITH w AS (
        |  SELECT source, count(*) AS n_s,
        |    CASE WHEN source = '$decontamBenchSource' THEN 0
-       |         WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 THEN 3
+       |         -- TRY_CAST + the 10-char window mirror the Spark twin
+       |         -- (substring(source, 4, 10).cast("long")): a corpus
+       |         -- whose source names aren't 'srcN' degrades to the
+       |         -- ELSE weight in BOTH engines instead of erroring here
+       |         WHEN TRY_CAST(substr(source, 4, 10) AS BIGINT) % 2 = 0 THEN 3
        |         ELSE 1 END AS w
        |  FROM documents GROUP BY source),
        |t AS (SELECT sum(n_s) AS n_total, sum(w) AS sum_w FROM w),
@@ -427,8 +431,20 @@ object TextOps {
     *
     * Uses Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
     * (the runtime-join-filter kernels, codegen'd) registered as SQL
-    * functions by [[graft.GraftFunctions]]. */
-  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    * functions by [[graft.GraftFunctions]].
+    *
+    * `estimatedBenchGrams` sizes the bloom filter (the aggregate
+    * requires a FOLDABLE estimate — it cannot be a subquery — and a
+    * derive-by-counting pass would re-scan the corpus for the bench
+    * source, doubling the scan this operator exists to keep single).
+    * Size it at or above the suite's distinct gram count: an estimate
+    * far under the true cardinality inflates the false-positive rate
+    * and silently erodes the prefilter's selectivity — correctness
+    * holds either way (the exact join verifies survivors), but the
+    * shuffle-collapse claim is the whole point. The default covers
+    * 10⁶ grams ≈ a 100k-question suite. */
+  def decontaminationBloom(spark: SparkSession, dir: String,
+                           estimatedBenchGrams: Long = 1000L * 1000): DataFrame = {
     graft.GraftFunctions.register(spark)
     val n = decontamGram
     val grams = kGrams(tokens(col("text")), n)
@@ -451,7 +467,7 @@ object TextOps {
          |JOIN bench b ON c.gram = b.gram
          |WHERE c.source <> '$decontamBenchSource'
          |  AND graft_might_contain(
-         |        (SELECT graft_bloom_agg(gh, CAST(${1000L * 1000} AS BIGINT)) FROM bench),
+         |        (SELECT graft_bloom_agg(gh, CAST($estimatedBenchGrams AS BIGINT)) FROM bench),
          |        c.gh)
          |GROUP BY c.doc_id, c.source""".stripMargin)
     finally spark.catalog.dropTempView(view)

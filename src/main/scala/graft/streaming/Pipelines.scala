@@ -284,6 +284,53 @@ object Pipelines {
   def readTable(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath + "/data")
 
+  // ---- bounded idempotency machinery for the foreachBatch sinks ----
+  //
+  // The sinks' exactly-once contract must survive CHECKPOINT LOSS
+  // (the specs replay the whole spool from a fresh checkpoint), so
+  // seen-keys cannot live in the state store — they live in the
+  // output table itself. To keep that check O(batch buckets) instead
+  // of O(table history), every sink table is Hive-partitioned by
+  // kb = pmod(xxhash64(key…), DedupOps.keyBuckets) and the per-
+  // trigger read is pruned to the buckets the batch actually hashes
+  // into: equal keys always share a bucket, so pruning never misses
+  // a duplicate, and a trigger touching k distinct keys reads at
+  // most min(k, keyBuckets)/keyBuckets of the key history.
+
+  /** The ≤ [[graft.operators.DedupOps.keyBuckets]] bucket values
+    * present in a batch — a dimension-bounded driver list (the
+    * [[tableSink]] queue-list convention), never O(batch) rows. */
+  private[graft] def bucketsOf(batchKeyed: DataFrame): Seq[Int] =
+    batchKeyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Keys already present in a kb-partitioned sink table, read pruned
+    * to `buckets` (a static partition predicate — the scan lists only
+    * those directories). First trigger: no table yet → empty frame
+    * with the right (long-typed) key schema. */
+  private[graft] def prunedKeys(spark: SparkSession, path: String,
+                                keyCols: Seq[String], buckets: Seq[Int]): DataFrame =
+    try spark.read.parquet(path)
+      .filter(col("kb").isin(buckets: _*))
+      .select(keyCols.map(col): _*)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.range(0).select(keyCols.map(k => col("id").as(k)): _*)
+    }
+
+  /** One deterministic row per doc_id within a trigger: the latest
+    * sender timestamp wins, ties broken by sequence number and then
+    * payload text — a redelivered EDITED document resolves
+    * identically on every run and every partitioning (a bare
+    * `dropDuplicates` would keep whichever copy a partition race
+    * happens to deliver first). Emits (doc_id, text, kb). */
+  private def latestDocVersion(batch: Dataset[Row]): DataFrame =
+    batch
+      .select(col("message_id").as("doc_id"),
+        struct(col("sender_ts"), col("sequence_number"),
+          col("payload").cast("string").as("text")).as("v"))
+      .groupBy("doc_id").agg(max(col("v")).as("v"))
+      .select(col("doc_id"), col("v.text").as("text"),
+        graft.operators.DedupOps.keyBucket(col("doc_id")).as("kb"))
+
   /** Ingestion-time DECONTAMINATION on the stream: every micro-batch
     * of incoming documents (message_id = doc_id, payload = UTF-8
     * text) is checked for [[graft.operators.TextOps.decontamGram]]-
@@ -295,12 +342,12 @@ object Pipelines {
     * is tiny, so it broadcast-joins onto each trigger's gram stream;
     * per-trigger cost is gram extraction over the new docs only.
     *
-    * Idempotent under redelivery and replay like [[tableSink]]: both
-    * tables anti-join on doc_id before appending (a single
-    * column-pruned doc_id read of each table per trigger — at very
-    * long stream lifetimes a deployment moves this key check into the
-    * upstream exactly-once layer or a key store; the tables
-    * themselves are append-only audit logs either way). The split is
+    * Idempotent under redelivery and replay like [[tableSink]], with
+    * a BOUNDED key check: both tables are [[graft.operators.DedupOps
+    * .keyBucket]]-partitioned and each trigger's anti-join reads only
+    * the buckets its docs hash into — per-trigger read work is
+    * bounded by the batch's bucket span, not by stream history (the
+    * tables themselves stay append-only audit logs). The split is
     * per-table: if an EDITED redelivery of an already-clean doc_id
     * later quarantines, both tables hold the id — consumers read the
     * corpus via [[readDecontaminated]], where quarantine wins. */
@@ -313,9 +360,10 @@ object Pipelines {
         val spark = batch.sparkSession
         import graft.functions.Texts.{kGrams, tokens}
         val bench = spark.read.parquet(benchGramsDir)
-        val docs = batch
-          .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
-          .dropDuplicates("doc_id")
+        // referenced four times below (bucket list, hits, both splits)
+        // — localCheckpoint so the version-resolve shuffle runs once
+        val docs = latestDocVersion(batch).localCheckpoint(true)
+        val buckets = bucketsOf(docs)
         // referenced by BOTH writes below — localCheckpoint so the gram
         // explode + bench join runs once per trigger, not per sink
         val hits = docs
@@ -325,17 +373,14 @@ object Pipelines {
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("gram")).as("n_hits"))
           .localCheckpoint(true)
-        def existing(path: String) =
-          try spark.read.parquet(path).select("doc_id")
-          catch { case _: org.apache.spark.sql.AnalysisException => // first batch
-            spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-          }
         val dirty = docs.join(hits, Seq("doc_id"))
         val clean = docs.join(hits, Seq("doc_id"), "left_anti")
-        dirty.join(existing(tablePath + "/quarantine"), Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(tablePath + "/quarantine")
-        clean.join(existing(tablePath + "/clean"), Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(tablePath + "/clean")
+        dirty.join(prunedKeys(spark, tablePath + "/quarantine", Seq("doc_id"), buckets),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").partitionBy("kb").parquet(tablePath + "/quarantine")
+        clean.join(prunedKeys(spark, tablePath + "/clean", Seq("doc_id"), buckets),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").partitionBy("kb").parquet(tablePath + "/clean")
         ()
       }
   }
@@ -348,6 +393,7 @@ object Pipelines {
     spark.read.parquet(tablePath + "/clean")
       .join(spark.read.parquet(tablePath + "/quarantine").select("doc_id"),
         Seq("doc_id"), "left_anti")
+      .drop("kb") // layout detail, not consumer schema
 
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
     * documents (message_id = doc_id, payload = UTF-8 text) is first
@@ -369,7 +415,13 @@ object Pipelines {
     * A emits (A,B); probing B later re-emits it), and a replayed
     * trigger re-appends its batch to the index (tolerated — the probe
     * path collapses duplicate index rows), so each batch's pairs
-    * anti-join the existing table on (doc_a, doc_b) before appending. */
+    * anti-join the existing table on (doc_a, doc_b) before appending.
+    * Both per-trigger key checks are BOUNDED: the already-indexed
+    * check prunes the index's kb-partitioned `ids` table to the
+    * batch's buckets ([[graft.operators.DedupOps.indexedIds]]), and
+    * the pair table is kb-partitioned on (doc_a, doc_b) so its
+    * anti-join reads only the buckets the batch's pairs hash into —
+    * neither read grows with stream history. */
   def incrementalDedupSink(messages: DataFrame, indexDir: String,
                            tablePath: String): DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
@@ -378,32 +430,33 @@ object Pipelines {
       .option("checkpointLocation", tablePath + "/_checkpoint")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        val docs = batch
-          .select(col("message_id").as("doc_id"), col("payload").cast("string").as("text"))
-          .dropDuplicates("doc_id") // redelivery within the trigger
+        // deterministic within-trigger winner; localCheckpoint: docs is
+        // referenced by the bucket list, the membership anti-join, and
+        // the probe — and the anti-join reads the ids path the update
+        // below appends to, so the frame must be materialized before
+        // any write plan could scan its own output path
+        val docs = latestDocVersion(batch).localCheckpoint(true)
         // only genuinely new doc_ids are folded in: CROSS-trigger
         // broker redelivery would otherwise append an identical index
-        // row per redelivery, growing the index without bound (the
-        // check reads the single column-pruned doc_id column). First
+        // row per redelivery, growing the index without bound. First
         // version wins for an edited re-ingest — the index keeps one
         // deterministic copy per doc_id until a periodic rebuild.
-        // localCheckpoint: the anti-join reads the sets path the update
-        // is about to append to — materialize the (batch-sized) result
-        // first so the write plan never reads its own output path
         val newDocs = docs.join(
-          spark.read.parquet(indexDir + "/sets").select("doc_id"),
-          Seq("doc_id"), "left_anti").localCheckpoint(true)
+          graft.operators.DedupOps.indexedIds(spark, indexDir, bucketsOf(docs)),
+          Seq("doc_id"), "left_anti").select("doc_id", "text").localCheckpoint(true)
         if (!newDocs.isEmpty)
           graft.operators.DedupOps.incrementalIndexUpdate(spark, newDocs, indexDir)
-        val pairs = graft.operators.DedupOps.probeIndex(spark, docs, indexDir)
-        val existing =
-          try spark.read.parquet(dataPath).select("doc_a", "doc_b")
-          catch { case _: org.apache.spark.sql.AnalysisException => // first batch
-            spark.emptyDataFrame
-              .select(lit(0L).as("doc_a"), lit(0L).as("doc_b")).limit(0)
-          }
-        pairs.join(existing, Seq("doc_a", "doc_b"), "left_anti")
-          .write.mode("append").parquet(dataPath)
+        // pairs feed the bucket list AND the anti-joined write —
+        // localCheckpoint so the probe's verify join runs once
+        val pairs = graft.operators.DedupOps
+          .probeIndex(spark, docs.select("doc_id", "text"), indexDir)
+          .withColumn("kb",
+            graft.operators.DedupOps.keyBucket(col("doc_a"), col("doc_b")))
+          .localCheckpoint(true)
+        pairs.join(
+            prunedKeys(spark, dataPath, Seq("doc_a", "doc_b"), bucketsOf(pairs)),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .write.mode("append").partitionBy("kb").parquet(dataPath)
         ()
       }
   }

@@ -40,6 +40,79 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ids(co) === ids(small))
   }
 
+  test("compactPartitioned keeps the Hive layout while merging files per partition") {
+    val src = tmp("graft-part-small")
+    // a file-per-trigger style producer: 12 appends, each spraying a
+    // few rows into every kb partition → many tiny files per dir
+    val base = spark.range(200)
+      .select(col("id").as("doc_id"),
+        operators.DedupOps.keyBucket(col("id")).as("kb"))
+    (0 until 12).foreach { i =>
+      base.filter(col("doc_id") % 12 === i)
+        .write.mode("append").partitionBy("kb").parquet(src)
+    }
+    def leafFiles(dir: String): Map[String, Int] =
+      new java.io.File(dir).listFiles.filter(_.isDirectory)
+        .filter(_.getName.startsWith("kb="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = leafFiles(src)
+    assert(before.values.exists(_ > 1), "seed must accrete small files")
+
+    val dst = tmp("graft-part-compact")
+    operators.Maintenance.compactPartitioned(spark, src, dst, targetBytes = 256L << 20)
+    val after = leafFiles(dst)
+    assert(after.keySet === before.keySet, "partition directories must be preserved")
+    assert(after.values.forall(_ === 1), "each partition should compact to one file")
+
+    // partition COLUMN survives with its values intact, and the rows match
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("doc_id", "kb").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(dst) === rows(src))
+    // pruning still works on the compacted copy: one bucket → one file
+    val b = before.keySet.head.stripPrefix("kb=").toInt
+    val pruned = spark.read.parquet(dst).filter(col("kb") === b)
+    assert(pruned.count() ===
+      spark.read.parquet(src).filter(col("kb") === b).count())
+  }
+
+  test("compacting the minhash index leaves probe results bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val idx = tmp("graft-mhidx-compact")
+    // build on 80% of the corpus, then fold the rest in over several
+    // small appends — the file-accretion pattern the sink produces
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx,
+      docFilter = pmod(col("doc_id"), lit(5)) =!= 0)
+    val rest = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id", "text")
+    (0 until 4).foreach { i =>
+      operators.DedupOps.incrementalIndexUpdate(spark,
+        rest.filter(pmod(col("doc_id"), lit(4)) === i), idx)
+    }
+    val probeDocs = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+    def pairsAgainst(i: String) = operators.DedupOps.probeIndex(spark, probeDocs, i)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairsAgainst(idx)
+    assert(before.nonEmpty)
+
+    // compact every index table into a fresh dir: flat tables via
+    // compactTable, the kb-partitioned ids via compactPartitioned
+    val dst = tmp("graft-mhidx-compacted")
+    Seq("sets", "bands", "universe").foreach { t =>
+      operators.Maintenance.compactTable(spark, s"$idx/$t", s"$dst/$t")
+    }
+    operators.Maintenance.compactPartitioned(spark, s"$idx/ids", s"$dst/ids")
+    assert(pairsAgainst(dst) === before,
+      "compaction must not change a single probe result")
+    // the membership side survives too (same ids, still pruned reads)
+    val buckets = (0 until operators.DedupOps.keyBuckets).toSeq
+    def members(i: String) = operators.DedupOps.indexedIds(spark, i, buckets)
+      .collect().map(_.getLong(0)).toSet
+    assert(members(dst) === members(idx))
+  }
+
   test("clusterBy yields files with disjoint key ranges that a range scan can skip") {
     val src = tmp("graft-unclustered")
     // scramble so the unclustered layout has overlapping ranges

@@ -300,6 +300,99 @@ class QueriesSpec extends AnyFunSuite {
     assert(pairs() === after)
   }
 
+  test("a crash before the membership append re-folds the doc instead of losing it") {
+    import org.apache.spark.sql.functions.col
+    // the membership record (ids) is written LAST: a crash mid-update
+    // leaves band/set rows with NO ids row, and the already-indexed
+    // check must then treat the doc as new (re-fold, harmless) — the
+    // reverse ordering would skip the re-fold and the doc's bands
+    // could be permanently missing (silent recall loss)
+    val best = operators.DedupOps.ngramJaccard(spark, sf)
+      .orderBy(col("jaccard").desc, col("doc_a").asc).limit(1)
+      .collect().head
+    val (a0, b0) = (best.getLong(0), best.getLong(1))
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-crash").toString
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx,
+      docFilter = !col("doc_id").isin(a0, b0))
+
+    // snapshot ids, fold the batch, then restore the PRE-UPDATE ids —
+    // exactly the on-disk state a crash between the sets append and
+    // the ids append leaves behind
+    val saved = java.nio.file.Files.createTempDirectory("graft-ids-save").toString
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteDir(dir: String): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    copyDir(s"$idx/ids", saved)
+    val batch = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(a0, b0)).select("doc_id", "text")
+    operators.DedupOps.incrementalIndexUpdate(spark, batch, idx)
+    deleteDir(s"$idx/ids"); copyDir(saved, s"$idx/ids")
+
+    // the membership check must MISS the half-folded docs...
+    val buckets = batch
+      .select(operators.DedupOps.keyBucket(col("doc_id")).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val seen = operators.DedupOps.indexedIds(spark, idx, buckets)
+      .filter(col("doc_id").isin(a0, b0)).count()
+    assert(seen === 0,
+      "half-folded docs must look unindexed to the membership check")
+
+    // ...so the sink re-folds on replay; duplicate rows are tolerated
+    // and the pair is visible exactly once
+    operators.DedupOps.incrementalIndexUpdate(spark, batch, idx)
+    val got = operators.DedupOps.probeIndex(spark, batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet.contains((a0, b0)), "re-folded pair must be visible")
+    assert(got.length === got.toSet.size, "probe must emit each pair once")
+    assert(operators.DedupOps.indexedIds(spark, idx, buckets)
+      .filter(col("doc_id").isin(a0, b0)).distinct().count() === 2,
+      "membership lands with the re-fold")
+  }
+
+  test("universe drift: new-vocabulary near-dups pair only after the full rebuild") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two near-identical docs made ENTIRELY of vocabulary the corpus
+    // has never seen: every shingle misses the frozen universe, so the
+    // incremental path is structurally blind to the pair
+    val novelA = (1 to 40).map(i => s"zqvx$i").mkString(" ")
+    val novelB = (1 to 40).map(i => if (i == 40) "zqvxEND" else s"zqvx$i").mkString(" ")
+    val (ida, idb) = (9999998L, 9999999L)
+    val fresh = Seq((ida, novelA), (idb, novelB)).toDF("doc_id", "text")
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-drift").toString
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx)
+    operators.DedupOps.incrementalIndexUpdate(spark, fresh, idx)
+    def pairs() = operators.DedupOps.probeIndex(spark, fresh, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs().contains((ida, idb)),
+      "pre-rebuild, new-vocabulary overlap is invisible (the documented drift)")
+    // membership still recorded — the sink must not re-fold them forever
+    val buckets = fresh
+      .select(operators.DedupOps.keyBucket(col("doc_id")).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(operators.DedupOps.indexedIds(spark, idx, buckets)
+      .filter(col("doc_id").isin(ida, idb)).count() === 2)
+
+    // the periodic rebuild recomputes the universe over the grown
+    // corpus; the pair becomes visible
+    val corpus = Tables(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(fresh)
+    operators.DedupOps.rebuildIndex(spark, corpus, idx)
+    assert(pairs().contains((ida, idb)),
+      "post-rebuild, the new-vocabulary pair must be found")
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString

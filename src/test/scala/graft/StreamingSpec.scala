@@ -499,6 +499,54 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet === Set(1000000L, 1000001L))
   }
 
+  test("sink idempotency key check reads only the batch's buckets, not table history") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val table = tmpDir("graft-kbtable") + "/data"
+    // history: 50 keys land in ~35 of the 64 kb partitions (xxhash64 is
+    // seeded — the layout is deterministic run to run)
+    spark.range(50)
+      .select(col("id").as("doc_id"),
+        operators.DedupOps.keyBucket(col("id")).as("kb"))
+      .write.mode("append").partitionBy("kb").parquet(table)
+    def filesUnder(dir: java.io.File): Int =
+      Option(dir.listFiles()).toSeq.flatten.map { f =>
+        if (f.isDirectory) filesUnder(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    val root = new java.io.File(table)
+    val totalFiles = filesUnder(root)
+    val occupied = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+      .map(_.getName.stripPrefix("kb=").toInt).toSet
+    assert(occupied.nonEmpty && occupied.size < operators.DedupOps.keyBuckets,
+      "seed must leave some buckets empty for the zero-read case")
+
+    def scannedFiles(buckets: Seq[Int]): (Long, Long) = {
+      val df = Pipelines.prunedKeys(spark, table, Seq("doc_id"), buckets)
+      // collect() executes THIS dataset's plan (count() would build a
+      // fresh QueryExecution and leave these metrics untouched)
+      val n = df.collect().length.toLong
+      val files = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+      (files, n)
+    }
+    // a batch hashing into ONE occupied bucket reads that bucket's
+    // files only — never the whole key history
+    val b = occupied.head
+    val bucketFiles = filesUnder(new java.io.File(s"$table/kb=$b"))
+    val (readOne, rowsOne) = scannedFiles(Seq(b))
+    assert(readOne === bucketFiles, "scan must read exactly the batch's bucket")
+    assert(readOne < totalFiles, "pruning must skip the other buckets")
+    assert(rowsOne > 0)
+    // a batch hashing only into EMPTY buckets reads zero files no
+    // matter how much history the table holds
+    val empty = (0 until operators.DedupOps.keyBuckets).filterNot(occupied)
+    val (readNone, rowsNone) = scannedFiles(empty.take(3))
+    assert(readNone === 0, "untouched buckets must cost zero reads")
+    assert(rowsNone === 0)
+  }
+
   test("withMaxReadTime: AvailableNow drains the snapshot; deadline caps a slow read") {
     val broker = tmpDir("graft-broker")
     publishText(broker, "q1", 0 until 20, i => s"m$i")
