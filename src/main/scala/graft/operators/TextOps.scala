@@ -484,18 +484,44 @@ object TextOps {
     * cross-engine hash), so the report is hash-gated like everything
     * else.
     *
-    * Shape at scale: four doc-keyed flag frames left-joined onto the
-    * corpus and collapsed by a |sources|-sized aggregate; the flag
-    * subplans are the component operators' own (already audited)
-    * plans; the final groupBy is map-side combinable. */
+    * Shape at scale: ONE corpus scan carries every per-doc map-side
+    * flag — the quality score ([[textQuality]] is pure projection
+    * math) and the full repetition rule (gram fractions + the sorted-
+    * run [[topWordCount]]) are computed INLINE on the same projection
+    * as (doc_id, source), so neither costs a second corpus scan or a
+    * doc_id join. Only the genuinely relational components join on:
+    * the decontamination gram overlap and the near-dup pair flag
+    * (whose subtree reuses the shared docSets exchange — PlanSpec-
+    * pinned ReusedExchange). The flag expressions are the component
+    * operators' own, so the report stays bit-identical to composing
+    * them — the hash gate pins it. */
   def sourceQualityReport(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "source")
-    val lowQ = textQuality(spark, dir)
-      .filter(col("quality") < TrainingPipeline.qualityMin)
-      .select(col("doc_id"), lit(1).as("low_q"))
-    val rep = docRepetition(spark, dir)
-      .filter(col("keep") === 0)
-      .select(col("doc_id"), lit(1).as("repet"))
+    // inline [[textQuality]]: same expressions, same doubles, zero
+    // extra scans. A doc with no tokens has no quality row upstream —
+    // mirrored by the size(toks) > 0 conjunct (flag stays null).
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val totTokChars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val quality = lit(1.0) - (nStop / nTok) * 0.5 -
+      ((nChars - totTokChars) / nChars) * 0.2
+    // inline [[docRepetition]]: same stats, same keep rule (null dup
+    // fraction → keep 0); a token-less doc is unflagged, exactly as
+    // it is absent from docRepetition's output
+    val g2 = kGrams(toks, 2)
+    val n2 = size(g2)
+    val u2 = size(array_distinct(g2))
+    val keep = when(
+      (topWordCount(toks).cast("double") / size(toks).cast("long").cast("double"))
+        <= repTopWordMax
+        && when(n2 > 0, (n2 - u2).cast("double") / n2.cast("double"))
+          <= repDup2gramMax, lit(1L)).otherwise(lit(0L))
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      when(size(toks) > 0 && quality < TrainingPipeline.qualityMin, lit(1))
+        .as("low_q"),
+      when(size(toks) > 0 && keep === 0, lit(1)).as("repet"))
     val cont = decontamination(spark, dir)
       .select(col("doc_id"), lit(1).as("contam"))
     val pairs = DedupOps.ngramJaccard(spark, dir)
@@ -503,9 +529,7 @@ object TextOps {
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
       .select(col("doc_id"), lit(1).as("dup"))
-    d.join(lowQ, Seq("doc_id"), "left")
-      .join(rep, Seq("doc_id"), "left")
-      .join(cont, Seq("doc_id"), "left")
+    d.join(cont, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -597,6 +621,22 @@ object TextOps {
   val repTopWordMax = 0.1
   val repDup2gramMax = 0.3
 
+  /** Max per-token occurrence count of a token array, as a pure
+    * map-side fold: sort, then track the longest equal-run (equal
+    * tokens are contiguous in sorted order, so max run ≡ max count).
+    * Integer-exact — interchangeable with the explode + count + max
+    * aggregate, minus its two exchanges. */
+  private def topWordCount(w: Column): Column =
+    aggregate(array_sort(w),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Gopher-style repetition metrics per document — the second family
     * of quality filters a training-data pipeline runs (alongside the
     * [[textQuality]] ratio rules): top-word share (what fraction of
@@ -604,31 +644,32 @@ object TextOps {
     * 3-gram fractions (how much of the doc is n-grams it already
     * used). A `keep` flag applies the thresholds.
     *
-    * Shape at scale: the gram stats are pure map-side array math
-    * (size / array_distinct on per-doc arrays — no shuffle); the
-    * top-word count is the one aggregate that needs a shuffle and it
-    * is the [[tfidfTopTerm]] shape: explode to (doc, word), count,
-    * per-doc max — partial aggregation collapses each doc's words
-    * within its scan partition, so the shuffle carries per-doc vocab,
-    * not token volume. Ratios are ONE double division of exact ints
-    * (bit-identical cross-engine); `keep` is pure integer/boolean
-    * logic on those. */
+    * Shape at scale: EVERYTHING is map-side array math — zero
+    * shuffles, the operator runs at scan speed. The gram stats are
+    * size / array_distinct on per-doc arrays, and the top-word count
+    * is the longest equal-run in the doc's SORTED token array
+    * (identical tokens are contiguous after array_sort, so the max
+    * run length IS the max per-token count — integer-exact, no
+    * explode + two-level aggregate shuffling (doc, word) pairs as a
+    * naive plan would). Per-doc cost is an in-memory O(n log n)
+    * sort, which beats shipping the token volume through an exchange
+    * at any corpus size. Ratios are ONE double division of exact
+    * ints (bit-identical cross-engine); `keep` is pure
+    * integer/boolean logic on those. */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
     val w = tokens(col("text"))
     val g2 = kGrams(w, 2)
     val g3 = kGrams(w, 3)
-    val base = docs(spark, dir).select(
-      col("doc_id"),
-      size(w).cast("long").as("n_tokens"),
-      size(g2).as("n2"), size(array_distinct(g2)).as("u2"),
-      size(g3).as("n3"), size(array_distinct(g3)).as("u3"))
-    val tops = docs(spark, dir)
-      .select(col("doc_id"), explode(w).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_cnt"))
-    base.join(tops, "doc_id")
+    docs(spark, dir)
+      // mirror the old inner join on the per-doc word aggregate: a
+      // token-less doc had no top-word row and thus no output row
+      .filter(size(w) > 0)
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        topWordCount(w).as("top_cnt"),
+        size(g2).as("n2"), size(array_distinct(g2)).as("u2"),
+        size(g3).as("n3"), size(array_distinct(g3)).as("u3"))
       .select(
         col("doc_id"), col("n_tokens"), col("top_cnt"),
         (col("top_cnt").cast("double") / col("n_tokens").cast("double"))

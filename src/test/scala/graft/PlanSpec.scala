@@ -90,6 +90,24 @@ class PlanSpec extends AnyFunSuite {
       "containment plan re-computes the shared shingle aggregate")
   }
 
+  test("doc_repetition runs at scan speed: zero exchanges in the plan") {
+    // the top-word count is a sorted-run fold on the token array, not
+    // an explode + two-level aggregate — nothing may shuffle
+    val p = plan(operators.TextOps.docRepetition(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"doc_repetition must be map-side only:\n${p.take(1500)}")
+  }
+
+  test("source_quality_report reuses the near-dup subtree's shingle exchange") {
+    // the report embeds ngramJaccard for its near-dup flag; that
+    // subtree's shared docSets aggregate must be planned once and
+    // reused, not recomputed per consumer (same pin as the dedup ops)
+    val df = operators.TextOps.sourceQualityReport(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "report re-computes the near-dup flag's shared shingle aggregate")
+  }
+
   test("wordcount & windowed wordcount stay in whole-stage codegen") {
     assert(codegenPlan(operators.TextOps.wordCount(spark, sf)).contains("*("))
     assert(codegenPlan(operators.TextOps.windowedWordCount(spark, sf)).contains("*("))
