@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Recall audit for the approximate operators at an arbitrary SF —
+  * the 10×-scale evidence the rows-only-gated entries need: the
+  * ScalaTest recall specs run at the test SF, but recall is a
+  * density property (bucket populations shift as the corpus grows)
+  * that correctness hashes can't see, so the audit re-measures every
+  * approximate entry against its exact twin on big data
+  * (`sbt "runMain graft.RecallAudit /tmp/sf1 RECALL_sf1.json"`).
+  *
+  * Measured (operator → exact baseline):
+  *  - ann_lsh / ann_ivf / ann_pq / ann_ivfpq_query → annBruteForce
+  *    (top-k pair recall, the QueriesSpec definition: emitted
+  *    (query, neighbor) pairs that brute force also ranked, over the
+  *    brute-force pair count);
+  *  - dedup_embedding_lsh (auto-sized code space) → embeddingNearDup
+  *    (exact cosine-threshold pairs);
+  *  - dedup_minhash_pure_lsh → ngramJaccard (exact Jaccard pairs).
+  *
+  * One JSON line to stdout + the artifact file, the Bench convention.
+  */
+object RecallAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val outFile = args.lift(1).getOrElse("recall-audit.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def topkPairs(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def idPairs(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(got: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0 else got.count(exact).toDouble / exact.size
+
+    val bf = topkPairs(operators.VectorOps.annBruteForce(spark, sfDir))
+    val annLsh = recall(topkPairs(operators.VectorOps.annLsh(spark, sfDir)), bf)
+    val annIvf = recall(topkPairs(operators.VectorOps.annIvf(spark, sfDir)), bf)
+    val annPq = recall(topkPairs(operators.VectorOps.annPq(spark, sfDir)), bf)
+    val annIvfPq = recall(topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)), bf)
+
+    // near-dup recall overall AND on high-margin pairs: the LSH mode's
+    // declared regime is semantic dups with angular margin — the
+    // zero-margin 0.4-threshold tail is the exact mode's job, so the
+    // cos ≥ 0.7 / ≥ 0.9 slices are the operative numbers
+    val exactEmbRows = operators.VectorOps.embeddingNearDup(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val exactEmb = exactEmbRows.map(_._1).toSet
+    val got = idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir))
+    val embLsh = recall(got, exactEmb)
+    def marginRecall(minCos: Double): Double =
+      recall(got, exactEmbRows.filter(_._2 >= minCos).map(_._1).toSet)
+    val embLsh07 = marginRecall(0.7)
+    val embLsh09 = marginRecall(0.9)
+
+    val exactJac = idPairs(operators.DedupOps.ngramJaccard(spark, sfDir))
+    val pureLsh = recall(
+      idPairs(operators.DedupOps.minhashLsh(spark, sfDir, exactRecallUnion = false)),
+      exactJac)
+
+    def f(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val line =
+      s"""{"metric":"recall","sf":"$sfDir",""" +
+        s""""ann_lsh":${f(annLsh)},"ann_ivf":${f(annIvf)},""" +
+        s""""ann_pq":${f(annPq)},"ann_ivfpq_query":${f(annIvfPq)},""" +
+        s""""dedup_embedding_lsh":${f(embLsh)},""" +
+        s""""dedup_embedding_lsh_cos07":${f(embLsh07)},""" +
+        s""""dedup_embedding_lsh_cos09":${f(embLsh09)},""" +
+        s""""dedup_minhash_pure_lsh":${f(pureLsh)},""" +
+        s""""exact_sizes":{"ann_bruteforce":${bf.size},""" +
+        s""""embedding_pairs":${exactEmb.size},"jaccard_pairs":${exactJac.size}}}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[recall] artifact write failed: $e") }
+    spark.stop()
+  }
+}

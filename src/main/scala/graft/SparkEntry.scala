@@ -137,7 +137,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
-    "ann_lsh"         -> VectorOps.annLsh _,
+    "ann_lsh"         -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
     "ann_ivf"         -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     // deployment split: parquet index built once (first call), query
     // path only reads it — bit-identical output to ann_ivf (spec-pinned)

@@ -189,13 +189,16 @@ object VectorOps {
     * vectors before the ceiling binds and bucket growth resumes. */
   val lshMaxBits = 24
 
-  /** Seeded hyperplanes for (tables, bits) — a given (tables, bits)
-    * draws the identical sequence every call, so plans are
+  /** Seeded hyperplanes for (tables, bits) — a given (seed, tables,
+    * bits) draws the identical sequence every call, so plans are
     * deterministic. */
-  private def dupPlanes(tables: Int, bits: Int): Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(43)
+  private def seededPlanes(seed: Long, tables: Int, bits: Int): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(tables, bits)(Seq.fill(64)(rnd.nextGaussian()))
   }
+
+  private def dupPlanes(tables: Int, bits: Int): Seq[Seq[Seq[Double]]] =
+    seededPlanes(43, tables, bits)
 
   /** `bits = 0` (the default) auto-sizes the code space from the
     * corpus count in-plan — see the sizing scaladoc above. An explicit
@@ -286,31 +289,67 @@ object VectorOps {
        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $topK""".stripMargin
   }
 
-  /** Random-hyperplane LSH ANN — the 100 TB path: 8 seeded hyperplanes
-    * → 256 buckets; search only the query's bucket, exact re-rank
-    * inside. Recall < 1 by construction → rows-only check here; the
-    * ScalaTest spec asserts recall ≥ 0.5 vs [[annBruteForce]]. */
-  val numPlanes = 8
+  /** Random-hyperplane LSH ANN — multi-table with the in-plan
+    * auto-sized code width (the [[embeddingNearDupLsh]] recipe):
+    * candidates are corpus vectors sharing ANY of `tables` per-table
+    * codes with the query, exact cosine re-rank to top-k inside.
+    *
+    * Why multi-table and why auto width: a single fixed-width table
+    * searches one bucket whose population grows with the corpus
+    * while the chance a true neighbor shares all its bits falls —
+    * measured at sf1 the original single-table 8-bit layout's recall
+    * collapsed to 0.00. Recall unions across tables
+    * (1 − (1 − p^bits)^tables for per-bit agreement p), and the
+    * width tracks the corpus count so per-table bucket population
+    * stays ~[[lshTargetBucket]]: candidate volume per query is
+    * ~tables · m — flat as the corpus grows, which is the property a
+    * serving deployment actually sizes for. Recall < 1 by
+    * construction → rows-only gate + recall spec vs
+    * [[annBruteForce]], plus the sf1 RecallAudit artifact. */
+  val annLshTables = 16
 
-  private lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(numPlanes)(Seq.fill(64)(rnd.nextGaussian()))
-  }
+  /** ANN's auto-width bucket target is coarser than near-dup's: ANN
+    * hunts moderate-cosine neighbors (per-bit agreement p is far
+    * lower than for near-dups), so recall needs fewer bits and more
+    * tables; per-query candidate volume is ~tables · this — still
+    * corpus-independent. */
+  val annLshTargetBucket = 512
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-    val planeCols = planes.map(p => typedlit(p))
-    val bucket = planeCols.zipWithIndex.map { case (p, i) =>
-      when(dot(col("vd"), p) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val bucketed = v.withColumn("bucket", bucket)
-    val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"), col("bucket"))
-    val c = bucketed.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), col("vd").as("cv"), col("norm").as("cn"), col("bucket"))
+  def annLsh(spark: SparkSession, dir: String,
+             tables: Int = annLshTables, bits: Int = 0): DataFrame = {
+    require(bits >= 0 && bits <= lshMaxBits, s"bits must be in [0, $lshMaxBits]")
+    val v0 = vecs(spark, dir)
+    val genBits = if (bits > 0) bits else lshMaxBits
+    val nbits: Column =
+      if (bits > 0) lit(bits)
+      else {
+        val n = v0.filter(col("vec_id") >= nQueries)
+          .agg(count(lit(1)).as("n_vecs")).scalar()
+        least(greatest(
+          ceil(log2(n.cast("double") / annLshTargetBucket)).cast("int"),
+          lit(lshMinBits)), lit(lshMaxBits))
+      }
+    val v = v0.withColumn("nbits", nbits)
+    val keys = seededPlanes(42, tables, genBits).zipWithIndex.map { case (tbl, t) =>
+      val code = tbl.zipWithIndex.map { case (p, i) =>
+        when(lit(i) < col("nbits") && dot(col("vd"), typedlit(p)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), code.as("code"))
+    }
+    val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
+      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.code").as("code"))
+    val cands = buckets.filter(col("vec_id") < nQueries)
+      .select(col("tbl"), col("code"), col("vec_id").as("query_id"))
+      .join(buckets.filter(col("vec_id") >= nQueries)
+        .select(col("tbl"), col("code"), col("vec_id").as("neighbor_id")),
+        Seq("tbl", "code"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = v0.select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val c = v0.select(col("vec_id").as("neighbor_id"), col("vd").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
+    cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -324,12 +363,39 @@ object VectorOps {
     * inverted lists are the shuffle partitioning: each query touches
     * nprobe/k of the corpus, so `k` must scale with corpus size —
     * k ≈ √n (the classic IVF balance point: assignment cost n·k vs
-    * probe cost n·nprobe/k) keeps per-list size √n; the 16-centroid
-    * default fits the tiny test corpus only. Both `k` and `probes`
-    * are caller knobs on every IVF entry point. Recall < 1 by
-    * construction → rows-only check + recall spec. */
+    * probe cost n·nprobe/k) keeps per-list size √n. Every IVF entry
+    * point AUTO-SIZES by default (`k = 0` → k = ⌈√n⌉ floored at
+    * [[ivfK]], probes = max([[ivfProbes]], k/4) so the probed corpus
+    * fraction stays ~probes/k as k grows): a fixed k is the same
+    * scale disease the fixed LSH code space had — measured at sf1 the
+    * 16-centroid default held recall 0.50 only by probing 25% of the
+    * corpus in 1250-vector lists. k is STRUCTURAL (it seeds the Lloyd
+    * iteration and sizes the centroid broadcast), so auto mode
+    * resolves it from one column-pruned corpus count — a quantizer
+    * is sized from its corpus cardinality in any serving system; at
+    * true scale deployments train on a sample and pass k explicitly.
+    * Explicit `k`/`probes` > 0 pin the knobs (spec usage). Recall <
+    * 1 by construction → rows-only check + recall spec + the sf1
+    * RecallAudit artifact. */
   val ivfK = 16
   val ivfProbes = 4
+
+  /** Column-pruned corpus cardinality (the quantizer-sizing input). */
+  private def corpusN(spark: SparkSession, dir: String): Long =
+    vecs(spark, dir).filter(col("vec_id") >= nQueries).count()
+
+  private def ivfKnobsFor(n: => Long, k: Int, probes: Int): (Int, Int) = {
+    val kk =
+      if (k > 0) k
+      else math.max(ivfK, math.ceil(math.sqrt(n.toDouble)).toInt)
+    (kk, if (probes > 0) probes else math.max(ivfProbes, kk / 4))
+  }
+
+  /** Resolved (k, probes) for an IVF call: explicit values pass
+    * through; zeros auto-size from the corpus count. */
+  private def ivfKnobs(spark: SparkSession, dir: String,
+                       k: Int, probes: Int): (Int, Int) =
+    ivfKnobsFor(corpusN(spark, dir), k, probes)
 
   /** IVF index: coarse-quantizer centroids (2 Lloyd iterations over
     * the corpus, deterministically seeded with the lowest corpus ids)
@@ -402,9 +468,10 @@ object VectorOps {
   }
 
   def annIvf(spark: SparkSession, dir: String,
-             k: Int = ivfK, probes: Int = ivfProbes): DataFrame = {
-    val (cents, invlist) = ivfIndex(spark, dir, k)
-    ivfSearch(spark, dir, cents, invlist, probes)
+             k: Int = 0, probes: Int = 0): DataFrame = {
+    val (kk, pp) = ivfKnobs(spark, dir, k, probes)
+    val (cents, invlist) = ivfIndex(spark, dir, kk)
+    ivfSearch(spark, dir, cents, invlist, pp)
   }
 
   /** Materialize the IVF index to parquet (`<indexDir>/centroids`,
@@ -415,8 +482,9 @@ object VectorOps {
     * call. Parquet round-trips doubles exactly, so the split path is
     * bit-identical to the fused one (spec-pinned). */
   def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String,
-                    k: Int = ivfK): Unit = {
-    val (cents, invlist) = ivfIndex(spark, dir, k)
+                    k: Int = 0): Unit = {
+    val (kk, _) = ivfKnobs(spark, dir, k, ivfProbes)
+    val (cents, invlist) = ivfIndex(spark, dir, kk)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
   }
@@ -442,19 +510,23 @@ object VectorOps {
     * versioned index a serving system manages. (Single builder per
     * index assumed, as with any unmanaged index directory.) */
   def annIvfQuery(spark: SparkSession, dir: String,
-                  indexDir: String = "", k: Int = ivfK,
-                  probes: Int = ivfProbes): DataFrame = {
+                  indexDir: String = "", k: Int = 0,
+                  probes: Int = 0): DataFrame = {
+    // resolve BEFORE the cache key: an auto-sized k must key the cache
+    // with its resolved value, or a corpus regeneration that changes n
+    // could serve an index built for the old k
+    val (kk, pp) = ivfKnobs(spark, dir, k, probes)
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +
-        graft.Tables.dirKey(dir) + s"-k$k-" +
+        graft.Tables.dirKey(dir) + s"-k$kk-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
-      ivfBuildIndex(spark, dir, idx, k)
+      ivfBuildIndex(spark, dir, idx, kk)
     ivfSearch(spark, dir,
       spark.read.parquet(s"$idx/centroids"),
-      spark.read.parquet(s"$idx/invlist"), probes)
+      spark.read.parquet(s"$idx/invlist"), pp)
   }
 
   /** PQ (product quantization) ANN — the memory-compression scale path:
@@ -472,7 +544,19 @@ object VectorOps {
   val pqSub = 8
   val pqDims = 8
   val pqK = 16
+
+  /** Floor for the exact re-rank pool. The pool AUTO-SCALES with the
+    * corpus (n/100, capped at [[pqRerankCap]]): 4-bit codes rank
+    * coarsely, so a FIXED pool shrinks relative to list density and
+    * recall decays — measured at sf1 the fixed 50 held PQ recall to
+    * 0.22. The cap bounds per-query re-rank cost at serving scale;
+    * deployments that need more recall headroom raise code
+    * resolution (pqK → 256, 8-bit books) rather than the pool. */
   val pqRerank = 50
+  val pqRerankCap = 1000
+
+  private def rerankFor(n: Long): Int =
+    math.max(pqRerank.toLong, math.min(pqRerankCap.toLong, n / 100L)).toInt
 
   /** Subspace slices of unit-normalized vectors: (id, s, sub). */
   private def subExplode(df: DataFrame, idAs: String): DataFrame =
@@ -516,6 +600,7 @@ object VectorOps {
     val v = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
     val corpus = v.filter(col("vec_id") >= nQueries)
+    val rerank = rerankFor(corpus.count())
     val (cb, codes) = pqEncode(corpus)
 
     // asymmetric distance: per-(query, subspace, code) lookup tables
@@ -535,7 +620,7 @@ object VectorOps {
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(floor(col("d2") * 1e12 + 0.5).cast("long")).as("adist"))
       .withColumn("rk", row_number().over(wa))
-      .filter(col("rk") <= pqRerank)
+      .filter(col("rk") <= rerank)
       .select("query_id", "neighbor_id")
 
     // exact re-rank of the PQ candidates
@@ -574,8 +659,9 @@ object VectorOps {
     * `codes` (neighbor_id, cid, s, code) — built once ([[ivfpqBuildIndex]]),
     * served many times ([[annIvfPqQuery]]). */
   def ivfpqBuildIndex(spark: SparkSession, dir: String, indexDir: String,
-                      k: Int = ivfK): Unit = {
-    val (cents, invlist) = ivfIndex(spark, dir, k)
+                      k: Int = 0): Unit = {
+    val (kResolved, _) = ivfKnobs(spark, dir, k, ivfProbes)
+    val (cents, invlist) = ivfIndex(spark, dir, kResolved)
     val corpus = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
       .filter(col("vec_id") >= nQueries)
@@ -604,16 +690,21 @@ object VectorOps {
     * keyed by data-dir hash + k + embeddings content stamp; explicit
     * `indexDir` is caller-owned. */
   def annIvfPqQuery(spark: SparkSession, dir: String,
-                    indexDir: String = "", k: Int = ivfK,
-                    probes: Int = ivfProbes): DataFrame = {
+                    indexDir: String = "", k: Int = 0,
+                    probes: Int = 0): DataFrame = {
+    // resolve before the cache key — the annIvfQuery rule; one count
+    // sizes the quantizer knobs AND the re-rank pool
+    val n = corpusN(spark, dir)
+    val (kk, pp) = ivfKnobsFor(n, k, probes)
+    val rerank = rerankFor(n)
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivfpq-" +
-        graft.Tables.dirKey(dir) + s"-k$k-" +
+        graft.Tables.dirKey(dir) + s"-k$kk-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
-      ivfpqBuildIndex(spark, dir, idx, k)
+      ivfpqBuildIndex(spark, dir, idx, kk)
     val cents = spark.read.parquet(s"$idx/centroids")
     val cb = spark.read.parquet(s"$idx/codebook")
     val codes = spark.read.parquet(s"$idx/codes")
@@ -628,7 +719,7 @@ object VectorOps {
       .crossJoin(broadcast(cents))
       .withColumn("d2", vecDistSq(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= probes)
+      .filter(col("rk") <= pp)
       .select("query_id", "cid")
 
     // query distance tables: one per (query, subspace, code) — global
@@ -649,7 +740,7 @@ object VectorOps {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(floor(col("d2") * 1e12 + 0.5).cast("long")).as("adist"))
       .withColumn("rk", row_number().over(wa))
-      .filter(col("rk") <= pqRerank)
+      .filter(col("rk") <= rerank)
       .select("query_id", "neighbor_id")
 
     val qv = v.filter(col("vec_id") < nQueries)
