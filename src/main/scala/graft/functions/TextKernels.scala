@@ -40,6 +40,30 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
+  /** Max per-token occurrence count — the Gopher top-word statistic as
+    * one hash-counting pass (counts are equality-grouped, so the
+    * result is independent of any ordering). The composable forms are
+    * far worse at scale: explode + two-level aggregate ships token
+    * volume through two exchanges, and an `aggregate(array_sort(...))`
+    * fold evaluates its lambda interpreted per token AND knocks the
+    * projection out of whole-stage codegen. */
+  def topTokenCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(t, Integer.valueOf(c))
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   def distinctShingles3(text: UTF8String): ArrayData = {
     val raw = text.toString.split(" ", -1)
     var nTok = 0
@@ -87,10 +111,27 @@ case class DistinctShingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.topTokenCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel$$.MODULE$$.topTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
 object TextKernels {
   def distinctShingles3(text: Column): Column =
     GraftBridge.column(DistinctShingles3(GraftBridge.expression(text)))
 
   def wsTokens(text: Column): Column =
     GraftBridge.column(WsTokens(GraftBridge.expression(text)))
+
+  def topTokenCount(tokens: Column): Column =
+    GraftBridge.column(TopTokenCount(GraftBridge.expression(tokens)))
 }

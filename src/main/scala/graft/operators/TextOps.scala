@@ -323,13 +323,22 @@ object TextOps {
     * All integer arithmetic (`div`, 64-bit; MOD-granular thresholds,
     * multiplicative-hash keep test) so DuckDB reproduces the sample
     * bit-for-bit. */
+  /** The demo per-source weight rule. A source name without a numeric
+    * tail TRY-CASTS TO NULL and falls through to the ELSE weight (1)
+    * — try_cast on BOTH sides (Spark 4 runs ANSI mode, where a plain
+    * cast would THROW on the first non-'srcN' name; the DuckDB oracle
+    * uses TRY_CAST for the same reason), so both engines degrade
+    * identically on any corpus. Spec-pinned on synthetic names. */
+  private[graft] val mixtureWeight: Column =
+    when(col("source") === decontamBenchSource, lit(0L))
+      .otherwise(when(
+        expr("try_cast(substring(source, 4, 10) AS BIGINT)") % 2 === 0,
+        lit(3L)).otherwise(lit(1L)))
+
   def docMixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val w = when(col("source") === decontamBenchSource, lit(0L))
-      .otherwise(when(substring(col("source"), 4, 10).cast("long") % 2 === 0,
-        lit(3L)).otherwise(lit(1L)))
     val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_s"))
-      .withColumn("w", w)
+      .withColumn("w", mixtureWeight)
     val totals = bySrc.agg(sum(col("n_s")).as("n_total"), sum(col("w")).as("sum_w"))
     val rates = bySrc.crossJoin(broadcast(totals))
       .withColumn("thresh", least(lit(sampleMod),
@@ -621,21 +630,33 @@ object TextOps {
   val repTopWordMax = 0.1
   val repDup2gramMax = 0.3
 
-  /** Max per-token occurrence count of a token array, as a pure
-    * map-side fold: sort, then track the longest equal-run (equal
-    * tokens are contiguous in sorted order, so max run ≡ max count).
-    * Integer-exact — interchangeable with the explode + count + max
-    * aggregate, minus its two exchanges. */
+  /** Max per-token occurrence count of a token array — the codegen'd
+    * [[graft.functions.TextKernels.topTokenCount]] kernel (one
+    * hash-counting pass per doc, map-side, stays inside whole-stage
+    * codegen). Integer-exact — interchangeable with the explode +
+    * count + max aggregate, minus its two exchanges. */
   private def topWordCount(w: Column): Column =
-    aggregate(array_sort(w),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"),
-          acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    graft.functions.TextKernels.topTokenCount(w)
+
+  /** [[docRepetition]]'s keep rule as ONE predicate over the text
+    * column — for composing pipelines that filter on repetition
+    * (rather than semi-joining the [[docRepetition]] frame, which
+    * invites Catalyst to push and DUPLICATE the heavy per-doc gram
+    * expressions across several operators — measured as a 4×
+    * re-evaluation inside training_pipeline). A token-less doc has no
+    * docRepetition row and must not pass; the size(w) > 0 conjunct
+    * mirrors that. Null dup-gram fraction (a 1-token doc) fails the
+    * rule, exactly as keep = 0 does. */
+  private[operators] def repetitionKeep(text: Column): Column = {
+    val w = tokens(text)
+    val g2 = kGrams(w, 2)
+    val n2 = size(g2)
+    val u2 = size(array_distinct(g2))
+    val topShare =
+      topWordCount(w).cast("double") / size(w).cast("long").cast("double")
+    val dup2 = when(n2 > 0, (n2 - u2).cast("double") / n2.cast("double"))
+    size(w) > 0 && topShare <= repTopWordMax && dup2 <= repDup2gramMax
+  }
 
   /** Gopher-style repetition metrics per document — the second family
     * of quality filters a training-data pipeline runs (alongside the
@@ -647,14 +668,14 @@ object TextOps {
     * Shape at scale: EVERYTHING is map-side array math — zero
     * shuffles, the operator runs at scan speed. The gram stats are
     * size / array_distinct on per-doc arrays, and the top-word count
-    * is the longest equal-run in the doc's SORTED token array
-    * (identical tokens are contiguous after array_sort, so the max
-    * run length IS the max per-token count — integer-exact, no
-    * explode + two-level aggregate shuffling (doc, word) pairs as a
-    * naive plan would). Per-doc cost is an in-memory O(n log n)
-    * sort, which beats shipping the token volume through an exchange
-    * at any corpus size. Ratios are ONE double division of exact
-    * ints (bit-identical cross-engine); `keep` is pure
+    * is a codegen'd one-pass hash-counting kernel over the token
+    * array (integer-exact and order-independent — no explode +
+    * two-level aggregate shuffling (doc, word) pairs as a naive plan
+    * would, and no interpreted higher-order fold breaking the
+    * projection out of whole-stage codegen). Per-doc cost is O(n)
+    * in-memory, which beats shipping the token volume through an
+    * exchange at any corpus size. Ratios are ONE double division of
+    * exact ints (bit-identical cross-engine); `keep` is pure
     * integer/boolean logic on those. */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
     val w = tokens(col("text"))

@@ -73,9 +73,10 @@ object TrainingPipeline {
 
     // repetition filter (Gopher-rule stage): drop docs dominated by a
     // repeated token or n-gram — exact integer metrics, so both
-    // pipeline modes stay deterministic in this stage
-    val nonRepetitive = TextOps.docRepetition(spark, dir)
-      .filter(col("keep") === 1).select("doc_id")
+    // pipeline modes stay deterministic in this stage. ONE inline
+    // predicate on the corpus stream, not a semi-join against the
+    // docRepetition frame (see TextOps.repetitionKeep: the join form
+    // duplicated the per-doc gram expressions 4× through pushdown)
 
     // deterministic stratified sample — the SAME column definitions
     // TextOps.docSample uses, so the two agree doc-for-doc by
@@ -84,7 +85,7 @@ object TrainingPipeline {
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(quality.filter(col("quality") >= qualityMin), Seq("doc_id"))
-      .join(nonRepetitive, Seq("doc_id"), "left_semi")
+      .filter(TextOps.repetitionKeep(col("text")))
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)
       .filter(TextOps.sampleKeep(col("stratum"), col("h")))

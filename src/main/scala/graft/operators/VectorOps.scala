@@ -185,9 +185,17 @@ object VectorOps {
   val lshMinBits = 4
 
   /** Ceiling for the auto-sized code width (also the number of seeded
-    * hyperplanes generated per table in auto mode): 256·2²⁴ ≈ 4.3·10⁹
-    * vectors before the ceiling binds and bucket growth resumes. */
-  val lshMaxBits = 24
+    * hyperplanes generated per table in auto mode): 256·2¹⁶ ≈ 1.7·10¹⁰
+    * vectors before the ceiling binds and bucket growth resumes —
+    * beyond any single-table embedding corpus this library targets; a
+    * deployment past it passes explicit `bits`. Kept deliberately at
+    * 16, not higher: every generated bit is a guarded 64-dim dot
+    * product in the bucketing projection (tables × maxBits of them),
+    * and the generated-code/task-binary size grows with the ceiling
+    * even though runtime short-circuits at the chosen width —
+    * measured at 24 the plan overhead alone cost whole seconds per
+    * query at small SF. */
+  val lshMaxBits = 16
 
   /** Seeded hyperplanes for (tables, bits) — a given (seed, tables,
     * bits) draws the identical sequence every call, so plans are

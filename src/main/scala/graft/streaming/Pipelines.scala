@@ -246,8 +246,11 @@ object Pipelines {
     * the table before appending. That makes the sink safe under BOTH
     * broker redelivery (at-least-once upstream) and micro-batch replay
     * after a crash (the same batch re-runs and every row anti-joins
-    * away). The table is partitioned by queue so the key lookup prunes
-    * to the partitions present in the incoming batch. */
+    * away). The table is partitioned by (queue, kb) — queue for the
+    * consumer-facing layout, kb (the key-hash bucket) so the key
+    * lookup prunes to the batch's buckets WITHIN each queue instead
+    * of growing with that queue's history (the
+    * [[decontaminationSink]] bounded-check rule). */
   def tableSink(records: Dataset[GraftTextRecord], tablePath: String): DataStreamWriter[GraftTextRecord] = {
     val dataPath = tablePath + "/data"
     records.writeStream
@@ -258,24 +261,32 @@ object Pipelines {
         // redelivery can land BOTH copies of a message in one trigger —
         // dedup inside the batch before the anti-join against the table
         val fresh = batch.toDF().dropDuplicates("queue", "message_id")
-        // the batch touches a handful of queues; filtering the existing
-        // table by them is a STATIC partition predicate, so the key
-        // lookup prunes to those partitions instead of scanning the
-        // whole table every trigger. Collected from the RAW batch (the
-        // queue set is identical pre/post dedup) so the dedup shuffle
+          .withColumn("kb",
+            graft.operators.DedupOps.keyBucket(col("queue"), col("message_id")))
+        // the batch touches a handful of queues and ≤ keyBuckets hash
+        // buckets; filtering the existing table by both is a STATIC
+        // partition predicate, so the key lookup prunes to the batch's
+        // (queue, bucket) directories instead of scanning the whole
+        // table every trigger. Both lists are dimension-bounded driver
+        // collects (queue count, ≤ 64 bucket values), and both come
+        // from the RAW batch (dedup only removes rows — the raw sets
+        // are supersets, still-correct prunes) so the dedup shuffle
         // runs once, in the write.
         val batchQueues = batch.toDF().select("queue").distinct()
           .collect().map(_.getString(0)).toSeq
+        val batchBuckets = bucketsOf(batch.toDF().select(
+          graft.operators.DedupOps.keyBucket(col("queue"), col("message_id")).as("kb")))
         val existingKeys =
           try spark.read.parquet(dataPath)
-            .filter(col("queue").isin(batchQueues: _*))
+            .filter(col("queue").isin(batchQueues: _*)
+              && col("kb").isin(batchBuckets: _*))
             .select(col("queue"), col("message_id"))
           catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
             spark.emptyDataFrame.select(lit("").as("queue"), lit(0L).as("message_id")).limit(0)
           }
         fresh
           .join(existingKeys, Seq("queue", "message_id"), "left_anti")
-          .write.mode("append").partitionBy("queue").parquet(dataPath)
+          .write.mode("append").partitionBy("queue", "kb").parquet(dataPath)
         ()
       }
   }
@@ -283,6 +294,7 @@ object Pipelines {
   /** Read back the table written by [[tableSink]]. */
   def readTable(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath + "/data")
+      .drop("kb") // layout detail, not consumer schema
 
   // ---- bounded idempotency machinery for the foreachBatch sinks ----
   //

@@ -224,6 +224,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(ratio > 1.5 && ratio < 6.0, s"even:odd volume ratio off: $ratio")
   }
 
+  test("mixture weight degrades to the default on non-numeric source names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the oracle uses TRY_CAST so DuckDB NULLs rather than errors on a
+    // non-'srcN' name; the Spark rule must land on the same ELSE weight
+    val got = Seq("src0", "src2", "src3", "weird-name", "src")
+      .toDF("source")
+      .select(col("source"), operators.TextOps.mixtureWeight.as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "src0" -> 0L,          // bench source never mixes in
+      "src2" -> 3L,          // even tail
+      "src3" -> 1L,          // odd tail
+      "weird-name" -> 1L,    // non-numeric tail → default, not an error
+      "src" -> 1L))          // empty tail → default
+  }
+
   test("hashed-gram decontamination equals the raw-gram mode") {
     def rows(hashed: Boolean) =
       operators.TextOps.decontamination(spark, sf, hashGrams = hashed)
