@@ -28,6 +28,12 @@ object SinkBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recentProgress defaults to 100 retained entries — a longer run
+      // would silently drop its EARLIEST triggers and bias first10
+      // toward the warmed middle, hiding exactly the climbing tail
+      // this bench exists to detect
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (triggers + 64).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -61,7 +67,10 @@ object SinkBench {
       .filter(_.numInputRows > 0)
       .sortBy(_.batchId)
       .map(p => p.batchId -> p.durationMs.get("triggerExecution").toLong)
-    require(durs.size >= 20, s"only ${durs.size} data triggers — raise the trigger count")
+    // ≥ 21 post-warmup triggers so the head and tail windows are
+    // DISJOINT — an overlapping trigger counted in both means biases
+    // the ratio toward the flat 1.0 this bench is supposed to earn
+    require(durs.size >= 22, s"only ${durs.size} data triggers — raise the trigger count")
     def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
     // drop the first trigger (cold JVM + first-write table setup)
     val body = durs.drop(1).map(_._2)

@@ -518,11 +518,20 @@ object DedupOps {
     * pair only after the rebuild.
     *
     * Overwrites in place; `bands/_SUCCESS` stays the completion
-    * marker (ids lands before bands). Single-writer contract, and
-    * `corpusDocs` must not be a plan that READS this index's paths —
-    * the [[incrementalIndexUpdate]] self-read hazard. */
+    * marker (ids lands before bands) — and it is DELETED FIRST, so a
+    * crash anywhere mid-rebuild leaves an index that FAILS the
+    * completion check instead of a mixed-generation one (old bands +
+    * old marker over new sets/universe would serve stale band keys
+    * against the new verify sets: silently missing pairs, no error).
+    * Single-writer contract, and `corpusDocs` must not be a plan
+    * that READS this index's paths — the [[incrementalIndexUpdate]]
+    * self-read hazard. */
   def rebuildIndex(spark: SparkSession, corpusDocs: DataFrame,
                    indexDir: String): Unit = {
+    // invalidate the completion marker BEFORE touching any table
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/bands/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
     // ONE corpus pass: materialize the per-doc sets, then derive the
     // universe and the band index FROM THE WRITTEN PARQUET — each
     // lazy re-use of the docSets frame would otherwise re-run the

@@ -67,8 +67,13 @@ object Maintenance {
   def compactPartitioned(spark: SparkSession, srcDir: String, dstDir: String,
                          targetBytes: Long = 128L << 20,
                          shuffle: Boolean = true): Int = {
-    val root = new org.apache.hadoop.fs.Path(srcDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify the root the same way listStatus qualifies its results —
+    // a RELATIVE srcDir would otherwise never prefix-match the
+    // returned absolute leaf paths and the partition dirs would be
+    // recreated under dstDir/<absolute-src-path>/, an unreadable tree
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(srcDir))
     def leafDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val parts = fs.listStatus(dir)
         .filter(s => s.isDirectory && s.getPath.getName.contains("="))
@@ -78,7 +83,8 @@ object Maintenance {
       fs.listStatus(dir).exists(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
     val rootUri = root.toUri.getPath
     leafDirs(root).filter(hasParquet).map { leaf =>
-      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val rel = fs.makeQualified(leaf).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
       val dst = if (rel.isEmpty) dstDir else s"$dstDir/$rel"
       compactTable(spark, leaf.toString, dst, targetBytes, shuffle)
     }.sum

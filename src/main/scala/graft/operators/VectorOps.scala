@@ -208,6 +208,33 @@ object VectorOps {
   private def dupPlanes(tables: Int, bits: Int): Seq[Seq[Seq[Double]]] =
     seededPlanes(43, tables, bits)
 
+  /** clamp(⌈log₂(n / target)⌉, [[lshMinBits]], [[lshMaxBits]]) as an
+    * in-plan column, n = a 1-row scalar-subquery count over
+    * `counted` — the shared auto-width rule of both LSH operators. */
+  private def autoBits(counted: DataFrame, target: Int): Column = {
+    val n = counted.agg(count(lit(1)).as("n_vecs")).scalar()
+    least(greatest(
+      ceil(log2(n.cast("double") / target)).cast("int"),
+      lit(lshMinBits)), lit(lshMaxBits))
+  }
+
+  /** The (tbl, code) bucket-key structs for multi-table hyperplane
+    * LSH over `vd`: per-bit sign indicators of the seeded planes,
+    * masked to the runtime width. `i < nbits` first — And
+    * short-circuits in codegen, so planes above the runtime width
+    * never pay their 64-dim dot product. ONE definition shared by
+    * the near-dup and ANN operators: a guard or clamp fix applied to
+    * one must not leave the other with different bucketing. */
+  private def lshBucketKeys(seed: Long, tables: Int, genBits: Int,
+                            nbits: Column): Seq[Column] =
+    seededPlanes(seed, tables, genBits).zipWithIndex.map { case (tbl, t) =>
+      val code = tbl.zipWithIndex.map { case (p, i) =>
+        when(lit(i) < nbits && dot(col("vd"), typedlit(p)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), code.as("code"))
+    }
+
   /** `bits = 0` (the default) auto-sizes the code space from the
     * corpus count in-plan — see the sizing scaladoc above. An explicit
     * `bits > 0` pins a fixed width. */
@@ -222,23 +249,9 @@ object VectorOps {
     // pure function of (corpus count, seeded planes) — deterministic.
     val genBits = if (bits > 0) bits else lshMaxBits
     val nbits: Column =
-      if (bits > 0) lit(bits)
-      else {
-        val n = v0.agg(count(lit(1)).as("n_vecs")).scalar()
-        least(greatest(
-          ceil(log2(n.cast("double") / lshTargetBucket)).cast("int"),
-          lit(lshMinBits)), lit(lshMaxBits))
-      }
+      if (bits > 0) lit(bits) else autoBits(v0, lshTargetBucket)
     val v = v0.withColumn("nbits", nbits)
-    val keys = dupPlanes(tables, genBits).zipWithIndex.map { case (tbl, t) =>
-      val code = tbl.zipWithIndex.map { case (p, i) =>
-        // `i < nbits` first: And short-circuits in codegen, so planes
-        // above the runtime width never pay their 64-dim dot product
-        when(lit(i) < col("nbits") && dot(col("vd"), typedlit(p)) > 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), code.as("code"))
-    }
+    val keys = lshBucketKeys(43, tables, genBits, col("nbits"))
     val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
       .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.code").as("code"))
     val ca = buckets.select(col("tbl"), col("code"), col("vec_id").as("vec_id_a"))
@@ -330,21 +343,9 @@ object VectorOps {
     val genBits = if (bits > 0) bits else lshMaxBits
     val nbits: Column =
       if (bits > 0) lit(bits)
-      else {
-        val n = v0.filter(col("vec_id") >= nQueries)
-          .agg(count(lit(1)).as("n_vecs")).scalar()
-        least(greatest(
-          ceil(log2(n.cast("double") / annLshTargetBucket)).cast("int"),
-          lit(lshMinBits)), lit(lshMaxBits))
-      }
+      else autoBits(v0.filter(col("vec_id") >= nQueries), annLshTargetBucket)
     val v = v0.withColumn("nbits", nbits)
-    val keys = seededPlanes(42, tables, genBits).zipWithIndex.map { case (tbl, t) =>
-      val code = tbl.zipWithIndex.map { case (p, i) =>
-        when(lit(i) < col("nbits") && dot(col("vd"), typedlit(p)) > 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), code.as("code"))
-    }
+    val keys = lshBucketKeys(42, tables, genBits, col("nbits"))
     val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
       .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.code").as("code"))
     val cands = buckets.filter(col("vec_id") < nQueries)

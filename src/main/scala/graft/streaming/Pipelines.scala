@@ -276,13 +276,22 @@ object Pipelines {
           .collect().map(_.getString(0)).toSeq
         val batchBuckets = bucketsOf(batch.toDF().select(
           graft.operators.DedupOps.keyBucket(col("queue"), col("message_id")).as("kb")))
+        // explicit existence probe + legacy-layout degrade, the
+        // prunedKeys rule: a catch-all here would read a pre-kb table
+        // as "absent" and append duplicates forever
+        val tablePath0 = new org.apache.hadoop.fs.Path(dataPath)
+        val tableFs = tablePath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existingKeys =
-          try spark.read.parquet(dataPath)
-            .filter(col("queue").isin(batchQueues: _*)
-              && col("kb").isin(batchBuckets: _*))
-            .select(col("queue"), col("message_id"))
-          catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no table yet
+          if (!tableFs.exists(tablePath0) || !hasParquetData(tableFs, tablePath0))
+            // first batch: no table (or no data) yet
             spark.emptyDataFrame.select(lit("").as("queue"), lit(0L).as("message_id")).limit(0)
+          else {
+            val t = spark.read.parquet(dataPath)
+              .filter(col("queue").isin(batchQueues: _*))
+            (if (t.columns.contains("kb"))
+               t.filter(col("kb").isin(batchBuckets: _*))
+             else t) // pre-kb layout: unpruned within the queue, still correct
+              .select(col("queue"), col("message_id"))
           }
         fresh
           .join(existingKeys, Seq("queue", "message_id"), "left_anti")
@@ -308,6 +317,13 @@ object Pipelines {
   // into: equal keys always share a bucket, so pruning never misses
   // a duplicate, and a trigger touching k distinct keys reads at
   // most min(k, keyBuckets)/keyBuckets of the key history.
+  //
+  // Migration note: a table written before the kb layout still
+  // CHECKS correctly (the readers degrade to the unpruned key read),
+  // but appends write kb-partitioned directories — resuming a stream
+  // over a pre-kb table needs a one-time rewrite into the new layout
+  // (read old + write partitioned, the compactPartitioned shape)
+  // before mixing the two structures in one directory tree.
 
   /** The ≤ [[graft.operators.DedupOps.keyBuckets]] bucket values
     * present in a batch — a dimension-bounded driver list (the
@@ -318,15 +334,39 @@ object Pipelines {
   /** Keys already present in a kb-partitioned sink table, read pruned
     * to `buckets` (a static partition predicate — the scan lists only
     * those directories). First trigger: no table yet → empty frame
-    * with the right (long-typed) key schema. */
+    * with the right (long-typed) key schema. The absent-table case is
+    * an explicit EXISTENCE check, not a caught AnalysisException — a
+    * catch-all would also swallow a schema problem (e.g. resuming
+    * over a table written in a pre-kb layout) and silently disable
+    * the idempotency check; a legacy layout instead degrades to the
+    * UNPRUNED key read, which is correct, just not bounded. */
+  /** Does the directory hold any parquet DATA? An existing dir with
+    * only markers (an all-empty first append leaves `_SUCCESS` and no
+    * footers) is still an absent table — but only this case is: a dir
+    * WITH data and an unexpected schema must fail loudly, not be
+    * silently treated as empty. */
+  private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
   private[graft] def prunedKeys(spark: SparkSession, path: String,
-                                keyCols: Seq[String], buckets: Seq[Int]): DataFrame =
-    try spark.read.parquet(path)
-      .filter(col("kb").isin(buckets: _*))
-      .select(keyCols.map(col): _*)
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+                                keyCols: Seq[String], buckets: Seq[Int]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !hasParquetData(fs, p))
       spark.range(0).select(keyCols.map(k => col("id").as(k)): _*)
+    else {
+      val t = spark.read.parquet(path)
+      if (t.columns.contains("kb"))
+        t.filter(col("kb").isin(buckets: _*)).select(keyCols.map(col): _*)
+      else t.select(keyCols.map(col): _*)
     }
+  }
 
   /** One deterministic row per doc_id within a trigger: the latest
     * sender timestamp wins, ties broken by sequence number and then

@@ -75,6 +75,25 @@ class MaintenanceSpec extends AnyFunSuite {
     val pruned = spark.read.parquet(dst).filter(col("kb") === b)
     assert(pruned.count() ===
       spark.read.parquet(src).filter(col("kb") === b).count())
+
+    // a RELATIVE source path must produce the same layout — listStatus
+    // returns qualified absolute paths, so an unqualified root would
+    // never prefix-match and the partition dirs would be buried under
+    // dstDir/<absolute-src-path>/
+    val relSrc = "target/graft-rel-compact-src"
+    val relDst = tmp("graft-part-compact-rel")
+    try {
+      base.write.mode("overwrite").partitionBy("kb").parquet(relSrc)
+      operators.Maintenance.compactPartitioned(spark, relSrc, relDst)
+      assert(leafFiles(relDst).keySet === leafFiles(relSrc).keySet,
+        "relative src must keep partition dirs at the dst root")
+      assert(rows(relDst) === rows(relSrc))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(relSrc))
+    }
   }
 
   test("compacting the minhash index leaves probe results bit-identical") {
