@@ -424,14 +424,19 @@ object VectorOps {
     var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), transform(col("vd"), x => x.cast("double")).as("cv"))
 
-    def assign(points: DataFrame, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    // argmin over the k centroids as a MIN-STRUCT AGGREGATE, not a
+    // row_number window: the broadcast join explodes each vector k
+    // ways, and partial aggregation collapses those k rows back to 1
+    // map-side — nothing vector-count × k ever shuffles or sorts.
+    // min(struct(d2, cid)) orders by d2 then cid: bit-identical to
+    // the window's (d2 asc, cid asc) rank-1 row. first(vd) is
+    // deterministic — every row in the group carries the same vd.
+    def assign(points: DataFrame, cents: DataFrame): DataFrame =
       points.crossJoin(broadcast(cents))
         .withColumn("d2", vecDistSq(col("vd"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("vd"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vd")).as("vd"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("vd"))
 
     // 2 Lloyd iterations (fixed-point means → deterministic, bounded state)
     for (_ <- 1 to 2) {
@@ -552,15 +557,28 @@ object VectorOps {
     * recall spec, like the other ANN variants. */
   val pqSub = 8
   val pqDims = 8
+
+  /** Floor for the per-subspace codebook size. Code resolution ALSO
+    * auto-scales with the corpus: pqK = clamp(n/64, 16, 256) — a
+    * 4-bit book (16 entries) quantizes a dense corpus so coarsely
+    * that ADC ranking degrades no matter how large the re-rank pool
+    * gets, while 256 entries is the standard 8-bit PQ byte code and
+    * the natural ceiling (one byte per subspace; a bigger book stops
+    * compressing). The n/64 ramp keeps ≥ ~64 training vectors per
+    * centroid so the single Lloyd pass still has data to average. */
   val pqK = 16
+  val pqKCap = 256
+
+  private def pqKFor(n: Long): Int =
+    math.max(pqK.toLong, math.min(pqKCap.toLong, n / 64L)).toInt
 
   /** Floor for the exact re-rank pool. The pool AUTO-SCALES with the
     * corpus (n/100, capped at [[pqRerankCap]]): 4-bit codes rank
     * coarsely, so a FIXED pool shrinks relative to list density and
     * recall decays — measured at sf1 the fixed 50 held PQ recall to
     * 0.22. The cap bounds per-query re-rank cost at serving scale;
-    * deployments that need more recall headroom raise code
-    * resolution (pqK → 256, 8-bit books) rather than the pool. */
+    * past it, recall headroom comes from code resolution (the
+    * [[pqKFor]] ramp toward 8-bit books), not a bigger pool. */
   val pqRerank = 50
   val pqRerankCap = 1000
 
@@ -576,26 +594,28 @@ object VectorOps {
 
   /** PQ training + encoding over a unit-normalized corpus (shared by
     * the one-shot [[annPq]] and the [[ivfpqBuildIndex]] build half):
-    * per-subspace codebooks seeded from the pqK lowest-id vectors,
+    * per-subspace codebooks seeded from the `k` lowest-id vectors,
     * one Lloyd pass with fixed-point means, then the corpus encoded
     * against the trained books. Returns (codebook (s, cid, cv),
     * codes (vec_id, s, cid)). */
-  private def pqEncode(corpus: DataFrame): (DataFrame, DataFrame) = {
+  private def pqEncode(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val subCorpus = subExplode(corpus, "vec_id")
     var cb: DataFrame = subExplode(
-      corpus.orderBy(col("vec_id")).limit(pqK), "cid")
+      corpus.orderBy(col("vec_id")).limit(k), "cid")
       .select(col("s"), col("cid"),
         transform(col("sub"), x => x.cast("double")).as("cv"))
 
-    def assign(pts: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d2").asc, col("cid").asc)
+    // argmin over the k codebook entries as a min-struct aggregate
+    // (the ivfIndex assign rationale): map-side partial aggregation
+    // collapses the k-way broadcast-join fan-out before any shuffle —
+    // at pqK = 256 the old row_number window sorted corpus × 256
+    // rows. Ordering (d2, cid) is bit-identical to the window's.
+    def assign(pts: DataFrame): DataFrame =
       pts.join(broadcast(cb), Seq("s"))
         .withColumn("d2", vecDistSq(col("sub"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("s"), col("cid"), col("sub"))
-    }
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("sub")).as("sub"))
+        .select(col("vec_id"), col("s"), col("m.cid").as("cid"), col("sub"))
 
     // one Lloyd pass per subspace (fixed-point means, bounded state)
     val e = assign(subCorpus)
@@ -609,8 +629,9 @@ object VectorOps {
     val v = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
     val corpus = v.filter(col("vec_id") >= nQueries)
-    val rerank = rerankFor(corpus.count())
-    val (cb, codes) = pqEncode(corpus)
+    val nCorpus = corpus.count()
+    val rerank = rerankFor(nCorpus)
+    val (cb, codes) = pqEncode(corpus, pqKFor(nCorpus))
 
     // asymmetric distance: per-(query, subspace, code) lookup tables
     val q = v.filter(col("vec_id") < nQueries)
@@ -669,12 +690,13 @@ object VectorOps {
     * served many times ([[annIvfPqQuery]]). */
   def ivfpqBuildIndex(spark: SparkSession, dir: String, indexDir: String,
                       k: Int = 0): Unit = {
-    val (kResolved, _) = ivfKnobs(spark, dir, k, ivfProbes)
+    val n = corpusN(spark, dir)
+    val (kResolved, _) = ivfKnobsFor(n, k, ivfProbes)
     val (cents, invlist) = ivfIndex(spark, dir, kResolved)
     val corpus = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
       .filter(col("vec_id") >= nQueries)
-    val (cb, pqCodes) = pqEncode(corpus)
+    val (cb, pqCodes) = pqEncode(corpus, pqKFor(n))
     val codes = pqCodes
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
       .join(invlist, Seq("neighbor_id"))
@@ -702,14 +724,19 @@ object VectorOps {
                     indexDir: String = "", k: Int = 0,
                     probes: Int = 0): DataFrame = {
     // resolve before the cache key — the annIvfQuery rule; one count
-    // sizes the quantizer knobs AND the re-rank pool
+    // sizes the quantizer knobs AND the re-rank pool. EVERY knob that
+    // shapes the on-disk index belongs in the key: pqK is in there
+    // because an auto-ramped codebook size served from an index built
+    // at the old resolution is exactly the stale-index class the
+    // content stamp exists to prevent.
     val n = corpusN(spark, dir)
     val (kk, pp) = ivfKnobsFor(n, k, probes)
     val rerank = rerankFor(n)
+    val pqk = pqKFor(n)
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivfpq-" +
-        graft.Tables.dirKey(dir) + s"-k$kk-" +
+        graft.Tables.dirKey(dir) + s"-k$kk-pq$pqk-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
