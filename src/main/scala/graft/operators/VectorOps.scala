@@ -412,10 +412,11 @@ object VectorOps {
     * the one-shot [[annIvf]] and the deployment-split
     * [[ivfBuildIndex]]/[[annIvfQuery]] pair. */
   private def ivfIndex(spark: SparkSession, dir: String,
-                       k: Int): (DataFrame, DataFrame) = {
+                       k: Int, n: Long): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
     val corpus = v.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("vd"), col("norm"))
+    val train = trainSlice(corpus, n)
 
     // Deterministic seed: the k lowest-id corpus vectors. The id itself
     // is the centroid tag — any distinct ascending values work for the
@@ -438,9 +439,11 @@ object VectorOps {
         .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vd")).as("vd"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("vd"))
 
-    // 2 Lloyd iterations (fixed-point means → deterministic, bounded state)
+    // 2 Lloyd iterations over the TRAINING slice (fixed-point means →
+    // deterministic, bounded state); the final full-corpus assignment
+    // below is the one inherent n × k pass
     for (_ <- 1 to 2) {
-      val assigned = assign(corpus, cents)
+      val assigned = assign(train, cents)
       val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
       cents = meanVectors(e, Seq("cid"))
@@ -483,8 +486,9 @@ object VectorOps {
 
   def annIvf(spark: SparkSession, dir: String,
              k: Int = 0, probes: Int = 0): DataFrame = {
-    val (kk, pp) = ivfKnobs(spark, dir, k, probes)
-    val (cents, invlist) = ivfIndex(spark, dir, kk)
+    val n = corpusN(spark, dir)
+    val (kk, pp) = ivfKnobsFor(n, k, probes)
+    val (cents, invlist) = ivfIndex(spark, dir, kk, n)
     ivfSearch(spark, dir, cents, invlist, pp)
   }
 
@@ -497,8 +501,9 @@ object VectorOps {
     * bit-identical to the fused one (spec-pinned). */
   def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String,
                     k: Int = 0): Unit = {
-    val (kk, _) = ivfKnobs(spark, dir, k, ivfProbes)
-    val (cents, invlist) = ivfIndex(spark, dir, kk)
+    val n = corpusN(spark, dir)
+    val (kk, _) = ivfKnobsFor(n, k, ivfProbes)
+    val (cents, invlist) = ivfIndex(spark, dir, kk, n)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
   }
@@ -572,6 +577,25 @@ object VectorOps {
   private def pqKFor(n: Long): Int =
     math.max(pqK.toLong, math.min(pqKCap.toLong, n / 64L)).toInt
 
+  /** Bound on quantizer TRAINING population (PQ codebooks and the IVF
+    * coarse quantizer's Lloyd iterations): training cost is
+    * train-rows × k per pass, which stops scaling when the corpus
+    * does — so past the cap, the iterations run on a deterministic
+    * id-hash thinning (~this many vectors) whose books/centroids are
+    * statistically equivalent (quantizer training converges on far
+    * smaller samples than this; offline systems train the same way).
+    * The FINAL assignment/encode still covers the FULL corpus — that
+    * n × k pass is inherent to building an inverted/coded index.
+    * Inactive at the test SFs (n < cap), so gates are unaffected. */
+  val quantizerTrainCap = 1L << 18
+
+  /** Deterministic ≤ ~[[quantizerTrainCap]]-row training slice. */
+  private def trainSlice(df: DataFrame, n: Long): DataFrame = {
+    val step = math.max(1L, n / quantizerTrainCap)
+    if (step == 1L) df
+    else df.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+  }
+
   /** Floor for the exact re-rank pool. The pool AUTO-SCALES with the
     * corpus (n/100, capped at [[pqRerankCap]]): 4-bit codes rank
     * coarsely, so a FIXED pool shrinks relative to list density and
@@ -598,8 +622,9 @@ object VectorOps {
     * one Lloyd pass with fixed-point means, then the corpus encoded
     * against the trained books. Returns (codebook (s, cid, cv),
     * codes (vec_id, s, cid)). */
-  private def pqEncode(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  private def pqEncode(corpus: DataFrame, k: Int, n: Long): (DataFrame, DataFrame) = {
     val subCorpus = subExplode(corpus, "vec_id")
+    val train = trainSlice(subCorpus, n)
     var cb: DataFrame = subExplode(
       corpus.orderBy(col("vec_id")).limit(k), "cid")
       .select(col("s"), col("cid"),
@@ -617,8 +642,9 @@ object VectorOps {
         .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("sub")).as("sub"))
         .select(col("vec_id"), col("s"), col("m.cid").as("cid"), col("sub"))
 
-    // one Lloyd pass per subspace (fixed-point means, bounded state)
-    val e = assign(subCorpus)
+    // one Lloyd pass per subspace over the TRAINING slice (fixed-point
+    // means, bounded state); the final encode covers the full corpus
+    val e = assign(train)
       .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
     cb = meanVectors(e, Seq("s", "cid"))
@@ -631,7 +657,7 @@ object VectorOps {
     val corpus = v.filter(col("vec_id") >= nQueries)
     val nCorpus = corpus.count()
     val rerank = rerankFor(nCorpus)
-    val (cb, codes) = pqEncode(corpus, pqKFor(nCorpus))
+    val (cb, codes) = pqEncode(corpus, pqKFor(nCorpus), nCorpus)
 
     // asymmetric distance: per-(query, subspace, code) lookup tables
     val q = v.filter(col("vec_id") < nQueries)
@@ -692,11 +718,11 @@ object VectorOps {
                       k: Int = 0): Unit = {
     val n = corpusN(spark, dir)
     val (kResolved, _) = ivfKnobsFor(n, k, ivfProbes)
-    val (cents, invlist) = ivfIndex(spark, dir, kResolved)
+    val (cents, invlist) = ivfIndex(spark, dir, kResolved, n)
     val corpus = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
       .filter(col("vec_id") >= nQueries)
-    val (cb, pqCodes) = pqEncode(corpus, pqKFor(n))
+    val (cb, pqCodes) = pqEncode(corpus, pqKFor(n), n)
     val codes = pqCodes
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
       .join(invlist, Seq("neighbor_id"))
