@@ -65,6 +65,11 @@ object RecallAudit {
     val pureLsh = recall(
       idPairs(operators.DedupOps.minhashLsh(spark, sfDir, exactRecallUnion = false)),
       exactJac)
+    // simhash hunts hamming-close signatures, not a Jaccard threshold —
+    // its spec gates STRONG-pair recall; report recall vs the exact
+    // J ≥ threshold pair set for the same cross-scale visibility
+    val simhash = recall(
+      idPairs(operators.DedupOps.simhash(spark, sfDir)), exactJac)
 
     def f(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -76,6 +81,7 @@ object RecallAudit {
         s""""dedup_embedding_lsh_cos07":${f(embLsh07)},""" +
         s""""dedup_embedding_lsh_cos09":${f(embLsh09)},""" +
         s""""dedup_minhash_pure_lsh":${f(pureLsh)},""" +
+        s""""dedup_simhash_vs_exact":${f(simhash)},""" +
         s""""exact_sizes":{"ann_bruteforce":${bf.size},""" +
         s""""embedding_pairs":${exactEmb.size},"jaccard_pairs":${exactJac.size}}}"""
     println(line)
