@@ -19,6 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (exact cosine-threshold pairs);
   *  - dedup_minhash_pure_lsh → ngramJaccard (exact Jaccard pairs).
   *
+  * Each approximate entry records (recall, seconds) — the
+  * recall-vs-cost frontier a user sizing knobs actually needs, not
+  * recall alone (a knob set is judged by what the extra recall
+  * COSTS). Walls are single-shot on the audit session (comparable
+  * within one artifact; Bench remains the cross-round wall gauge).
+  *
   * One JSON line to stdout + the artifact file, the Bench convention.
   */
 object RecallAudit {
@@ -34,6 +40,13 @@ object RecallAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    var walls = Vector.empty[(String, Double)]
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      walls :+= (name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     def topkPairs(df: DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     def idPairs(df: DataFrame): Set[(Long, Long)] =
@@ -41,35 +54,43 @@ object RecallAudit {
     def recall(got: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
       if (exact.isEmpty) 1.0 else got.count(exact).toDouble / exact.size
 
-    val bf = topkPairs(operators.VectorOps.annBruteForce(spark, sfDir))
-    val annLsh = recall(topkPairs(operators.VectorOps.annLsh(spark, sfDir)), bf)
-    val annIvf = recall(topkPairs(operators.VectorOps.annIvf(spark, sfDir)), bf)
-    val annPq = recall(topkPairs(operators.VectorOps.annPq(spark, sfDir)), bf)
-    val annIvfPq = recall(topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)), bf)
+    val bf = timed("ann_bruteforce") {
+      topkPairs(operators.VectorOps.annBruteForce(spark, sfDir)) }
+    val annLsh = recall(timed("ann_lsh") {
+      topkPairs(operators.VectorOps.annLsh(spark, sfDir)) }, bf)
+    val annIvf = recall(timed("ann_ivf") {
+      topkPairs(operators.VectorOps.annIvf(spark, sfDir)) }, bf)
+    val annPq = recall(timed("ann_pq") {
+      topkPairs(operators.VectorOps.annPq(spark, sfDir)) }, bf)
+    val annIvfPq = recall(timed("ann_ivfpq_query") {
+      topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)) }, bf)
 
     // near-dup recall overall AND on high-margin pairs: the LSH mode's
     // declared regime is semantic dups with angular margin — the
     // zero-margin 0.4-threshold tail is the exact mode's job, so the
     // cos ≥ 0.7 / ≥ 0.9 slices are the operative numbers
-    val exactEmbRows = operators.VectorOps.embeddingNearDup(spark, sfDir)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val exactEmbRows = timed("embedding_near_dup_exact") {
+      operators.VectorOps.embeddingNearDup(spark, sfDir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))) }
     val exactEmb = exactEmbRows.map(_._1).toSet
-    val got = idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir))
+    val got = timed("dedup_embedding_lsh") {
+      idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir)) }
     val embLsh = recall(got, exactEmb)
     def marginRecall(minCos: Double): Double =
       recall(got, exactEmbRows.filter(_._2 >= minCos).map(_._1).toSet)
     val embLsh07 = marginRecall(0.7)
     val embLsh09 = marginRecall(0.9)
 
-    val exactJac = idPairs(operators.DedupOps.ngramJaccard(spark, sfDir))
-    val pureLsh = recall(
-      idPairs(operators.DedupOps.minhashLsh(spark, sfDir, exactRecallUnion = false)),
+    val exactJac = timed("dedup_ngram_jaccard") {
+      idPairs(operators.DedupOps.ngramJaccard(spark, sfDir)) }
+    val pureLsh = recall(timed("dedup_minhash_pure_lsh") {
+      idPairs(operators.DedupOps.minhashLsh(spark, sfDir, exactRecallUnion = false)) },
       exactJac)
     // simhash hunts hamming-close signatures, not a Jaccard threshold —
     // its spec gates STRONG-pair recall; report recall vs the exact
     // J ≥ threshold pair set for the same cross-scale visibility
-    val simhash = recall(
-      idPairs(operators.DedupOps.simhash(spark, sfDir)), exactJac)
+    val simhash = recall(timed("dedup_simhash") {
+      idPairs(operators.DedupOps.simhash(spark, sfDir)) }, exactJac)
 
     def f(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -83,7 +104,9 @@ object RecallAudit {
         s""""dedup_minhash_pure_lsh":${f(pureLsh)},""" +
         s""""dedup_simhash_vs_exact":${f(simhash)},""" +
         s""""exact_sizes":{"ann_bruteforce":${bf.size},""" +
-        s""""embedding_pairs":${exactEmb.size},"jaccard_pairs":${exactJac.size}}}"""
+        s""""embedding_pairs":${exactEmb.size},"jaccard_pairs":${exactJac.size}},""" +
+        s""""wall_sec":{""" +
+        walls.map { case (n, s) => s""""$n":${f(s)}""" }.mkString(",") + "}}"
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[recall] artifact write failed: $e") }

@@ -366,30 +366,75 @@ object VectorOps {
   }
 
   /** IVF ANN — the other 100 TB path besides LSH: a coarse quantizer
-    * (k centroids from 2 Lloyd iterations, deterministically seeded
-    * with the lowest corpus ids), inverted lists keyed by nearest
-    * centroid, and nprobe-list exact search per query. At scale the
-    * inverted lists are the shuffle partitioning: each query touches
-    * nprobe/k of the corpus, so `k` must scale with corpus size —
-    * k ≈ √n (the classic IVF balance point: assignment cost n·k vs
-    * probe cost n·nprobe/k) keeps per-list size √n. Every IVF entry
-    * point AUTO-SIZES by default (`k = 0` → k = ⌈√n⌉ floored at
-    * [[ivfK]], probes = max([[ivfProbes]], k/4) so the probed corpus
-    * fraction stays ~probes/k as k grows): a fixed k is the same
-    * scale disease the fixed LSH code space had — measured at sf1 the
+    * (k centroids from [[ivfIters]] Lloyd iterations, deterministically
+    * seeded with the lowest corpus ids), inverted lists keyed by the
+    * [[ivfAssign]] nearest centroids, and nprobe-list exact search per
+    * query. At scale the inverted lists are the shuffle partitioning:
+    * each query touches ~ivfAssign·nprobe/k of the corpus, so `k` must
+    * scale with corpus size — k ≈ √n (the classic IVF balance point:
+    * assignment cost n·k vs probe cost per list size) keeps per-list
+    * size √n. Every IVF entry point AUTO-SIZES by default (`k = 0` →
+    * k = ⌈√n⌉ floored at [[ivfK]]; probes = ⌈[[ivfProbeC]]·√k⌉ floored
+    * at [[ivfProbes]] and capped at k): a fixed k is the same scale
+    * disease the fixed LSH code space had — measured at sf1 the
     * 16-centroid default held recall 0.50 only by probing 25% of the
-    * corpus in 1250-vector lists. k is STRUCTURAL (it seeds the Lloyd
+    * corpus in 1250-vector lists. The √k probe rule keeps per-query
+    * scanned fraction ~2·ivfProbeC/√k = O(n^(-1/4)) — SUBLINEAR, where
+    * the earlier probes = k/4 rule pinned it at a linear 25% (and
+    * still only reached recall 0.72 at sf1; see the recall sizing
+    * note on [[ivfAssign]]). k is STRUCTURAL (it seeds the Lloyd
     * iteration and sizes the centroid broadcast), so auto mode
     * resolves it from one column-pruned corpus count — a quantizer
     * is sized from its corpus cardinality in any serving system; at
     * true scale deployments train on a sample and pass k explicitly.
     * Explicit `k`/`probes` > 0 pin the knobs (spec usage). Recall <
-    * 1 by construction → rows-only check + recall spec + the sf1
-    * RecallAudit artifact. */
+    * 1 by construction → rows-only check + recall specs (floor 0.9)
+    * + the sf1 RecallAudit artifact. */
   val ivfK = 16
-  val ivfProbes = 4
+  val ivfProbes = 8
 
-  /** Column-pruned corpus cardinality (the quantizer-sizing input). */
+  /** Probe-count multiplier: probes = ⌈this·√k⌉. Sized empirically on
+    * the weak-neighbor regime this corpus exhibits (brute-force top-5
+    * cosines are 0.41-0.53 — background-level neighbors that scatter
+    * across quantizer cells): with [[ivfAssign]] = 2, c = 4 measures
+    * recall 1.00 / 1.00 / 0.98 at sf0.01 / sf0.1 / sf1 where the old
+    * k/4 rule measured 0.42 / 0.54 / 0.72. On clustered corpora
+    * (strong semantic dups) a smaller c suffices; this default buys
+    * the ≥0.9 floor on the hardest regime while still scanning a
+    * VANISHING corpus fraction as n grows. */
+  val ivfProbeC = 4
+
+  /** Lloyd iterations for the coarse quantizer (training-slice cost
+    * only — the slice is capped at [[quantizerTrainCap]]). Two is the
+    * measured knee: with the [[ivfAssign]]/[[ivfProbeC]] knobs a third
+    * iteration buys ≤0.02 recall (0.96 → 0.98 at sf1, flat at 1.00
+    * below) for a full extra train-slice × k pass. */
+  val ivfIters = 2
+
+  /** Multi-assignment: each corpus vector is indexed in its
+    * `ivfAssign` nearest inverted lists (FLANN-style redundant
+    * assignment). The single-assignment layout loses exactly the
+    * boundary vectors — a true neighbor sitting just across a cell
+    * wall from every probed list — and measured at sf1 that loss is
+    * the recall gap: probes=36/multi=1 plateaued at 0.82 while
+    * probes=48/multi=2 reaches 0.98. Cost: the index stores each
+    * vector twice (2× list rows — still 8-byte ids/codes, not
+    * vectors) and the probed fraction doubles; the search-side
+    * candidate DEDUP this forces is a candidate-sized distinct, the
+    * same shape the LSH operators already carry. */
+  val ivfAssign = 2
+
+  /** Column-pruned corpus cardinality — the quantizer-sizing input,
+    * resolved DRIVER-SIDE rather than in-plan. This is deliberate
+    * divergence from the [[autoBits]] scalar-subquery idiom, not an
+    * oversight: the LSH width only MASKS per-row expressions (a
+    * runtime column can do that), but k is STRUCTURAL — it feeds
+    * `.limit(k)` for the seed slice, sizes the centroid broadcast,
+    * and must be known BEFORE the index cache key is formed (an
+    * auto-sized k baked into the key is what prevents a corpus
+    * regeneration from serving a stale-k index). A plan-internal
+    * scalar cannot do any of those three jobs. One count job per
+    * index build; the serving path never re-pays it. */
   private def corpusN(spark: SparkSession, dir: String): Long =
     vecs(spark, dir).filter(col("vec_id") >= nQueries).count()
 
@@ -397,7 +442,11 @@ object VectorOps {
     val kk =
       if (k > 0) k
       else math.max(ivfK, math.ceil(math.sqrt(n.toDouble)).toInt)
-    (kk, if (probes > 0) probes else math.max(ivfProbes, kk / 4))
+    val pp =
+      if (probes > 0) probes
+      else math.min(kk,
+        math.max(ivfProbes, math.ceil(ivfProbeC * math.sqrt(kk.toDouble)).toInt))
+    (kk, pp)
   }
 
   /** Resolved (k, probes) for an IVF call: explicit values pass
@@ -406,11 +455,12 @@ object VectorOps {
                        k: Int, probes: Int): (Int, Int) =
     ivfKnobsFor(corpusN(spark, dir), k, probes)
 
-  /** IVF index: coarse-quantizer centroids (2 Lloyd iterations over
-    * the corpus, deterministically seeded with the lowest corpus ids)
-    * plus the inverted lists (vector → nearest centroid). Shared by
-    * the one-shot [[annIvf]] and the deployment-split
-    * [[ivfBuildIndex]]/[[annIvfQuery]] pair. */
+  /** IVF index: coarse-quantizer centroids ([[ivfIters]] Lloyd
+    * iterations over the training slice, deterministically seeded with
+    * the lowest corpus ids) plus the inverted lists (vector → its
+    * [[ivfAssign]] nearest centroids, so a vector appears in up to
+    * ivfAssign list rows). Shared by the one-shot [[annIvf]] and the
+    * deployment-split [[ivfBuildIndex]]/[[annIvfQuery]] pair. */
   private def ivfIndex(spark: SparkSession, dir: String,
                        k: Int, n: Long): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
@@ -439,17 +489,38 @@ object VectorOps {
         .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vd")).as("vd"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("vd"))
 
-    // 2 Lloyd iterations over the TRAINING slice (fixed-point means →
+    // Lloyd iterations over the TRAINING slice (fixed-point means →
     // deterministic, bounded state); the final full-corpus assignment
     // below is the one inherent n × k pass
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to ivfIters) {
       val assigned = assign(train, cents)
       val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
       cents = meanVectors(e, Seq("cid"))
     }
 
-    val invlist = assign(corpus, cents).select(col("vec_id").as("neighbor_id"), col("cid"))
+    // [[ivfAssign]]-way (= 2) redundant assignment as a SECOND
+    // min-struct pass, not a row_number window: rank-2 re-fans the
+    // rank-1 rows (n rows, vd in hand) over the centroid broadcast
+    // with each vector's rank-1 cid excluded and min-structs again —
+    // both passes keep the map-side-collapse property, where a
+    // corpus-wide `row_number ≤ 2` window would shuffle and sort all
+    // n·k fan-out rows. The rank-1 cid is renamed on the LEFT side
+    // (cid1), keeping `broadcast(cents)` byte-identical to the rank-1
+    // pass's and the probe selection's — ReusedExchange then executes
+    // the whole Lloyd-training subtree ONCE per query instead of once
+    // per use. (A deployment wanting deeper redundancy chains further
+    // passes; recall evidence only needed two.)
+    val a1 = assign(corpus, cents)
+    val a2 = a1.select(col("vec_id"), col("cid").as("cid1"), col("vd"))
+      .crossJoin(broadcast(cents))
+      .filter(col("cid") =!= col("cid1"))
+      .withColumn("d2", vecDistSq(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val invlist = a1.select(col("vec_id"), col("cid")).union(a2)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
     (cents, invlist)
   }
 
@@ -458,7 +529,9 @@ object VectorOps {
     * parquet read). The query-side plan never shuffles the corpus:
     * centroids broadcast to the queries, the tiny probe set broadcasts
     * onto the inverted lists, and the candidate ids broadcast onto the
-    * corpus scan; the only exchanges are the two query-keyed windows. */
+    * corpus scan; the only exchanges are the candidate-pair distinct
+    * (forced by multi-assignment — a neighbor in two probed lists
+    * must score once, see [[ivfAssign]]) and the query-keyed windows. */
   private def ivfSearch(spark: SparkSession, dir: String,
                         cents: DataFrame, invlist: DataFrame,
                         nprobe: Int): DataFrame = {
@@ -470,13 +543,16 @@ object VectorOps {
       .withColumn("d2", vecDistSq(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(wp))
       .filter(col("rk") <= nprobe)
-      .select("query_id", "qv", "qn", "cid")
+      .select("query_id", "cid")
+
+    val cands = probes.join(invlist, Seq("cid"))
+      .select("query_id", "neighbor_id").distinct()
 
     val corpus = v.filter(col("vec_id") >= nQueries)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("vd").as("cv2"), col("norm").as("cn"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(invlist, Seq("cid"))
+    cands.join(q, Seq("query_id"))
       .join(c, Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wr))
@@ -538,7 +614,7 @@ object VectorOps {
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivf-" +
-        graft.Tables.dirKey(dir) + s"-k$kk-" +
+        graft.Tables.dirKey(dir) + s"-k$kk-a$ivfAssign-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
@@ -564,18 +640,25 @@ object VectorOps {
   val pqDims = 8
 
   /** Floor for the per-subspace codebook size. Code resolution ALSO
-    * auto-scales with the corpus: pqK = clamp(n/64, 16, 256) — a
+    * auto-scales with the corpus: pqK = clamp(n/8, 16, 256) — a
     * 4-bit book (16 entries) quantizes a dense corpus so coarsely
     * that ADC ranking degrades no matter how large the re-rank pool
     * gets, while 256 entries is the standard 8-bit PQ byte code and
     * the natural ceiling (one byte per subspace; a bigger book stops
-    * compressing). The n/64 ramp keeps ≥ ~64 training vectors per
-    * centroid so the single Lloyd pass still has data to average. */
+    * compressing). The ramp is n/8, not the earlier n/64: on the
+    * weak-neighbor corpus the mid-scale books were the measured ADC
+    * bottleneck (sf0.1's 31-entry books held PQ recall to 0.50 while
+    * the same rerank pool with ~248-entry books measures 1.00), and
+    * a book is only ever ADC-ranking resolution — the exact re-rank
+    * restores true cosines, so a small-corpus book that "overfits"
+    * its own corpus costs nothing. Past n = 2048 the cap binds and
+    * the ramp is irrelevant; training stays bounded either way
+    * ([[quantizerTrainCap]]). */
   val pqK = 16
   val pqKCap = 256
 
   private def pqKFor(n: Long): Int =
-    math.max(pqK.toLong, math.min(pqKCap.toLong, n / 64L)).toInt
+    math.max(pqK.toLong, math.min(pqKCap.toLong, n / 8L)).toInt
 
   /** Bound on quantizer TRAINING population (PQ codebooks and the IVF
     * coarse quantizer's Lloyd iterations): training cost is
@@ -597,17 +680,22 @@ object VectorOps {
   }
 
   /** Floor for the exact re-rank pool. The pool AUTO-SCALES with the
-    * corpus (n/100, capped at [[pqRerankCap]]): 4-bit codes rank
-    * coarsely, so a FIXED pool shrinks relative to list density and
-    * recall decays — measured at sf1 the fixed 50 held PQ recall to
-    * 0.22. The cap bounds per-query re-rank cost at serving scale;
-    * past it, recall headroom comes from code resolution (the
-    * [[pqKFor]] ramp toward 8-bit books), not a bigger pool. */
-  val pqRerank = 50
+    * corpus (n/10, floored at 200, capped at [[pqRerankCap]]): coarse
+    * codes rank approximately, so a FIXED pool shrinks relative to
+    * list density and recall decays — measured at sf1 the original
+    * fixed 50 held PQ recall to 0.22, and the n/100 ramp's 199-row
+    * pool to 0.92 where n/10's capped 1000 measures 1.00. The floor
+    * is 200 because the tiny-corpus end is where the ADC ranking is
+    * least trustworthy (sf0.01's rerank-50 pool measured 0.84 against
+    * 1.00 at 200; 200 exact scorings per query is noise). The cap
+    * bounds per-query re-rank cost at serving scale — past it, recall
+    * headroom comes from code resolution (the [[pqKFor]] ramp toward
+    * 8-bit books), not a bigger pool. */
+  val pqRerank = 200
   val pqRerankCap = 1000
 
   private def rerankFor(n: Long): Int =
-    math.max(pqRerank.toLong, math.min(pqRerankCap.toLong, n / 100L)).toInt
+    math.max(pqRerank.toLong, math.min(pqRerankCap.toLong, n / 10L)).toInt
 
   /** Subspace slices of unit-normalized vectors: (id, s, sub). */
   private def subExplode(df: DataFrame, idAs: String): DataFrame =
@@ -762,7 +850,7 @@ object VectorOps {
     val idx =
       if (indexDir.nonEmpty) indexDir
       else sys.props("java.io.tmpdir") + "/graft-ivfpq-" +
-        graft.Tables.dirKey(dir) + s"-k$kk-pq$pqk-" +
+        graft.Tables.dirKey(dir) + s"-k$kk-a$ivfAssign-pq$pqk-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
@@ -794,11 +882,18 @@ object VectorOps {
       .select(col("query_id"), col("s"), col("cid").as("code"),
         vecDistSq(col("sub"), col("cv")).as("d2"))
 
-    // scan only the probed lists; fixed-point adist sums (see annPq)
+    // scan only the probed lists; fixed-point adist sums (see annPq).
+    // The first groupBy level collapses multi-assignment duplicates —
+    // a neighbor whose [[ivfAssign]] lists are BOTH probed arrives
+    // once per probed cid, and summing both copies would double its
+    // distance; min over identical d2 values is an exact dedup and
+    // both levels keep map-side partial aggregation.
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val cands = codes.join(broadcast(probeSet), Seq("cid"))
       .join(broadcast(dt), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("s"))
+      .agg(min(col("d2")).as("d2"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(floor(col("d2") * 1e12 + 0.5).cast("long")).as("adist"))
       .withColumn("rk", row_number().over(wa))

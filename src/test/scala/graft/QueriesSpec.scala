@@ -112,13 +112,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(kernel === viaAgg)
   }
 
-  test("ann_ivf achieves useful recall against brute force") {
+  test("ann_ivf holds the ship-grade recall floor against brute force") {
+    // the RecallAudit artifacts carry the 10×/100× evidence; this
+    // FLOOR makes a knob change that tanks recall fail sbt test
+    // instead of only denting a JSON artifact (measured 1.00 at spec
+    // time with the multi-assign + 4√k-probe auto-knobs)
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = operators.VectorOps.annIvf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (bf intersect ivf).size.toDouble / bf.size
-    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(recall >= 0.9, s"IVF recall below the serving floor: $recall")
   }
 
   test("ann_ivf_query (parquet index split) is bit-identical to the fused plan") {
@@ -140,10 +144,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(ivfpq.nonEmpty)
     // double approximation (IVF probe miss + PQ code coarseness) may
     // cost recall vs plain IVF, but the serving layout must still
-    // surface a useful fraction of the true top-k...
+    // hold the same ship-grade floor (measured 1.00 at spec time)...
     val recall = ivfpq.map(r => (r.getLong(0), r.getLong(2)))
       .count(bf.contains).toDouble / bf.size
-    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    assert(recall >= 0.9, s"IVF-PQ recall below the serving floor: $recall")
     // ...and every emitted cosine is EXACT (the re-rank contract)
     ivfpq.foreach { r =>
       bf.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
@@ -505,7 +509,7 @@ class QueriesSpec extends AnyFunSuite {
       bf.get((r.getLong(0), r.getLong(2))).foreach(c => assert(c === r.getDouble(3)))
     }
     val recall = pq.map(r => (r.getLong(0), r.getLong(2))).count(bf.contains).toDouble / bf.size
-    assert(recall >= 0.4, s"PQ recall too low: $recall (measured 0.66 at spec time)")
+    assert(recall >= 0.9, s"PQ recall below the serving floor: $recall (measured 1.00 at spec time)")
   }
 
   test("ann_lsh results are a subset of valid neighbors with exact cosines") {
