@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop text kernel: distinct word-3-gram shingles straight from
@@ -64,6 +65,55 @@ object TextKernel {
     best.toLong
   }
 
+  /** The Gopher-style repetition keep rule fused into ONE pass over
+    * the raw string: tokenize, top-word count, and distinct-adjacent-
+    * bigram count in a single traversal, returning the boolean the
+    * training pipeline filters on.
+    *
+    * Why a fused kernel and not the composable predicate
+    * (`size(w) > 0 && topCount(w)/size(w) <= … && dup2(w) <= …`):
+    * FilterExec codegen splits conjuncts for null short-circuiting
+    * and does NOT share subexpressions across them, so the composed
+    * predicate re-tokenizes and re-builds the bigram array once per
+    * conjunct — measured at 3× the cost of this kernel on the
+    * pipeline's corpus scan. Fusing also skips materializing the
+    * bigram STRING array entirely (the bigram set dedups pair
+    * strings built on the fly).
+    *
+    * Semantics contract (must stay bit-aligned with
+    * [[graft.operators.TextOps.docRepetition]]'s metrics and its
+    * DuckDB oracle): tokens = split on single space, empties
+    * dropped; zero tokens → false; top-word share = topCount/n as
+    * double division of exact ints; n2 = n−1; one token (n2 = 0) →
+    * false (the composed predicate's null dup-fraction semantics);
+    * dup2 = (n2 − u2)/n2 with u2 = distinct space-joined adjacent
+    * pairs (space-join is injective here — tokens cannot contain
+    * spaces). */
+  def repetitionKeep(text: UTF8String, topMax: Double, dupMax: Double): Boolean = {
+    val raw = text.toString.split(" ", -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { raw(nTok) = raw(i); nTok += 1 }; i += 1 }
+    if (nTok == 0) return false
+    val counts = new java.util.HashMap[String, Integer](nTok * 2)
+    var best = 0
+    i = 0
+    while (i < nTok) {
+      val prev = counts.get(raw(i))
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(raw(i), Integer.valueOf(c))
+      if (c > best) best = c
+      i += 1
+    }
+    if (best.toDouble / nTok.toDouble > topMax) return false
+    val n2 = nTok - 1
+    if (n2 <= 0) return false
+    val pairs = new java.util.HashSet[String](n2 * 2)
+    i = 0
+    while (i < n2) { pairs.add(raw(i) + " " + raw(i + 1)); i += 1 }
+    (n2 - pairs.size).toDouble / n2.toDouble <= dupMax
+  }
+
   def distinctShingles3(text: UTF8String): ArrayData = {
     val raw = text.toString.split(" ", -1)
     var nTok = 0
@@ -85,6 +135,8 @@ object TextKernel {
 }
 
 case class WsTokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireString("ws_tokens", child.dataType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -98,6 +150,8 @@ case class WsTokens(child: Expression) extends UnaryExpression {
 }
 
 case class DistinctShingles3(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireString("distinct_shingles3", child.dataType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -112,6 +166,8 @@ case class DistinctShingles3(child: Expression) extends UnaryExpression {
 }
 
 case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOfString("top_token_count", child.dataType)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -125,6 +181,27 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Thresholds ride as constructor params, not child expressions — they
+  * are operator constants (the keep rule's identity), and keeping the
+  * expression unary keeps the generated call site a single static
+  * invocation. */
+case class RepetitionKeep(child: Expression, topMax: Double, dupMax: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireString("repetition_keep", child.dataType)
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.repetitionKeep(input.asInstanceOf[UTF8String], topMax, dupMax)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel$$.MODULE$$.repetitionKeep($c, $topMax, $dupMax)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionKeep =
+    copy(child = newChild)
+}
+
 object TextKernels {
   def distinctShingles3(text: Column): Column =
     GraftBridge.column(DistinctShingles3(GraftBridge.expression(text)))
@@ -134,4 +211,7 @@ object TextKernels {
 
   def topTokenCount(tokens: Column): Column =
     GraftBridge.column(TopTokenCount(GraftBridge.expression(tokens)))
+
+  def repetitionKeep(text: Column, topMax: Double, dupMax: Double): Column =
+    GraftBridge.column(RepetitionKeep(GraftBridge.expression(text), topMax, dupMax))
 }

@@ -12,4 +12,10 @@ object TypeChecks {
     case other =>
       TypeCheckResult.TypeCheckFailure(s"$fn requires array<string>, got ${other.catalogString}")
   }
+
+  def requireString(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$fn requires string, got ${other.catalogString}")
+  }
 }

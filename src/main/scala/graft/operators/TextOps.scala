@@ -603,10 +603,18 @@ object TextOps {
           .cast("long").as("n_emails"),
         size(expr(s"regexp_extract_all(raw, '$piiPhonePat', 0)"))
           .cast("long").as("n_phones"),
-        md5(regexp_replace(
-          regexp_replace(col("raw"), piiEmailPat, "<EMAIL>"),
-          piiPhonePat, "<PHONE>").cast("binary")).as("clean_md5"))
+        md5(piiRedact(col("raw")).cast("binary")).as("clean_md5"))
   }
+
+  /** The redaction projection alone — typed tags over contact
+    * patterns, pure map-side regexp. Factored out so composed
+    * pipelines can scrub text as a STAGE (redact what is written)
+    * rather than running [[docPiiScrub]]'s report shape; the
+    * training pipeline applies it to the survivors' payload
+    * ([[TrainingPipeline.run]] `piiScrub = true`). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, piiEmailPat, "<EMAIL>"),
+      piiPhonePat, "<PHONE>")
 
   val docPiiScrubSql: String =
     s"""WITH t AS (
@@ -638,25 +646,20 @@ object TextOps {
   private def topWordCount(w: Column): Column =
     graft.functions.TextKernels.topTokenCount(w)
 
-  /** [[docRepetition]]'s keep rule as ONE predicate over the text
-    * column — for composing pipelines that filter on repetition
-    * (rather than semi-joining the [[docRepetition]] frame, which
-    * invites Catalyst to push and DUPLICATE the heavy per-doc gram
-    * expressions across several operators — measured as a 4×
-    * re-evaluation inside training_pipeline). A token-less doc has no
-    * docRepetition row and must not pass; the size(w) > 0 conjunct
-    * mirrors that. Null dup-gram fraction (a 1-token doc) fails the
-    * rule, exactly as keep = 0 does. */
-  private[operators] def repetitionKeep(text: Column): Column = {
-    val w = tokens(text)
-    val g2 = kGrams(w, 2)
-    val n2 = size(g2)
-    val u2 = size(array_distinct(g2))
-    val topShare =
-      topWordCount(w).cast("double") / size(w).cast("long").cast("double")
-    val dup2 = when(n2 > 0, (n2 - u2).cast("double") / n2.cast("double"))
-    size(w) > 0 && topShare <= repTopWordMax && dup2 <= repDup2gramMax
-  }
+  /** [[docRepetition]]'s keep rule as ONE fused kernel call over the
+    * text column — for composing pipelines that filter on repetition.
+    * Two composable forms were measured and rejected: semi-joining
+    * the [[docRepetition]] frame invites Catalyst to push and
+    * DUPLICATE the heavy per-doc gram expressions across several
+    * operators (a 4× re-evaluation inside training_pipeline), and a
+    * conjunction of column expressions re-tokenizes once per conjunct
+    * because FilterExec codegen doesn't share subexpressions across
+    * split predicates (3× the kernel's cost on the pipeline's corpus
+    * scan — the r6 sf0.1 pipeline creep). The kernel keeps the exact
+    * composed-predicate semantics, spec-pinned against
+    * [[docRepetition]]'s keep flag row-for-row. */
+  private[graft] def repetitionKeep(text: Column): Column =
+    graft.functions.TextKernels.repetitionKeep(text, repTopWordMax, repDup2gramMax)
 
   /** Gopher-style repetition metrics per document — the second family
     * of quality filters a training-data pipeline runs (alongside the

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** The composed end-to-end training-data job — the thing a user of
   * this library actually runs at 100 TB: ingest → near-dup dedup
-  * (pure-LSH scale mode) → benchmark decontamination → quality filter
-  * (ratio rules + Gopher-style repetition rules) → deterministic
-  * stratified sample → partitioned parquet write, one DataFrame
-  * program.
+  * (pure-LSH scale mode) → benchmark decontamination (hashed-gram
+  * scale mode) → quality filter (ratio rules + the fused Gopher
+  * repetition kernel) → deterministic stratified sample → optional
+  * PII redaction of the shipped text → partitioned parquet write,
+  * one DataFrame program.
   *
   * Composition is where a pipeline wins or loses at scale, not the
   * individual stages:
@@ -51,9 +52,20 @@ object TrainingPipeline {
     * from the pure-LSH candidates; `true` draws it from the exact
     * prefix-filtered join, which makes the WHOLE pipeline
     * deterministic and therefore DuckDB-oracle-able — that variant
-    * ships as the hash-gated `training_pipeline_exact` entry. */
+    * ships as the hash-gated `training_pipeline_exact` entry.
+    *
+    * `scaleMode = true` (the default — this is the entry a 100 TB user
+    * runs) also draws the decontamination drop-set from the
+    * HASHED-gram mode: 8-byte xxhash64 shuffle keys instead of
+    * ~50-byte gram strings, measured 1.9× cheaper at sf1, bit-equal
+    * output on any corpus where no 64-bit gram collision lands in the
+    * overlap (spec-pinned both standalone and composed here). The
+    * exact twin pins `scaleMode = false` so every stage keeps its
+    * cross-engine oracle. */
   def survivors(spark: SparkSession, dir: String,
-                exactDedup: Boolean = false): DataFrame = {
+                exactDedup: Boolean = false,
+                scaleMode: Boolean = true,
+                withText: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -64,7 +76,7 @@ object TrainingPipeline {
       .select(col("doc_b").as("doc_id")).distinct()
 
     // eval-leak drop-set: docs sharing an 8-gram with the bench source
-    val contaminated = TextOps.decontamination(spark, dir)
+    val contaminated = TextOps.decontamination(spark, dir, hashGrams = scaleMode)
       .select("doc_id").distinct()
 
     // per-doc quality metrics (narrow projection + filter)
@@ -81,6 +93,9 @@ object TrainingPipeline {
     // deterministic stratified sample — the SAME column definitions
     // TextOps.docSample uses, so the two agree doc-for-doc by
     // construction
+    val outCols = Seq(col("doc_id"), col("source"), col("stratum"),
+      col("n_tokens"), col("quality")) ++
+      (if (withText) Seq(col("text")) else Nil)
     d.filter(col("source") =!= TextOps.decontamBenchSource)
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -89,8 +104,7 @@ object TrainingPipeline {
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)
       .filter(TextOps.sampleKeep(col("stratum"), col("h")))
-      .select(col("doc_id"), col("source"), col("stratum"),
-        col("n_tokens"), col("quality"))
+      .select(outCols: _*)
   }
 
   /** Run the pipeline: write the surviving docs as stratum-partitioned
@@ -100,20 +114,33 @@ object TrainingPipeline {
     * the composed plan for the report would be a second full corpus
     * pass, a 2× cost at 100 TB; the shards are the sample's size.
     * (The fully-planned composed query is separately audited and
-    * hash-gated as `training_pipeline_exact`.) */
-  def run(spark: SparkSession, dir: String, outDir: String = ""): DataFrame = {
+    * hash-gated as `training_pipeline_exact`.)
+    *
+    * `piiScrub = true` carries the surviving docs' TEXT into the
+    * shards with [[TextOps.piiRedact]] applied — redaction as a
+    * pipeline stage (scrub what ships, never drop the doc), the shape
+    * a real training-shard writer runs. Off by default only because
+    * the benched entry's summary doesn't need the text payload;
+    * the scrub itself is a zero-shuffle projection on the write. */
+  def run(spark: SparkSession, dir: String, outDir: String = "",
+          piiScrub: Boolean = false): DataFrame = {
     val out =
       if (outDir.nonEmpty) outDir
-      else sys.props("java.io.tmpdir") + "/graft-train-" + Tables.dirKey(dir)
-    survivors(spark, dir).write.mode("overwrite").partitionBy("stratum").parquet(out)
+      else sys.props("java.io.tmpdir") + "/graft-train-" + Tables.dirKey(dir) +
+        (if (piiScrub) "-pii" else "")
+    val s = survivors(spark, dir, withText = piiScrub)
+    val shards =
+      if (piiScrub) s.withColumn("text", TextOps.piiRedact(col("text"))) else s
+    shards.write.mode("overwrite").partitionBy("stratum").parquet(out)
     summarize(spark.read.parquet(out))
   }
 
-  /** Deterministic twin of [[run]]: exact-Jaccard dedup, no write —
-    * every stage reproduces bit-for-bit in DuckDB, so the COMPOSED
-    * pipeline is hash-gated end to end, not just its components. */
+  /** Deterministic twin of [[run]]: exact-Jaccard dedup, raw-gram
+    * decontamination, no write — every stage reproduces bit-for-bit
+    * in DuckDB, so the COMPOSED pipeline is hash-gated end to end,
+    * not just its components. */
   def runExact(spark: SparkSession, dir: String): DataFrame =
-    summarize(survivors(spark, dir, exactDedup = true))
+    summarize(survivors(spark, dir, exactDedup = true, scaleMode = false))
 
   private def summarize(s: DataFrame): DataFrame =
     s.groupBy(col("source"), col("stratum"))
