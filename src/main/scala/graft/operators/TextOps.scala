@@ -495,10 +495,10 @@ object TextOps {
     *
     * Shape at scale: ONE corpus scan carries every per-doc map-side
     * flag — the quality score ([[textQuality]] is pure projection
-    * math) and the full repetition rule (gram fractions + the sorted-
-    * run [[topWordCount]]) are computed INLINE on the same projection
-    * as (doc_id, source), so neither costs a second corpus scan or a
-    * doc_id join. Only the genuinely relational components join on:
+    * math) and the full repetition rule (gram fractions + the
+    * one-pass hash-counting [[topWordCount]] kernel) are computed
+    * INLINE on the same projection as (doc_id, source), so neither
+    * costs a second corpus scan or a doc_id join. Only the genuinely relational components join on:
     * the decontamination gram overlap and the near-dup pair flag
     * (whose subtree reuses the shared docSets exchange — PlanSpec-
     * pinned ReusedExchange). The flag expressions are the component

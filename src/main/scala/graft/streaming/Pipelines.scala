@@ -259,26 +259,29 @@ object Pipelines {
       .foreachBatch { (batch: Dataset[GraftTextRecord], _: Long) =>
         val spark = batch.sparkSession
         // redelivery can land BOTH copies of a message in one trigger —
-        // dedup inside the batch before the anti-join against the table
+        // dedup inside the batch before the anti-join against the
+        // table. localCheckpoint (eager) so the SOURCE is read and the
+        // dedup shuffle runs ONCE per trigger: the queue list, the
+        // bucket list, and the write below all reuse the materialized
+        // batch instead of re-reading the source three times (the
+        // decontaminationSink convention).
         val fresh = batch.toDF().dropDuplicates("queue", "message_id")
           .withColumn("kb",
             graft.operators.DedupOps.keyBucket(col("queue"), col("message_id")))
+          .localCheckpoint(true)
         // the batch touches a handful of queues and ≤ keyBuckets hash
         // buckets; filtering the existing table by both is a STATIC
         // partition predicate, so the key lookup prunes to the batch's
         // (queue, bucket) directories instead of scanning the whole
         // table every trigger. Both lists are dimension-bounded driver
-        // collects (queue count, ≤ 64 bucket values), and both come
-        // from the RAW batch (dedup only removes rows — the raw sets
-        // are supersets, still-correct prunes) so the dedup shuffle
-        // runs once, in the write.
-        val batchQueues = batch.toDF().select("queue").distinct()
+        // collects (queue count, ≤ 64 bucket values) off the
+        // checkpointed batch.
+        val batchQueues = fresh.select("queue").distinct()
           .collect().map(_.getString(0)).toSeq
-        val batchBuckets = bucketsOf(batch.toDF().select(
-          graft.operators.DedupOps.keyBucket(col("queue"), col("message_id")).as("kb")))
-        // explicit existence probe + legacy-layout degrade, the
-        // prunedKeys rule: a catch-all here would read a pre-kb table
-        // as "absent" and append duplicates forever
+        val batchBuckets = bucketsOf(fresh.select("kb"))
+        // explicit existence probe, the prunedKeys rule: a catch-all
+        // here would read a pre-kb table as "absent" and append
+        // duplicates forever
         val tablePath0 = new org.apache.hadoop.fs.Path(dataPath)
         val tableFs = tablePath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existingKeys =
@@ -287,10 +290,21 @@ object Pipelines {
             spark.emptyDataFrame.select(lit("").as("queue"), lit(0L).as("message_id")).limit(0)
           else {
             val t = spark.read.parquet(dataPath)
-              .filter(col("queue").isin(batchQueues: _*))
-            (if (t.columns.contains("kb"))
-               t.filter(col("kb").isin(batchBuckets: _*))
-             else t) // pre-kb layout: unpruned within the queue, still correct
+            // A pre-kb table must FAIL FAST, not degrade: the check
+            // side could read it unpruned, but this trigger's append
+            // would write partitionBy(queue, kb) directories into the
+            // queue-only tree, and the NEXT trigger's read of the
+            // mixed-depth directory structure throws and wedges the
+            // stream — with the first trigger's rows already
+            // committed. Refuse before writing anything.
+            if (!t.columns.contains("kb"))
+              throw new IllegalStateException(
+                s"$dataPath holds a pre-kb (queue-only) tableSink layout; " +
+                  "appending would mix partition depths and wedge the stream " +
+                  "on its next trigger. Run Pipelines.migrateTableToKb(spark, " +
+                  "tablePath) once (stream stopped) and resume.")
+            t.filter(col("queue").isin(batchQueues: _*))
+              .filter(col("kb").isin(batchBuckets: _*))
               .select(col("queue"), col("message_id"))
           }
         fresh
@@ -298,6 +312,37 @@ object Pipelines {
           .write.mode("append").partitionBy("queue", "kb").parquet(dataPath)
         ()
       }
+  }
+
+  /** One-time migration of a pre-kb [[tableSink]] table (queue-only
+    * partitioning, written before the kb layout) into the current
+    * (queue, kb) layout — the rewrite [[tableSink]] refuses to run
+    * without. Run with the stream STOPPED: rewrite to a sibling
+    * directory, then swap. The swap is delete-then-rename — if the
+    * process dies between the two, the rewritten tree survives at
+    * `<tablePath>/data.migrating` and the migration is re-runnable
+    * (it re-reads whichever of the two directories still holds the
+    * data); nothing is lost, exactly like any offline table rewrite. */
+  def migrateTableToKb(spark: SparkSession, tablePath: String): Unit = {
+    val dataPath = tablePath + "/data"
+    val tmpPath = dataPath + ".migrating"
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataP = new org.apache.hadoop.fs.Path(dataPath)
+    val tmpP = new org.apache.hadoop.fs.Path(tmpPath)
+    val srcP = if (fs.exists(dataP)) dataP else tmpP
+    val old = spark.read.parquet(srcP.toString)
+    if (old.columns.contains("kb")) {
+      // already migrated (or a re-run after a crash mid-swap): just
+      // finish the swap if the data sits in the temp directory
+      if (srcP == tmpP) { require(fs.rename(tmpP, dataP), s"rename $tmpP -> $dataP failed") }
+      return
+    }
+    old.withColumn("kb",
+        graft.operators.DedupOps.keyBucket(col("queue"), col("message_id")))
+      .write.mode("overwrite").partitionBy("queue", "kb").parquet(tmpPath)
+    require(fs.delete(dataP, true), s"delete of pre-kb $dataPath failed")
+    require(fs.rename(tmpP, dataP), s"rename $tmpPath -> $dataPath failed")
   }
 
   /** Read back the table written by [[tableSink]]. */
@@ -318,12 +363,13 @@ object Pipelines {
   // a duplicate, and a trigger touching k distinct keys reads at
   // most min(k, keyBuckets)/keyBuckets of the key history.
   //
-  // Migration note: a table written before the kb layout still
-  // CHECKS correctly (the readers degrade to the unpruned key read),
-  // but appends write kb-partitioned directories — resuming a stream
-  // over a pre-kb table needs a one-time rewrite into the new layout
-  // (read old + write partitioned, the compactPartitioned shape)
-  // before mixing the two structures in one directory tree.
+  // Migration note: a table written before the kb layout is REFUSED
+  // (fail-fast in tableSink and prunedKeys) rather than degraded-over:
+  // an unpruned check read would be correct, but the same trigger's
+  // append writes kb-partitioned directories into the unbucketed tree
+  // and the NEXT trigger's read of the mixed-depth structure throws —
+  // a wedged stream with one trigger already committed. The one-time
+  // rewrite is [[migrateTableToKb]] (run with the stream stopped).
 
   /** The ≤ [[graft.operators.DedupOps.keyBuckets]] bucket values
     * present in a batch — a dimension-bounded driver list (the
@@ -362,9 +408,16 @@ object Pipelines {
       spark.range(0).select(keyCols.map(k => col("id").as(k)): _*)
     else {
       val t = spark.read.parquet(path)
-      if (t.columns.contains("kb"))
-        t.filter(col("kb").isin(buckets: _*)).select(keyCols.map(col): _*)
-      else t.select(keyCols.map(col): _*)
+      // the tableSink fail-fast rule: the caller is about to APPEND a
+      // kb-partitioned tree; degrading the read over an unbucketed
+      // table would let that append mix partition depths and wedge
+      // the stream one trigger later
+      if (!t.columns.contains("kb"))
+        throw new IllegalStateException(
+          s"$path holds a pre-kb (unbucketed) sink table; appending would " +
+            "mix partition depths and wedge the stream on its next trigger. " +
+            "Rewrite it into the kb layout once (stream stopped) before resuming.")
+      t.filter(col("kb").isin(buckets: _*)).select(keyCols.map(col): _*)
     }
   }
 

@@ -369,6 +369,51 @@ class StreamingSpec extends AnyFunSuite {
       (0 until 15).map(i => s"row$i").toSet)
   }
 
+  test("pre-kb table layout: sink fails fast before writing; migrateTableToKb unwedges") {
+    val broker = tmpDir("graft-broker")
+    val modern = tmpDir("graft-table-modern")
+    val table = tmpDir("graft-table-prekb")
+    def run(tbl: String, ckpt: String): Unit = {
+      val recs = Pipelines.mapToTextRecord(Pipelines.readQueues(spark, broker, Seq("q1")))
+      val q = Pipelines.tableSink(recs, tbl)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    publishText(broker, "q1", 0 until 6, i => s"row$i")
+    run(modern, tmpDir("graft-ckpt"))
+    // forge the legacy layout: same rows, queue-only partitioning, no kb
+    spark.read.parquet(modern + "/data").drop("kb")
+      .write.partitionBy("queue").parquet(table + "/data")
+
+    // resuming over the legacy tree must fail BEFORE anything lands —
+    // a degraded append here would mix partition depths and wedge the
+    // NEXT trigger with this one already committed
+    publishText(broker, "q1", 6 until 10, i => s"row$i")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(table, tmpDir("graft-ckpt"))
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ rootMessages(t.getCause)
+    assert(rootMessages(e).exists(_.contains("pre-kb")), s"unexpected failure: $e")
+    val untouched = spark.read.parquet(table + "/data")
+    assert(untouched.count() === 6, "failed trigger must not append rows")
+    assert(!untouched.columns.contains("kb"), "failed trigger must not mix layouts")
+
+    // the documented one-time rewrite, stream stopped
+    Pipelines.migrateTableToKb(spark, table)
+    val migrated = spark.read.parquet(table + "/data")
+    assert(migrated.columns.contains("kb") && migrated.count() === 6)
+    // re-running the migration is a no-op, not corruption
+    Pipelines.migrateTableToKb(spark, table)
+
+    // the stream now resumes; full-spool redelivery (fresh checkpoint)
+    // must still be exactly-once against the migrated history
+    run(table, tmpDir("graft-ckpt"))
+    val got = Pipelines.readTable(spark, table)
+    assert(got.count() === 10)
+    assert(got.select("message_id").distinct().count() === 10)
+  }
+
   test("streaming incremental dedup: per-trigger index probe equals the batch probe") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-dedup-table")
