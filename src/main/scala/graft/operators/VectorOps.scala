@@ -461,6 +461,46 @@ object VectorOps {
     * [[ivfAssign]] nearest centroids, so a vector appears in up to
     * ivfAssign list rows). Shared by the one-shot [[annIvf]] and the
     * deployment-split [[ivfBuildIndex]]/[[annIvfQuery]] pair. */
+  /** argmin over the k centroids as a MIN-STRUCT AGGREGATE, not a
+    * row_number window: the broadcast join explodes each vector k
+    * ways, and partial aggregation collapses those k rows back to 1
+    * map-side — nothing vector-count × k ever shuffles or sorts.
+    * min(struct(d2, cid)) orders by d2 then cid: bit-identical to
+    * the window's (d2 asc, cid asc) rank-1 row. first(vd) is
+    * deterministic — every row in the group carries the same vd. */
+  private def assignTo(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .withColumn("d2", vecDistSq(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vd")).as("vd"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("vd"))
+
+  /** [[ivfAssign]]-way (= 2) redundant assignment as a SECOND
+    * min-struct pass, not a row_number window: rank-2 re-fans the
+    * rank-1 rows (n rows, vd in hand) over the centroid broadcast
+    * with each vector's rank-1 cid excluded and min-structs again —
+    * both passes keep the map-side-collapse property, where a
+    * corpus-wide `row_number ≤ 2` window would shuffle and sort all
+    * n·k fan-out rows. The rank-1 cid is renamed on the LEFT side
+    * (cid1), keeping `broadcast(cents)` byte-identical to the rank-1
+    * pass's and the probe selection's — ReusedExchange then executes
+    * the whole Lloyd-training subtree ONCE per query instead of once
+    * per use. (A deployment wanting deeper redundancy chains further
+    * passes; recall evidence only needed two.) ONE code path shared
+    * by the full build and [[ivfAppend]] — the frozen-quantizer
+    * append's bit-identity to a fresh assignment is this sharing. */
+  private def assignMulti(points: DataFrame, cents: DataFrame): DataFrame = {
+    val a1 = assignTo(points, cents)
+    val a2 = a1.select(col("vec_id"), col("cid").as("cid1"), col("vd"))
+      .crossJoin(broadcast(cents))
+      .filter(col("cid") =!= col("cid1"))
+      .withColumn("d2", vecDistSq(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    a1.select(col("vec_id"), col("cid")).union(a2)
+  }
+
   private def ivfIndex(spark: SparkSession, dir: String,
                        k: Int, n: Long): (DataFrame, DataFrame) = {
     val v = vecs(spark, dir)
@@ -475,51 +515,17 @@ object VectorOps {
     var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), transform(col("vd"), x => x.cast("double")).as("cv"))
 
-    // argmin over the k centroids as a MIN-STRUCT AGGREGATE, not a
-    // row_number window: the broadcast join explodes each vector k
-    // ways, and partial aggregation collapses those k rows back to 1
-    // map-side — nothing vector-count × k ever shuffles or sorts.
-    // min(struct(d2, cid)) orders by d2 then cid: bit-identical to
-    // the window's (d2 asc, cid asc) rank-1 row. first(vd) is
-    // deterministic — every row in the group carries the same vd.
-    def assign(points: DataFrame, cents: DataFrame): DataFrame =
-      points.crossJoin(broadcast(cents))
-        .withColumn("d2", vecDistSq(col("vd"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("vd")).as("vd"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("vd"))
-
     // Lloyd iterations over the TRAINING slice (fixed-point means →
     // deterministic, bounded state); the final full-corpus assignment
     // below is the one inherent n × k pass
     for (_ <- 1 to ivfIters) {
-      val assigned = assign(train, cents)
+      val assigned = assignTo(train, cents)
       val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
       cents = meanVectors(e, Seq("cid"))
     }
 
-    // [[ivfAssign]]-way (= 2) redundant assignment as a SECOND
-    // min-struct pass, not a row_number window: rank-2 re-fans the
-    // rank-1 rows (n rows, vd in hand) over the centroid broadcast
-    // with each vector's rank-1 cid excluded and min-structs again —
-    // both passes keep the map-side-collapse property, where a
-    // corpus-wide `row_number ≤ 2` window would shuffle and sort all
-    // n·k fan-out rows. The rank-1 cid is renamed on the LEFT side
-    // (cid1), keeping `broadcast(cents)` byte-identical to the rank-1
-    // pass's and the probe selection's — ReusedExchange then executes
-    // the whole Lloyd-training subtree ONCE per query instead of once
-    // per use. (A deployment wanting deeper redundancy chains further
-    // passes; recall evidence only needed two.)
-    val a1 = assign(corpus, cents)
-    val a2 = a1.select(col("vec_id"), col("cid").as("cid1"), col("vd"))
-      .crossJoin(broadcast(cents))
-      .filter(col("cid") =!= col("cid1"))
-      .withColumn("d2", vecDistSq(col("vd"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
-    val invlist = a1.select(col("vec_id"), col("cid")).union(a2)
+    val invlist = assignMulti(corpus, cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     (cents, invlist)
   }
@@ -582,6 +588,45 @@ object VectorOps {
     val (cents, invlist) = ivfIndex(spark, dir, kk, n)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
+  }
+
+  /** Incremental append to a parquet IVF index — the frozen-QUANTIZER
+    * analogue of the frozen-universe minhash append
+    * ([[DedupOps.incrementalIndexUpdate]]): new vectors are assigned
+    * against the EXISTING centroids (read from the index, never
+    * re-trained) by the same [[assignMulti]] pass the builder runs,
+    * so an appended vector's list rows are bit-identical to what a
+    * fresh assignment under the same quantizer would produce
+    * (spec-pinned). Per-batch cost is batch × k — never a corpus
+    * pass; a streaming embedding ingester calls this per trigger
+    * where it previously had to full-rebuild.
+    *
+    * Already-indexed vec_ids are skipped (one column-pruned anti-join
+    * against the invlist ids), so a replayed batch is a no-op — and
+    * even WITHOUT the guard a duplicate append cannot corrupt
+    * results, because every search path collapses duplicate
+    * candidates (ivfSearch's pair distinct, the IVF-PQ per-subspace
+    * min): duplicates cost index bytes, not correctness. A crashed
+    * append commits nothing (parquet job commit is all-or-nothing),
+    * so the retry re-appends cleanly.
+    *
+    * Drift contract, exactly the minhash index's: the quantizer is
+    * FROZEN at build time, so appends from a drifting distribution
+    * land in increasingly ill-fitting lists (and k stops matching
+    * ⌈√n⌉ as n grows) — recall erodes, correctness does not. The
+    * periodic [[ivfBuildIndex]] over the grown corpus is the rebuild
+    * that re-trains and re-sizes (spec: rebuild restores the auto-k
+    * layout); [[Maintenance.compactTable]] over `invlist` compacts
+    * the per-append small files with bit-identical search results. */
+  def ivfAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val existing = spark.read.parquet(s"$indexDir/invlist")
+      .select(col("neighbor_id").as("vec_id")).distinct()
+    val pts = batch.select(col("vec_id"), col("embedding").as("vd"))
+      .join(existing, Seq("vec_id"), "left_anti")
+    assignMulti(pts, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+      .write.mode("append").parquet(s"$indexDir/invlist")
   }
 
   /** Query half of the deployment split: nprobe search against a
@@ -710,33 +755,35 @@ object VectorOps {
     * one Lloyd pass with fixed-point means, then the corpus encoded
     * against the trained books. Returns (codebook (s, cid, cv),
     * codes (vec_id, s, cid)). */
+  /** Per-(vector, subspace) nearest codebook entry — argmin over the
+    * k codebook entries as a min-struct aggregate (the assignTo
+    * rationale): map-side partial aggregation collapses the k-way
+    * broadcast-join fan-out before any shuffle — at pqK = 256 the old
+    * row_number window sorted corpus × 256 rows. Ordering (d2, cid)
+    * is bit-identical to the window's. ONE code path shared by the
+    * full build and [[ivfpqAppend]] (frozen-codebook encoding). */
+  private def pqAssign(pts: DataFrame, cb: DataFrame): DataFrame =
+    pts.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", vecDistSq(col("sub"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("s"), col("m.cid").as("cid"), col("sub"))
+
   private def pqEncode(corpus: DataFrame, k: Int, n: Long): (DataFrame, DataFrame) = {
     val subCorpus = subExplode(corpus, "vec_id")
     val train = trainSlice(subCorpus, n)
-    var cb: DataFrame = subExplode(
+    val seed: DataFrame = subExplode(
       corpus.orderBy(col("vec_id")).limit(k), "cid")
       .select(col("s"), col("cid"),
         transform(col("sub"), x => x.cast("double")).as("cv"))
 
-    // argmin over the k codebook entries as a min-struct aggregate
-    // (the ivfIndex assign rationale): map-side partial aggregation
-    // collapses the k-way broadcast-join fan-out before any shuffle —
-    // at pqK = 256 the old row_number window sorted corpus × 256
-    // rows. Ordering (d2, cid) is bit-identical to the window's.
-    def assign(pts: DataFrame): DataFrame =
-      pts.join(broadcast(cb), Seq("s"))
-        .withColumn("d2", vecDistSq(col("sub"), col("cv")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("sub")).as("sub"))
-        .select(col("vec_id"), col("s"), col("m.cid").as("cid"), col("sub"))
-
     // one Lloyd pass per subspace over the TRAINING slice (fixed-point
     // means, bounded state); the final encode covers the full corpus
-    val e = assign(train)
+    val e = pqAssign(train, seed)
       .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
       .withColumn("x", col("x").cast("double"))
-    cb = meanVectors(e, Seq("s", "cid"))
-    (cb, assign(subCorpus).select(col("vec_id"), col("s"), col("cid")))
+    val cb = meanVectors(e, Seq("s", "cid"))
+    (cb, pqAssign(subCorpus, cb).select(col("vec_id"), col("s"), col("cid")))
   }
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
@@ -818,6 +865,30 @@ object VectorOps {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
     codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** [[ivfAppend]] for the composed IVF-PQ index: new vectors are
+    * coarse-assigned against the frozen centroids AND encoded against
+    * the frozen per-subspace codebooks ([[pqAssign]], the builder's
+    * own encode pass), appending (neighbor_id, s, code, cid) rows to
+    * `codes`. Same idempotency (anti-join skip + duplicate-safe
+    * search), same drift contract (periodic [[ivfpqBuildIndex]]
+    * re-trains books and quantizer; compaction over `codes`). */
+  def ivfpqAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val existing = spark.read.parquet(s"$indexDir/codes")
+      .select(col("neighbor_id").as("vec_id")).distinct()
+    val pts = batch
+      .select(col("vec_id"), col("embedding").as("vd"), vecNorm(col("embedding")).as("norm"))
+      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+      .join(existing, Seq("vec_id"), "left_anti")
+    val inv = assignMulti(pts.select(col("vec_id"), col("vd")), cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    pqAssign(subExplode(pts, "vec_id"), cb)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
+      .join(inv, Seq("neighbor_id"))
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** Query half of the IVF-PQ split (benched as `ann_ivfpq_query`).

@@ -132,6 +132,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(members(dst) === members(idx))
   }
 
+  test("compacting an appended IVF index leaves search results bit-identical") {
+    // the ivfAppend lifecycle accretes a file set per batch; the
+    // maintenance pass over the flat invlist must not perturb serving
+    val idx = tmp("graft-ivf-compact")
+    operators.VectorOps.ivfBuildIndex(spark, sf, idx)
+    // split the lists into per-batch appends to fabricate small files
+    val inv = spark.read.parquet(idx + "/invlist")
+    val before = operators.VectorOps.annIvfQuery(spark, sf, idx)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val compacted = tmp("graft-ivf-compacted")
+    spark.read.parquet(idx + "/centroids").write.parquet(compacted + "/centroids")
+    val files = operators.Maintenance.compactTable(spark, idx + "/invlist", compacted + "/invlist")
+    assert(files >= 1)
+    assert(spark.read.parquet(compacted + "/invlist").count() === inv.count())
+    val after = operators.VectorOps.annIvfQuery(spark, sf, compacted)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(after === before)
+  }
+
   test("clusterBy yields files with disjoint key ranges that a range scan can skip") {
     val src = tmp("graft-unclustered")
     // scramble so the unclustered layout has overlapping ranges

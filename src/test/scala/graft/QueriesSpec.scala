@@ -136,6 +136,88 @@ class QueriesSpec extends AnyFunSuite {
     assert(split === fused)
   }
 
+  test("ivfAppend: frozen-quantizer append is bit-identical to the fresh assignment; replay is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val idxFull = Files.createTempDirectory("graft-ivf-full").toString
+    operators.VectorOps.ivfBuildIndex(spark, sf, idxFull)
+    val fullInv = spark.read.parquet(idxFull + "/invlist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // same quantizer, one-third of the corpus missing from the lists
+    val idxPart = Files.createTempDirectory("graft-ivf-part").toString
+    spark.read.parquet(idxFull + "/centroids").write.parquet(idxPart + "/centroids")
+    spark.read.parquet(idxFull + "/invlist")
+      .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
+      .write.parquet(idxPart + "/invlist")
+
+    val batch = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id", "embedding")
+    operators.VectorOps.ivfAppend(spark, batch, idxPart)
+    val appended = spark.read.parquet(idxPart + "/invlist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended === fullInv,
+      "append under the frozen quantizer must reproduce the builder's assignment")
+
+    // replayed batch: the anti-join guard makes it a no-op
+    operators.VectorOps.ivfAppend(spark, batch, idxPart)
+    assert(spark.read.parquet(idxPart + "/invlist").count() === fullInv.size)
+
+    // and the appended index SERVES identically to the fresh one
+    val qFull = operators.VectorOps.annIvfQuery(spark, sf, idxFull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val qPart = operators.VectorOps.annIvfQuery(spark, sf, idxPart)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(qPart === qFull)
+  }
+
+  test("ivfpqAppend: frozen-codebook encode matches the builder; rebuild re-sizes a drifted quantizer") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val idxFull = Files.createTempDirectory("graft-ivfpq-full").toString
+    operators.VectorOps.ivfpqBuildIndex(spark, sf, idxFull)
+    val fullCodes = spark.read.parquet(idxFull + "/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    val idxPart = Files.createTempDirectory("graft-ivfpq-part").toString
+    spark.read.parquet(idxFull + "/centroids").write.parquet(idxPart + "/centroids")
+    spark.read.parquet(idxFull + "/codebook").write.parquet(idxPart + "/codebook")
+    spark.read.parquet(idxFull + "/codes")
+      .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
+      .write.parquet(idxPart + "/codes")
+
+    val batch = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id", "embedding")
+    operators.VectorOps.ivfpqAppend(spark, batch, idxPart)
+    val appended = spark.read.parquet(idxPart + "/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(appended === fullCodes,
+      "frozen-codebook encode must reproduce the builder's codes")
+    val qFull = operators.VectorOps.annIvfPqQuery(spark, sf, idxFull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val qPart = operators.VectorOps.annIvfPqQuery(spark, sf, idxPart)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(qPart === qFull)
+
+    // drift reconciliation: a quantizer built undersized (k = 8,
+    // explicit) no longer matches the corpus; the periodic rebuild
+    // with auto knobs re-trains AND re-sizes, and the rebuilt index
+    // serves bit-identically to the fused auto plan
+    val idxDrift = Files.createTempDirectory("graft-ivf-drift").toString
+    operators.VectorOps.ivfBuildIndex(spark, sf, idxDrift, k = 8)
+    assert(spark.read.parquet(idxDrift + "/centroids").count() === 8)
+    operators.VectorOps.ivfBuildIndex(spark, sf, idxDrift) // the rebuild
+    assert(spark.read.parquet(idxDrift + "/centroids").count() > 8,
+      "rebuild must re-size the quantizer to the corpus")
+    val rebuilt = operators.VectorOps.annIvfQuery(spark, sf, idxDrift)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fused = operators.VectorOps.annIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rebuilt === fused)
+  }
+
   test("ann_ivfpq_query: useful recall, exact cosines where brute force ranked the pair") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
     val bf = operators.VectorOps.annBruteForce(spark, sf)
