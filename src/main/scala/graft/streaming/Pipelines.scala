@@ -500,6 +500,39 @@ object Pipelines {
         Seq("doc_id"), "left_anti")
       .drop("kb") // layout detail, not consumer schema
 
+  /** Streaming ANN-index ingestion — the vector twin of
+    * [[incrementalDedupSink]]: every micro-batch of embedding
+    * messages (message_id = vec_id, payload = comma-joined float
+    * text; a deployment swaps its own codec projection, the
+    * [[mapToTextRecord]] seam) appends to a parquet IVF index via
+    * [[graft.operators.VectorOps.ivfAppend]] — frozen-quantizer
+    * assignment, batch × k work per trigger, never a corpus pass or
+    * rebuild. Before this sink a streaming embedding ingester had
+    * incremental DEDUP but had to full-rebuild the vector index per
+    * batch; now both indexes take the same per-trigger append, and
+    * both reconcile drift with their periodic rebuild
+    * ([[graft.operators.VectorOps.ivfBuildIndex]]).
+    *
+    * Exactly-once shape under redelivery and replay: intra-batch
+    * duplicates collapse via dropDuplicates, replayed/redelivered
+    * vec_ids are skipped by ivfAppend's anti-join membership guard,
+    * and even an unguarded duplicate append is RESULT-safe (every
+    * IVF search path collapses duplicate candidates) — the guard
+    * bounds index growth, correctness never depended on it. */
+  def vectorIndexSink(messages: DataFrame, indexDir: String): DataStreamWriter[Row] =
+    messages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", indexDir + "/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val vecs = batch
+          .select(col("message_id").as("vec_id"),
+            split(col("payload").cast("string"), ",")
+              .cast("array<float>").as("embedding"))
+          .dropDuplicates("vec_id")
+        graft.operators.VectorOps.ivfAppend(batch.sparkSession, vecs, indexDir)
+        ()
+      }
+
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
     * documents (message_id = doc_id, payload = UTF-8 text) is first
     * FOLDED INTO the parquet minhash index

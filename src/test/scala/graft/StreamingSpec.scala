@@ -414,6 +414,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("message_id").distinct().count() === 10)
   }
 
+  test("streaming vector-index ingestion: appended lists equal the builder's, replay is a no-op") {
+    val broker = tmpDir("graft-broker")
+    val sf = SparkSpec.sf
+    // fresh full build = the ground truth assignment
+    val idxFull = tmpDir("graft-vecidx-full")
+    operators.VectorOps.ivfBuildIndex(spark, sf, idxFull)
+    val fullInv = spark.read.parquet(idxFull + "/invlist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // same quantizer with a third of the corpus missing — the slice
+    // arrives as embedding messages instead
+    val idxPart = tmpDir("graft-vecidx-part")
+    spark.read.parquet(idxFull + "/centroids").write.parquet(idxPart + "/centroids")
+    spark.read.parquet(idxFull + "/invlist")
+      .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
+      .write.parquet(idxPart + "/invlist")
+    val slice = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // publish twice: redelivered copies must not double-index
+    (1 to 2).foreach { _ =>
+      GraftQueueBroker.publish(broker, "vecs", slice.map { case (id, emb) =>
+        GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L,
+          "t/vecs/0", emb.mkString(","))
+      })
+    }
+    def run(ckpt: String): Unit = {
+      val msgs = Pipelines.readQueues(spark, broker, Seq("vecs"),
+        maxRecordsPerTrigger = Some(40))
+      val q = Pipelines.vectorIndexSink(msgs, idxPart)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+    val appended = spark.read.parquet(idxPart + "/invlist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended === fullInv,
+      "streamed appends must reproduce the builder's assignment under the frozen quantizer")
+    assert(spark.read.parquet(idxPart + "/invlist").count() === fullInv.size,
+      "redelivered copies must not double-index")
+    // full-spool replay from a fresh checkpoint: membership guard holds
+    run(tmpDir("graft-ckpt"))
+    assert(spark.read.parquet(idxPart + "/invlist").count() === fullInv.size)
+    // and the streamed index SERVES identically to the fresh build
+    val qFull = operators.VectorOps.annIvfQuery(spark, sf, idxFull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val qPart = operators.VectorOps.annIvfQuery(spark, sf, idxPart)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(qPart === qFull)
+  }
+
   test("streaming incremental dedup: per-trigger index probe equals the batch probe") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-dedup-table")
