@@ -661,6 +661,10 @@ class QueriesSpec extends AnyFunSuite {
       val key = (r.getLong(0), r.getLong(2))
       bf.get(key).foreach(c => assert(c === r.getDouble(3)))
     }
+    // the same serving floor the IVF family carries (RECALL_sf1: 0.90)
+    val recall = lsh.map(r => (r.getLong(0), r.getLong(2)))
+      .count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.9, s"LSH recall below the serving floor: $recall")
   }
 
   test("doc_repetition metrics are internally consistent") {
