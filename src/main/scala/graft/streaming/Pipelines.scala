@@ -518,8 +518,16 @@ object Pipelines {
     * vec_ids are skipped by ivfAppend's anti-join membership guard,
     * and even an unguarded duplicate append is RESULT-safe (every
     * IVF search path collapses duplicate candidates) — the guard
-    * bounds index growth, correctness never depended on it. */
-  def vectorIndexSink(messages: DataFrame, indexDir: String): DataStreamWriter[Row] =
+    * bounds index growth, correctness never depended on it.
+    *
+    * Like [[incrementalDedupSink]], the sink self-maintains its file
+    * layout: each trigger runs the size-tiered
+    * [[graft.operators.Maintenance.compactTiered]] threshold check
+    * over `invlist` (duplicate-tolerant by the same search-path
+    * argument above), so per-trigger listing cost stays bounded
+    * instead of growing with trigger history. */
+  def vectorIndexSink(messages: DataFrame, indexDir: String,
+                      maintain: Boolean = true): DataStreamWriter[Row] =
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", indexDir + "/_checkpoint")
@@ -530,6 +538,9 @@ object Pipelines {
               .cast("array<float>").as("embedding"))
           .dropDuplicates("vec_id")
         graft.operators.VectorOps.ivfAppend(batch.sparkSession, vecs, indexDir)
+        if (maintain)
+          graft.operators.Maintenance.compactTiered(
+            batch.sparkSession, s"$indexDir/invlist")
         ()
       }
 
@@ -559,9 +570,27 @@ object Pipelines {
     * batch's buckets ([[graft.operators.DedupOps.indexedIds]]), and
     * the pair table is kb-partitioned on (doc_a, doc_b) so its
     * anti-join reads only the buckets the batch's pairs hash into —
-    * neither read grows with stream history. */
+    * neither read grows with stream history.
+    *
+    * Self-maintaining file layout (`maintain = true`, the default):
+    * row-level work per trigger is batch-bounded by the pruned checks
+    * above, but each trigger also APPENDS a handful of parquet files
+    * to `bands`/`sets`/`ids`, and every later trigger's probe re-LISTS
+    * and re-opens them — an O(triggers) per-file cost that showed up
+    * as a 1.7× climbing tail over 455 triggers at sf1 (SINKBENCH).
+    * Each trigger therefore runs the size-tiered
+    * [[graft.operators.Maintenance.compactTiered]] threshold check
+    * over the index stores (driver-side listing, merge only when a
+    * store crosses its threshold — amortized O(rows appended), never
+    * a corpus rewrite), which is safe exactly because every reader of
+    * these stores tolerates the compactor's crash-window duplicates.
+    * The pair table itself is NOT auto-compacted: duplicate pair rows
+    * would surface to consumers, so its maintenance stays the offline
+    * [[graft.operators.Maintenance.compactPartitioned]] (stream
+    * stopped), and it accretes only ~1 file per trigger. */
   def incrementalDedupSink(messages: DataFrame, indexDir: String,
-                           tablePath: String): DataStreamWriter[Row] = {
+                           tablePath: String,
+                           maintain: Boolean = true): DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
     messages.writeStream
       .outputMode("append")
@@ -595,6 +624,11 @@ object Pipelines {
             prunedKeys(spark, dataPath, Seq("doc_a", "doc_b"), bucketsOf(pairs)),
             Seq("doc_a", "doc_b"), "left_anti")
           .write.mode("append").partitionBy("kb").parquet(dataPath)
+        if (maintain) {
+          graft.operators.Maintenance.compactTiered(spark, s"$indexDir/bands")
+          graft.operators.Maintenance.compactTiered(spark, s"$indexDir/sets")
+          graft.operators.Maintenance.compactTieredPartitioned(spark, s"$indexDir/ids")
+        }
         ()
       }
   }

@@ -96,6 +96,78 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("compactTiered merges the smallest tier in place, rows intact") {
+    val dir = tmp("graft-tiered")
+    // per-trigger append pattern: many small files, a couple larger ones
+    (0 until 18).foreach { i =>
+      spark.range(i * 10, i * 10 + (if (i % 6 == 0) 200 else 5))
+        .select(col("id")).coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = parquetFiles(dir)
+    assert(before.length >= 18)
+    def ids() = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    val rows = ids()
+
+    // a crashed previous call's temp dir must be invisible to readers
+    // and swept by the next call
+    val orphan = new java.io.File(dir, "_compact_tmp-orphan")
+    assert(orphan.mkdir())
+    assert(ids() === rows, "underscore temp dir must be hidden from the reader")
+
+    val merged = operators.Maintenance.compactTiered(spark, dir, maxFiles = 8)
+    assert(merged === before.length - 4 + 1, "merge down to maxFiles/2")
+    assert(parquetFiles(dir).length === 4)
+    assert(!orphan.exists(), "compactor must sweep crashed temp dirs")
+    assert(ids() === rows, "in-place merge must not change a row")
+
+    // under threshold → no-op
+    assert(operators.Maintenance.compactTiered(spark, dir, maxFiles = 8) === 0)
+    assert(ids() === rows)
+
+    // size-tiered discipline: after MORE small appends, the next merge
+    // folds the new deltas but leaves the largest survivor untouched —
+    // rows are not rewritten O(n) times
+    val biggest = parquetFiles(dir).maxBy(_.length).getName
+    (0 until 8).foreach { i =>
+      spark.range(1000 + i, 1001 + i).coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(operators.Maintenance.compactTiered(spark, dir, maxFiles = 8) > 0)
+    assert(parquetFiles(dir).exists(_.getName === biggest),
+      "largest file must graduate out of the merge tier")
+    assert(ids() === (rows ++ (1000L until 1008L)).sorted)
+  }
+
+  test("in-place tiered compaction of the live index keeps probes bit-identical") {
+    val idx = tmp("graft-mhidx-tiered")
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx,
+      docFilter = pmod(col("doc_id"), lit(5)) =!= 0)
+    val rest = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id", "text")
+    (0 until 4).foreach { i =>
+      operators.DedupOps.incrementalIndexUpdate(spark,
+        rest.filter(pmod(col("doc_id"), lit(4)) === i), idx)
+    }
+    val probeDocs = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+    def pairs() = operators.DedupOps.probeIndex(spark, probeDocs, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    def files(t: String) = parquetFiles(s"$idx/$t").length
+    val (b0, s0) = (files("bands"), files("sets"))
+    assert(operators.Maintenance.compactTiered(spark, s"$idx/bands", 4) > 0)
+    assert(operators.Maintenance.compactTiered(spark, s"$idx/sets", 4) > 0)
+    operators.Maintenance.compactTieredPartitioned(spark, s"$idx/ids", 2)
+    assert(files("bands") < b0 && files("sets") < s0)
+    assert(pairs() === before,
+      "in-place tiered compaction must not change a single probe result")
+    val buckets = (0 until operators.DedupOps.keyBuckets).toSeq
+    val members = operators.DedupOps.indexedIds(spark, idx, buckets)
+      .collect().map(_.getLong(0)).toSet
+    assert(members === (Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("compacting the minhash index leaves probe results bit-identical") {
     import org.apache.spark.sql.functions.col
     val idx = tmp("graft-mhidx-compact")
