@@ -62,6 +62,8 @@ object BinRecord {
 }
 
 case class DecodeBinRecord(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.requireBinary("decode_bin_record", child.dataType)
   override def dataType: DataType = BinRecord.schema
 
   override def nullSafeEval(input: Any): Any =

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,6 +50,13 @@ object TopicMatch {
   */
 case class TopicMatches(left: Expression, right: Expression)
     extends BinaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireString("topic_matches", left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        TypeChecks.requireString("topic_matches", right.dataType)
+      case fail => fail
+    }
 
   override def nullSafeEval(sub: Any, topic: Any): Any =
     TopicMatch.matches(sub.asInstanceOf[UTF8String], topic.asInstanceOf[UTF8String])

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 
 /** Shared analysis-time input checks for the SQL-registered kernels —
   * a wrong-typed argument must fail analysis, not throw a
@@ -17,5 +17,11 @@ object TypeChecks {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(s"$fn requires string, got ${other.catalogString}")
+  }
+
+  def requireBinary(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$fn requires binary, got ${other.catalogString}")
   }
 }

@@ -551,6 +551,12 @@ class QueriesSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       d.select(graft.functions.TextKernels.repetitionKeep(col("doc_id"), 0.1, 0.3)).collect()
     }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(graft.functions.BinRecordColumns.decodeRecord(col("text"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(graft.functions.TopicMatches.topicMatches(col("doc_id"), col("text"))).collect()
+    }
   }
 
   test("training_pipeline output satisfies every component predicate") {
