@@ -588,7 +588,47 @@ object VectorOps {
     val (cents, invlist) = ivfIndex(spark, dir, kk, n)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
+    writeIvfIds(spark, indexDir)
   }
+
+  /** (Re)derive a vector index's `ids` membership store from its list
+    * table (`invlist`, or `codes` for IVF-PQ): distinct vec_ids,
+    * Hive-partitioned by the shared [[DedupOps.keyBucket]] hash so
+    * the appends' already-indexed check reads only the incoming
+    * batch's buckets — the same bounded membership layout the minhash
+    * index carries. One column-pruned pass over the list table; also
+    * the one-time MIGRATION for indexes written before the ids store
+    * existed. */
+  private def writeIvfIds(spark: SparkSession, indexDir: String,
+                          listTable: String = "invlist"): Unit =
+    spark.read.parquet(s"$indexDir/$listTable")
+      .select(col("neighbor_id").as("vec_id")).distinct()
+      .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
+
+  /** The append guard: batch rows whose vec_id is NOT yet in the
+    * index, with the membership read PRUNED to the batch's key-hash
+    * buckets — per-trigger check work is bounded by the batch's
+    * bucket span (≤ [[DedupOps.keyBuckets]] dirs), never an O(index)
+    * scan. Returns (vec_id, vd, kb) survivors, localCheckpointed
+    * because both the list write AND the ids write consume them. */
+  private def notIndexed(keyed: DataFrame, indexDir: String,
+                         listTable: String): DataFrame = {
+    val spark = keyed.sparkSession
+    if (!new java.io.File(s"$indexDir/ids/_SUCCESS").exists())
+      writeIvfIds(spark, indexDir, listTable)
+    val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(s"$indexDir/ids")
+      .filter(col("kb").isin(buckets: _*)).select("vec_id")
+    keyed.join(existing, Seq("vec_id"), "left_anti").localCheckpoint(true)
+  }
+
+  /** Membership rows commit AFTER list rows in both appends: the
+    * cross-write crash window re-appends (duplicate list rows, which
+    * every search path collapses) rather than skips (silent loss). */
+  private def appendIds(pts: DataFrame, indexDir: String): Unit =
+    pts.select(col("vec_id"), col("kb"))
+      .write.mode("append").partitionBy("kb").parquet(s"$indexDir/ids")
 
   /** Incremental append to a parquet IVF index — the frozen-QUANTIZER
     * analogue of the frozen-universe minhash append
@@ -601,14 +641,21 @@ object VectorOps {
     * pass; a streaming embedding ingester calls this per trigger
     * where it previously had to full-rebuild.
     *
-    * Already-indexed vec_ids are skipped (one column-pruned anti-join
-    * against the invlist ids), so a replayed batch is a no-op — and
-    * even WITHOUT the guard a duplicate append cannot corrupt
-    * results, because every search path collapses duplicate
-    * candidates (ivfSearch's pair distinct, the IVF-PQ per-subspace
-    * min): duplicates cost index bytes, not correctness. A crashed
-    * append commits nothing (parquet job commit is all-or-nothing),
-    * so the retry re-appends cleanly.
+    * Already-indexed vec_ids are skipped via the index's `ids`
+    * membership store — [[DedupOps.keyBucket]]-partitioned, read
+    * PRUNED to the incoming batch's key-hash buckets, so the check
+    * is bounded by the batch's bucket span (≤ keyBuckets dirs), not
+    * by index history (the minhash index's
+    * [[DedupOps.indexedIds]] layout; pre-ids indexes migrate once on
+    * first append). A replayed batch is therefore a no-op — and even
+    * WITHOUT the guard a duplicate append cannot corrupt results,
+    * because every search path collapses duplicate candidates
+    * (ivfSearch's pair distinct, the IVF-PQ per-subspace min):
+    * duplicates cost index bytes, not correctness. A crashed append
+    * commits nothing (parquet job commit is all-or-nothing), so the
+    * retry re-appends cleanly; ids commit AFTER list rows, so the
+    * cross-write crash window re-appends (duplicates) rather than
+    * skips (loss).
     *
     * Drift contract, exactly the minhash index's: the quantizer is
     * FROZEN at build time, so appends from a drifting distribution
@@ -620,13 +667,14 @@ object VectorOps {
     * the per-append small files with bit-identical search results. */
   def ivfAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val existing = spark.read.parquet(s"$indexDir/invlist")
-      .select(col("neighbor_id").as("vec_id")).distinct()
-    val pts = batch.select(col("vec_id"), col("embedding").as("vd"))
-      .join(existing, Seq("vec_id"), "left_anti")
-    assignMulti(pts, cents)
+    val pts = notIndexed(
+      batch.select(col("vec_id"), col("embedding").as("vd"))
+        .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
+      indexDir, "invlist")
+    assignMulti(pts.select(col("vec_id"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
       .write.mode("append").parquet(s"$indexDir/invlist")
+    appendIds(pts, indexDir)
   }
 
   /** Query half of the deployment split: nprobe search against a
@@ -865,6 +913,7 @@ object VectorOps {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
     codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    writeIvfIds(spark, indexDir, "codes")
   }
 
   /** [[ivfAppend]] for the composed IVF-PQ index: new vectors are
@@ -877,18 +926,19 @@ object VectorOps {
   def ivfpqAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
-    val existing = spark.read.parquet(s"$indexDir/codes")
-      .select(col("neighbor_id").as("vec_id")).distinct()
-    val pts = batch
-      .select(col("vec_id"), col("embedding").as("vd"), vecNorm(col("embedding")).as("norm"))
-      .withColumn("vn", transform(col("vd"), x => x / col("norm")))
-      .join(existing, Seq("vec_id"), "left_anti")
+    val pts = notIndexed(
+      batch
+        .select(col("vec_id"), col("embedding").as("vd"), vecNorm(col("embedding")).as("norm"))
+        .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+        .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
+      indexDir, "codes")
     val inv = assignMulti(pts.select(col("vec_id"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     pqAssign(subExplode(pts, "vec_id"), cb)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
       .join(inv, Seq("neighbor_id"))
       .write.mode("append").parquet(s"$indexDir/codes")
+    appendIds(pts, indexDir)
   }
 
   /** Query half of the IVF-PQ split (benched as `ann_ivfpq_query`).

@@ -538,9 +538,12 @@ object Pipelines {
               .cast("array<float>").as("embedding"))
           .dropDuplicates("vec_id")
         graft.operators.VectorOps.ivfAppend(batch.sparkSession, vecs, indexDir)
-        if (maintain)
+        if (maintain) {
           graft.operators.Maintenance.compactTiered(
             batch.sparkSession, s"$indexDir/invlist")
+          graft.operators.Maintenance.compactTieredPartitioned(
+            batch.sparkSession, s"$indexDir/ids")
+        }
         ()
       }
 

@@ -164,6 +164,14 @@ class QueriesSpec extends AnyFunSuite {
     operators.VectorOps.ivfAppend(spark, batch, idxPart)
     assert(spark.read.parquet(idxPart + "/invlist").count() === fullInv.size)
 
+    // the ids membership store (migrated on first append — idxPart was
+    // written without one) must track invlist membership exactly, and
+    // carry each vec_id once despite the replay
+    val ids = spark.read.parquet(idxPart + "/ids")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.toSet === fullInv.map(_._1))
+    assert(ids.length === ids.toSet.size, "replay must not duplicate ids rows")
+
     // and the appended index SERVES identically to the fresh one
     val qFull = operators.VectorOps.annIvfQuery(spark, sf, idxFull)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
