@@ -2,26 +2,37 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming-sink cost curve — the measurement seat for the sinks'
   * bounded idempotency contract (the SkewBench idiom: make the design
-  * claim a number). Streams the ~10% incoming-batch document slice
-  * through [[graft.streaming.Pipelines.incrementalDedupSink]] in many
-  * small triggers and records per-trigger wall times from the engine's
-  * progress events. Every trigger grows the pair table and the index,
-  * so an O(history) per-trigger key check would show a climbing tail;
-  * the kb-bucket-pruned checks keep per-trigger work bounded by batch
-  * size — the pass condition is a flat (or JIT-declining) tail:
-  * last-10-trigger mean ≤ ~first-10 mean.
+  * claim a number). Streams an incoming-batch slice through a stateful
+  * sink in many small triggers and records per-trigger wall times from
+  * the engine's progress events. Every trigger grows the sink's index
+  * state, so an O(history) per-trigger key check (or an unbounded
+  * per-trigger file accretion — the compactor's job) would show a
+  * climbing tail; the pass condition is a flat (or JIT-declining)
+  * tail: last-10-trigger mean ≤ ~first-10 mean.
   *
-  * `sbt "runMain graft.SinkBench [sfDir] [outFile] [triggers]"` →
-  * one JSON line (stdout + artifact), the Bench convention.
+  * Two modes, one per stateful sink:
+  *  - `dedup` — the ~10% document slice through
+  *    [[graft.streaming.Pipelines.incrementalDedupSink]] (minhash
+  *    index + kb-partitioned pair table);
+  *  - `vector` — a third of the embedding corpus through
+  *    [[graft.streaming.Pipelines.vectorIndexSink]] against a
+  *    frozen-quantizer IVF index of the other two thirds (the
+  *    StreamingSpec carve-out setup, so the first trigger also pays
+  *    the one-time ids migration — visible, not hidden).
+  *
+  * `sbt "runMain graft.SinkBench [sfDir] [outFile] [triggers] [mode]"`
+  * → one JSON line (stdout + artifact), the Bench convention.
   */
 object SinkBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outFile = args.lift(1).getOrElse("sink-bench.json")
     val triggers = args.lift(2).map(_.toInt).getOrElse(40)
+    val mode = args.lift(3).getOrElse("dedup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,28 +51,65 @@ object SinkBench {
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
 
-    // index over the corpus minus the streamed slice (the spec setup)
-    val idx = tmp("graft-sinkbench-idx")
-    operators.DedupOps.incrementalIndexBuild(spark, sfDir, idx,
-      docFilter = pmod(col("doc_id"), lit(10)) =!= 7)
-    val slice = Tables(spark, sfDir, "documents")
-      .filter(pmod(col("doc_id"), lit(10)) === 7)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+    def stream(broker: String, queue: String, slice: Int,
+               sink: org.apache.spark.sql.DataFrame =>
+                 org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+        : (StreamingQuery, Long) = {
+      val per = math.max(1L, slice.toLong / triggers)
+      val msgs = streaming.Pipelines.readQueues(
+        spark, broker, Seq(queue), maxRecordsPerTrigger = Some(per))
+      val q = sink(msgs)
+        .option("checkpointLocation", tmp("graft-sinkbench-ckpt")).start()
+      try q.processAllAvailable() finally q.stop()
+      (q, per)
+    }
 
-    val broker = tmp("graft-sinkbench-broker")
-    sources.GraftQueueBroker.publish(broker, "docs", slice.map { case (id, text) =>
-      sources.GraftQueueBroker.textMsg(
-        id, 1700000000000000L + id * 1000L, "t/docs/0", text)
-    })
+    val (q, per) = mode match {
+      case "dedup" =>
+        // index over the corpus minus the streamed slice (the spec setup)
+        val idx = tmp("graft-sinkbench-idx")
+        operators.DedupOps.incrementalIndexBuild(spark, sfDir, idx,
+          docFilter = pmod(col("doc_id"), lit(10)) =!= 7)
+        val slice = Tables(spark, sfDir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 7)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val broker = tmp("graft-sinkbench-broker")
+        sources.GraftQueueBroker.publish(broker, "docs", slice.map { case (id, text) =>
+          sources.GraftQueueBroker.textMsg(
+            id, 1700000000000000L + id * 1000L, "t/docs/0", text)
+        })
+        val table = tmp("graft-sinkbench-table")
+        stream(broker, "docs", slice.length,
+          streaming.Pipelines.incrementalDedupSink(_, idx, table))
 
-    val table = tmp("graft-sinkbench-table")
-    val per = math.max(1L, slice.length.toLong / triggers)
-    val msgs = streaming.Pipelines.readQueues(
-      spark, broker, Seq("docs"), maxRecordsPerTrigger = Some(per))
-    val q = streaming.Pipelines.incrementalDedupSink(msgs, idx, table)
-      .option("checkpointLocation", tmp("graft-sinkbench-ckpt")).start()
-    try q.processAllAvailable() finally q.stop()
+      case "vector" =>
+        // frozen quantizer over the full corpus, lists carved down to
+        // two thirds; the missing third arrives as embedding messages
+        val idxFull = tmp("graft-sinkbench-vecfull")
+        operators.VectorOps.ivfBuildIndex(spark, sfDir, idxFull)
+        val idx = tmp("graft-sinkbench-vecidx")
+        spark.read.parquet(idxFull + "/centroids")
+          .write.parquet(idx + "/centroids")
+        spark.read.parquet(idxFull + "/invlist")
+          .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
+          .write.parquet(idx + "/invlist")
+        val slice = Tables(spark, sfDir, "embeddings")
+          .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+            pmod(col("vec_id"), lit(3)) === 0)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val broker = tmp("graft-sinkbench-broker")
+        sources.GraftQueueBroker.publish(broker, "vecs", slice.map { case (id, emb) =>
+          sources.GraftQueueBroker.textMsg(
+            id, 1700000000000000L + id * 1000L, "t/vecs/0", emb.mkString(","))
+        })
+        stream(broker, "vecs", slice.length,
+          streaming.Pipelines.vectorIndexSink(_, idx))
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode '$other' (dedup | vector)")
+    }
 
     val durs = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
@@ -79,7 +127,7 @@ object SinkBench {
     def f(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val line =
-      s"""{"metric":"sink_trigger_ms","sf":"$sfDir","triggers":${durs.size},""" +
+      s"""{"metric":"sink_trigger_ms","sink":"$mode","sf":"$sfDir","triggers":${durs.size},""" +
         s""""rows_per_trigger":$per,"first10_mean":${f(first)},""" +
         s""""last10_mean":${f(last)},"ratio":${f(last / first)},""" +
         s""""per_trigger":[${durs.map(_._2).mkString(",")}]}"""
