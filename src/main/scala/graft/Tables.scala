@@ -8,13 +8,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that projection/filter pushdown applies to the raw parquet scan
   * (no caching layer in between — Catalyst sees the file source).
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's
-  * parquet reader rejects; we read it with
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert to a
-  * microsecond timestamp (`timestamp_micros(ns div 1000)`), which is
-  * exactly what DuckDB produces when it reads the same file (its
-  * TIMESTAMP is µs, ns are truncated) — so oracle comparisons on
-  * event timestamps are bit-equal.
+  * `events.parquet`'s `ts` column has shipped in two physical layouts
+  * across testdata generations, both normalized here to a session-tz
+  * µs TIMESTAMP so every operator (and the DuckDB oracle, whose
+  * TIMESTAMP is naive µs read under the same UTC session) sees
+  * identical values:
+  *  - INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects —
+  *    read with `spark.sql.legacy.parquet.nanosAsLong` and converted
+  *    via `timestamp_micros(ns div 1000)` (DuckDB truncates ns → µs
+  *    the same way);
+  *  - native TIMESTAMP(MICROS) without UTC adjustment, which Spark
+  *    reads as TIMESTAMP_NTZ — cast to TIMESTAMP (UTC session: same
+  *    wall clock, same instant).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -57,8 +62,16 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
