@@ -588,7 +588,7 @@ object DedupOps {
         graft.Tables.dirKey(dir) + "-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/documents.parquet")))
-    if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
+    if (!VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"))
       incrementalIndexBuild(spark, dir, idx)
 
     val batchDocs = Tables(spark, dir, "documents")

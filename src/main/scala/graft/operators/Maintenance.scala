@@ -101,7 +101,13 @@ object Maintenance {
     * holds more than `maxFiles` parquet files, the smallest
     * `n - maxFiles/2 + 1` are read once and rewritten as ONE file
     * (count drops to maxFiles/2 — the hysteresis keeps merges
-    * infrequent). Smallest-first is the size-tiered discipline: fresh
+    * infrequent; a single call's merge set is additionally capped at
+    * `maxMergeFiles` — the first compaction of a long-accreted store,
+    * or one run with maintenance previously off, would otherwise
+    * rewrite nearly every file single-threaded inside one streaming
+    * trigger, so the cap bounds each invocation's stall and repeated
+    * per-trigger calls converge to the threshold within a few
+    * triggers). Smallest-first is the size-tiered discipline: fresh
     * per-trigger deltas merge into a growing run, the run graduates
     * out of the "smallest" set as it grows, so each row is rewritten
     * O(log) times over the store's life — never a full rewrite, cost
@@ -116,10 +122,25 @@ object Maintenance {
     * append already leaves, and the reason this op composes only with
     * duplicate-tolerant stores (the minhash index's probe dedups by
     * doc_id, candidate pairs are distinct, `ids` feeds anti-joins;
-    * the IVF search paths collapse duplicate candidates). Returns the
-    * number of files merged away (0 = under threshold, no-op). */
-  def compactTiered(spark: SparkSession, dir: String, maxFiles: Int = 128): Int = {
+    * the IVF search paths collapse duplicate candidates).
+    *
+    * CONCURRENT-READER contract: the rename-then-delete window means a
+    * reader in ANOTHER process that listed files before a merge can
+    * hit FileNotFoundException when the sources are deleted mid-scan.
+    * In-process readers are safe (each Spark action re-lists), but a
+    * separate serving process (e.g. [[VectorOps.annIvfQuery]] against
+    * an index dir a streaming sink compacts per trigger) must not
+    * share a store with in-place compaction — gate the sink's
+    * `maintain` flag off for served indexes and compact them offline
+    * (or serve a [[compactTable]]-rewritten copy), exactly as any
+    * LSM store separates serving snapshots from compaction.
+    *
+    * Returns the number of files merged away (0 = under threshold,
+    * no-op). */
+  def compactTiered(spark: SparkSession, dir: String, maxFiles: Int = 128,
+                    maxMergeFiles: Int = 512): Int = {
     require(maxFiles >= 2, s"maxFiles must be >= 2, got $maxFiles")
+    require(maxMergeFiles >= 2, s"maxMergeFiles must be >= 2, got $maxMergeFiles")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
@@ -133,7 +154,7 @@ object Maintenance {
     if (files.length <= maxFiles) return 0
     val merge = files
       .sortBy(s => (s.getLen, s.getPath.getName))
-      .take(files.length - maxFiles / 2 + 1)
+      .take(math.min(files.length - maxFiles / 2 + 1, maxMergeFiles))
     val tmp = new org.apache.hadoop.fs.Path(root,
       "_compact_tmp-" + java.util.UUID.randomUUID().toString)
     spark.read.parquet(merge.map(_.getPath.toString).toIndexedSeq: _*)
@@ -159,7 +180,8 @@ object Maintenance {
     * under threshold cost one driver listing each (the same listing
     * every scan of the tree performs). Returns total files merged. */
   def compactTieredPartitioned(spark: SparkSession, dir: String,
-                               maxFilesPerLeaf: Int = 16): Int = {
+                               maxFilesPerLeaf: Int = 16,
+                               maxMergeFiles: Int = 512): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
@@ -168,7 +190,9 @@ object Maintenance {
         .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       if (parts.isEmpty) Seq(d) else parts.toSeq.flatMap(p => leafDirs(p.getPath))
     }
-    leafDirs(root).map(l => compactTiered(spark, l.toString, maxFilesPerLeaf)).sum
+    leafDirs(root)
+      .map(l => compactTiered(spark, l.toString, maxFilesPerLeaf, maxMergeFiles))
+      .sum
   }
 
   /** Range-clustered rewrite: `repartitionByRange` on the cluster key

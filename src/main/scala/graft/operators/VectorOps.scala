@@ -606,6 +606,16 @@ object VectorOps {
       .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
 
+  /** Existence probe through the Hadoop FileSystem API (matching
+    * [[Maintenance.compactTiered]] / the sinks' migration probes) so
+    * index dirs on a non-local filesystem resolve correctly — a
+    * java.io.File probe always misses there, silently re-deriving the
+    * membership store (or worse, rebuilding the index) every call. */
+  private[graft] def hExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The append guard: batch rows whose vec_id is NOT yet in the
     * index, with the membership read PRUNED to the batch's key-hash
     * buckets — per-trigger check work is bounded by the batch's
@@ -615,7 +625,7 @@ object VectorOps {
   private def notIndexed(keyed: DataFrame, indexDir: String,
                          listTable: String): DataFrame = {
     val spark = keyed.sparkSession
-    if (!new java.io.File(s"$indexDir/ids/_SUCCESS").exists())
+    if (!hExists(spark, s"$indexDir/ids/_SUCCESS"))
       writeIvfIds(spark, indexDir, listTable)
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
     val existing = spark.read.parquet(s"$indexDir/ids")
@@ -710,7 +720,7 @@ object VectorOps {
         graft.Tables.dirKey(dir) + s"-k$kk-a$ivfAssign-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
-    if (!new java.io.File(s"$idx/invlist/_SUCCESS").exists())
+    if (!hExists(spark, s"$idx/invlist/_SUCCESS"))
       ivfBuildIndex(spark, dir, idx, kk)
     ivfSearch(spark, dir,
       spark.read.parquet(s"$idx/centroids"),
@@ -974,7 +984,7 @@ object VectorOps {
         graft.Tables.dirKey(dir) + s"-k$kk-a$ivfAssign-pq$pqk-" +
         java.lang.Long.toHexString(
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
-    if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
+    if (!hExists(spark, s"$idx/codes/_SUCCESS"))
       ivfpqBuildIndex(spark, dir, idx, kk)
     val cents = spark.read.parquet(s"$idx/centroids")
     val cb = spark.read.parquet(s"$idx/codebook")

@@ -520,24 +520,46 @@ object Pipelines {
     * IVF search path collapses duplicate candidates) — the guard
     * bounds index growth, correctness never depended on it.
     *
+    * Malformed payloads are REJECTED, not indexed: the text→float
+    * decode is a TRY_CAST (under default ANSI mode a plain cast
+    * would THROW on the first corrupt token and wedge the stream on
+    * that trigger forever), and rows whose decoded embedding is
+    * null, contains a null element, or has the wrong width (vs the
+    * index's centroid dim) are filtered before
+    * [[graft.operators.VectorOps.ivfAppend]] — otherwise a corrupt
+    * message would be indexed under null-poisoned distances.
+    * Dropping (rather than failing the trigger) mirrors the queue
+    * source's permissive parse mode.
+    *
     * Like [[incrementalDedupSink]], the sink self-maintains its file
     * layout: each trigger runs the size-tiered
     * [[graft.operators.Maintenance.compactTiered]] threshold check
     * over `invlist` (duplicate-tolerant by the same search-path
     * argument above), so per-trigger listing cost stays bounded
-    * instead of growing with trigger history. */
+    * instead of growing with trigger history. Set `maintain = false`
+    * when a SEPARATE process serves this index dir: in-place
+    * compaction's rename-then-delete window can race an external
+    * reader's file listing (see [[graft.operators.Maintenance
+    * .compactTiered]]'s concurrent-reader contract) — compact served
+    * indexes offline instead. */
   def vectorIndexSink(messages: DataFrame, indexDir: String,
                       maintain: Boolean = true): DataStreamWriter[Row] =
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", indexDir + "/_checkpoint")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dim = spark.read.parquet(s"$indexDir/centroids")
+          .select(size(col("cv"))).head.getInt(0)
         val vecs = batch
           .select(col("message_id").as("vec_id"),
-            split(col("payload").cast("string"), ",")
-              .cast("array<float>").as("embedding"))
+            expr("try_cast(split(cast(payload AS string), ',') AS array<float>)")
+              .as("embedding"))
+          .filter(col("embedding").isNotNull &&
+            size(col("embedding")) === dim &&
+            !exists(col("embedding"), e => e.isNull))
           .dropDuplicates("vec_id")
-        graft.operators.VectorOps.ivfAppend(batch.sparkSession, vecs, indexDir)
+        graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
         if (maintain) {
           graft.operators.Maintenance.compactTiered(
             batch.sparkSession, s"$indexDir/invlist")

@@ -442,6 +442,15 @@ class StreamingSpec extends AnyFunSuite {
           "t/vecs/0", emb.mkString(","))
       })
     }
+    // corrupt messages interleaved with the real slice: an unparseable
+    // token (cast → null element) and a wrong-width vector — the
+    // sink's codec guard must drop both without wedging the stream
+    // (the appended ≡ fullInv assertion below proves neither indexed)
+    GraftQueueBroker.publish(broker, "vecs", Seq(
+      GraftQueueBroker.textMsg(900000001L, 1700000000000000L, "t/vecs/0",
+        "1.0,not-a-float,3.0"),
+      GraftQueueBroker.textMsg(900000002L, 1700000000000000L, "t/vecs/0",
+        "0.25,0.75")))
     def run(ckpt: String): Unit = {
       val msgs = Pipelines.readQueues(spark, broker, Seq("vecs"),
         maxRecordsPerTrigger = Some(40))
