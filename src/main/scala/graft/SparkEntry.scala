@@ -44,6 +44,10 @@ object SparkEntry {
     "q_setops"     -> Relational4.qSetOps _,
     "q_pivot"      -> Relational4.qPivot _,
     "q_cube"       -> Relational4.qCube _,
+    "q2_argmin"    -> Relational5.q2Argmin _,
+    "q9_profit"    -> Relational5.q9Profit _,
+    "q11_share"    -> Relational5.q11Share _,
+    "q20_excess"   -> Relational5.q20Excess _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -179,6 +183,10 @@ object SparkEntry {
     "q_setops"     -> Relational4.qSetOpsSql,
     "q_pivot"      -> Relational4.qPivotSql,
     "q_cube"       -> Relational4.qCubeSql,
+    "q2_argmin"    -> Relational5.q2ArgminSql,
+    "q9_profit"    -> Relational5.q9ProfitSql,
+    "q11_share"    -> Relational5.q11ShareSql,
+    "q20_excess"   -> Relational5.q20ExcessSql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
     "session_window" -> EventOps.sessionSql,

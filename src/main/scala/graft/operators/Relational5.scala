@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Fifth relational tranche — the four TPC-H shapes whose canonical
+  * forms read `partsupp` (Q2, Q9, Q11, Q20), re-expressed over the
+  * testdata's lineitem link between part and supplier. The SHAPES are
+  * what matter (each is a distinct plan family the suite didn't have):
+  *
+  *  - q2_argmin:   per-group MIN + join-back on the min value
+  *                 (argmin-with-payload, TPC-H Q2's correlated min)
+  *  - q9_profit:   substring-filtered part ⋈ fact ⋈ supplier ⋈ nation
+  *                 ⋈ orders, profit by (nation, year) (Q9)
+  *  - q11_share:   group-total vs GLOBAL-total scalar threshold
+  *                 (Q11's HAVING against a scalar subquery)
+  *  - q20_excess:  two-level aggregate comparison — per (supp, part)
+  *                 sum vs per-part total, share-threshold semi-join
+  *                 back to the supplier dimension (Q20's shipped-half)
+  *
+  * Money stays in exact decimal through every sum ([[Exact]] helpers),
+  * one final round/cast — the cross-engine determinism contract.
+  */
+object Relational5 {
+
+  private def rev(p: org.apache.spark.sql.Column,
+                  d: org.apache.spark.sql.Column) =
+    d4(p, 12) * (lit(1) - d4(d, 6))
+
+  /** Q2's argmin shape: for each STANDARD large part, the EUROPE-region
+    * supplier that shipped it with the LOWEST account balance — min
+    * per part over the region's shippers, joined back on (part, min)
+    * to recover the supplier payload. Ties on the min balance keep
+    * every tying supplier (exactly TPC-H Q2's semantics — its output
+    * just sorts them); both engines emit the identical tie set. The
+    * shipped-link dedup (DISTINCT part↔supp pairs) keeps the argmin
+    * input one row per edge, not one per lineitem. */
+  def q2Argmin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val nation = Tables(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") >= 40)
+      .select("p_partkey", "p_name")
+    // distinct shipped edges part↔supplier, restricted to the region
+    val edges = Tables(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .distinct()
+    // the min side re-aggregates the same `edges` frame — rename its
+    // key so the self-join's columns resolve unambiguously
+    val minBal = edges.groupBy(col("p_partkey").as("mb_partkey"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    edges.join(minBal,
+        col("p_partkey") === col("mb_partkey") &&
+          col("s_acctbal") === col("min_bal"))
+      .select(col("p_partkey"), col("p_name"),
+        col("s_suppkey"), col("s_name"), col("n_name"),
+        col("s_acctbal").as("acctbal"))
+  }
+
+  val q2ArgminSql: String =
+    """WITH edges AS (
+      | SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+      |        s.s_acctbal, n.n_name
+      | FROM lineitem l
+      | JOIN part p ON l.l_partkey = p.p_partkey
+      | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      | JOIN nation n ON s.s_nationkey = n.n_nationkey
+      | JOIN region r ON n.n_regionkey = r.r_regionkey
+      | WHERE p.p_type = 'STANDARD' AND p.p_size >= 40
+      |   AND r.r_name = 'EUROPE'),
+      |mb AS (
+      | SELECT p_partkey, min(s_acctbal) AS min_bal
+      | FROM edges GROUP BY p_partkey)
+      |SELECT e.p_partkey, e.p_name, e.s_suppkey, e.s_name, e.n_name,
+      |       e.s_acctbal AS acctbal
+      |FROM edges e JOIN mb ON e.p_partkey = mb.p_partkey
+      |             AND e.s_acctbal = mb.min_bal""".stripMargin
+
+  /** Q9's profit rollup: revenue of parts whose NAME carries a
+    * substring, by supplier nation × order year. The part filter
+    * prunes the fact scan through a broadcast join; the only wide
+    * shuffle is the final (nation, year) aggregate. (TPC-H Q9 nets
+    * out supplycost; without partsupp the profit term is the
+    * discounted revenue — the plan family is identical.) */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_name").contains("bolt")).select("p_partkey")
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum2(rev(col("l_extendedprice"), col("l_discount"))).as("profit"))
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n.n_name AS nation,
+      |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))
+      |                      * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2)
+      |            AS DOUBLE) AS profit
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE p.p_name LIKE '%bolt%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q11's group-vs-global threshold: parts whose total discounted
+    * revenue exceeds a FRACTION of the whole fact table's — the
+    * per-part aggregate compared against a 1-row global scalar
+    * (broadcast back onto the groups; planned once, never a driver
+    * collect). The comparison runs in exact decimal on both sides —
+    * no double rounding can flip a borderline part between engines.
+    * Fraction 1/2000 ≈ the mean part share, so the filter keeps a
+    * meaningful minority of parts at every SF. */
+  def q11Share(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(rev(col("l_extendedprice"), col("l_discount"))).as("val_d"))
+    val total = perPart.agg(sum(col("val_d")).as("tot_d"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("val_d") * lit(2000) > col("tot_d"))
+      .select(col("l_partkey"),
+        round(col("val_d"), 2).cast("double").as("part_value"))
+  }
+
+  val q11ShareSql: String =
+    """WITH pp AS (
+      | SELECT l_partkey,
+      |        sum(CAST(l_extendedprice AS DECIMAL(12,4))
+      |            * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS val_d
+      | FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey,
+      |       CAST(round(val_d, 2) AS DOUBLE) AS part_value
+      |FROM pp
+      |WHERE val_d * 2000 > (SELECT sum(val_d) FROM pp)""".stripMargin
+
+  /** Q20's two-level aggregate comparison: suppliers who shipped a
+    * DOMINANT share (>1/8 — ~12× the mean with ~100 shippers per
+    * part, selective-but-nonempty at every SF) of some small part's
+    * total shipped quantity — per (supplier, part) quantity sums
+    * compared against the per-part totals they partition (an
+    * integer-exact share test: qty is decimal,
+    * 8·supp_qty > part_qty has no rounding boundary), then a
+    * DISTINCT supplier semi-set joined back to the dimension for the
+    * payload. Both aggregation levels reuse ONE scan through a single
+    * (part, supp) shuffle — the per-part total re-aggregates the
+    * finer level rather than rescanning the fact. */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_size") <= 3).select("p_partkey")
+    val bySupp = Tables(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(d4(col("l_quantity"))).as("supp_qty"))
+    val byPart = bySupp.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val dominant = bySupp.join(byPart, Seq("l_partkey"))
+      .filter(col("supp_qty") * lit(8) > col("part_qty"))
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(dominant, Seq("s_suppkey"), "left_semi")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+  }
+
+  val q20ExcessSql: String =
+    """WITH bs AS (
+      | SELECT l.l_partkey, l.l_suppkey,
+      |        sum(CAST(l.l_quantity AS DECIMAL(14,4))) AS supp_qty
+      | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      | WHERE p.p_size <= 3
+      | GROUP BY 1, 2),
+      |bp AS (
+      | SELECT l_partkey, sum(supp_qty) AS part_qty FROM bs GROUP BY 1),
+      |dom AS (
+      | SELECT DISTINCT bs.l_suppkey
+      | FROM bs JOIN bp ON bs.l_partkey = bp.l_partkey
+      | WHERE bs.supp_qty * 8 > bp.part_qty)
+      |SELECT s.s_suppkey, s.s_name, n.n_name
+      |FROM supplier s
+      |JOIN dom ON s.s_suppkey = dom.l_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin
+}
