@@ -48,6 +48,7 @@ object SparkEntry {
     "q9_profit"    -> Relational5.q9Profit _,
     "q11_share"    -> Relational5.q11Share _,
     "q20_excess"   -> Relational5.q20Excess _,
+    "q_table_stats" -> Relational5.qTableStats _,
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
@@ -187,6 +188,7 @@ object SparkEntry {
     "q9_profit"    -> Relational5.q9ProfitSql,
     "q11_share"    -> Relational5.q11ShareSql,
     "q20_excess"   -> Relational5.q20ExcessSql,
+    "q_table_stats" -> Relational5.qTableStatsSql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
     "session_window" -> EventOps.sessionSql,

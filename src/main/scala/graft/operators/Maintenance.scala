@@ -210,4 +210,48 @@ object Maintenance {
       .repartitionByRange(files, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(dstDir)
+
+  /** Z-ORDER clustered rewrite — the multi-column complement to
+    * [[clusterBy]]: linear clustering makes the SECOND predicate
+    * column useless (every file spans its full range), while
+    * interleaving the two keys' bits puts rows close in BOTH
+    * dimensions into the same files, so parquet min/max footers prune
+    * range scans on either column (the Delta/Iceberg OPTIMIZE ZORDER
+    * layout, here as a plain parquet rewrite).
+    *
+    * Each key is first scaled to a 16-bit bucket via its corpus
+    * min/max — computed as a 1-row bounds aggregate broadcast back
+    * onto the scan (in-plan, never a driver collect) — then the two
+    * bucket numbers interleave bit-by-bit into a 32-bit z-value the
+    * rewrite range-partitions and sorts on. Scaling by rank instead
+    * of min/max would resist skew better but costs a full sort per
+    * key; min/max matches what the footer-stats pruning consumes.
+    * The z column is dropped before the write — the layout, not the
+    * schema, carries the clustering. */
+  def zOrderBy(spark: SparkSession, srcDir: String, dstDir: String,
+               keyA: String, keyB: String, files: Int): Unit = {
+    val df = spark.read.parquet(srcDir)
+    val bounds = df.agg(
+      min(col(keyA)).cast("double").as("za_min"),
+      max(col(keyA)).cast("double").as("za_max"),
+      min(col(keyB)).cast("double").as("zb_min"),
+      max(col(keyB)).cast("double").as("zb_max"))
+    def bucket(key: String, mn: String, mx: String) =
+      least(lit(65535L),
+        floor((col(key).cast("double") - col(mn)) /
+          greatest(col(mx) - col(mn), lit(java.lang.Double.MIN_NORMAL)) *
+          lit(65536.0)).cast("bigint"))
+    val za = bucket(keyA, "za_min", "za_max")
+    val zb = bucket(keyB, "zb_min", "zb_max")
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "za_min", "za_max", "zb_min", "zb_max")
+      .write.mode("overwrite").parquet(dstDir)
+  }
 }

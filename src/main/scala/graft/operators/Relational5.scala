@@ -20,6 +20,8 @@ import Exact._
   *                 sum vs per-part total, share-threshold semi-join
   *                 back to the supplier dimension (Q20's shipped-half)
   *
+  * Plus q_table_stats, the ANALYZE-style one-pass column profiler.
+  *
   * Money stays in exact decimal through every sum ([[Exact]] helpers),
   * one final round/cast — the cross-engine determinism contract.
   */
@@ -182,6 +184,46 @@ object Relational5 {
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "n_name")
   }
+
+  /** ANALYZE-style one-pass column statistics — the observability op
+    * a 100 TB table layout decision starts from (join-key NDVs size
+    * broadcast vs shuffle, min/max spans size range clustering, null
+    * fractions catch schema drift). ONE scan computes min/max/exact
+    * NDV/null-count for every profiled column (the multi-distinct
+    * plans as a single Expand pass — rows × columns, map-side
+    * partial), then a stack() projection pivots the 1-row aggregate
+    * into one row per column. Exact NDV, not approx: the stats gate
+    * cross-engine, and the approx twin is already covered by
+    * q_approx_distinct. */
+  private val statsCols =
+    Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+
+  def qTableStats(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = statsCols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        count_distinct(col(c)).as(s"${c}_ndv"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"))
+    }
+    Tables(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${statsCols.length}, " +
+          statsCols.map(c => s"'$c', ${c}_min, ${c}_max, ${c}_ndv, ${c}_nulls")
+            .mkString(", ") +
+          ") as (col_name, col_min, col_max, ndv, n_nulls)")
+  }
+
+  val qTableStatsSql: String =
+    statsCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         | CAST(min($c) AS DOUBLE) AS col_min,
+         | CAST(max($c) AS DOUBLE) AS col_max,
+         | count(DISTINCT $c) AS ndv,
+         | count(*) - count($c) AS n_nulls
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   val q20ExcessSql: String =
     """WITH bs AS (

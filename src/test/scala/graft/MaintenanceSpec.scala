@@ -253,4 +253,44 @@ class MaintenanceSpec extends AnyFunSuite {
     // rows preserved
     assert(spark.read.parquet(dst).count() === spark.read.parquet(src).count())
   }
+
+  test("zOrderBy prunes range scans on BOTH keys where linear clustering serves one") {
+    val src = tmp("graft-z-src")
+    Tables(spark, sf, "events").orderBy(hash(col("event_id")))
+      .coalesce(16).write.mode("overwrite").parquet(src)
+
+    val linear = tmp("graft-z-linear")
+    operators.Maintenance.clusterBy(spark, src, linear, "event_id", 16)
+    val zed = tmp("graft-z-zed")
+    operators.Maintenance.zOrderBy(spark, src, zed, "event_id", "user_id", 16)
+
+    // fraction of files whose footer [min,max] overlaps a narrow
+    // range predicate on `key` — what parquet data skipping reads
+    def overlapFrac(dir: String, key: String, lo: Long, hi: Long): Double = {
+      val files = parquetFiles(dir)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(key)), max(col(key))).collect().head
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+      hit.toDouble / files.length
+    }
+    val Array(evLo, evHi, usLo, usHi) = Tables(spark, sf, "events")
+      .agg(min(col("event_id")), max(col("event_id")),
+        min(col("user_id")), max(col("user_id"))).collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    def narrow(lo: Long, hi: Long) = (lo, lo + (hi - lo) / 8)
+    val (e1, e2) = narrow(evLo, evHi)
+    val (u1, u2) = narrow(usLo, usHi)
+
+    // linear layout: perfect on its own key, useless on the other
+    assert(overlapFrac(linear, "event_id", e1, e2) <= 0.25)
+    assert(overlapFrac(linear, "user_id", u1, u2) >= 0.9,
+      "every linear file spans ~the whole second-key range")
+    // z-order: real pruning on BOTH keys
+    assert(overlapFrac(zed, "event_id", e1, e2) <= 0.6)
+    assert(overlapFrac(zed, "user_id", u1, u2) <= 0.6)
+    // rows preserved
+    assert(spark.read.parquet(zed).count() === spark.read.parquet(src).count())
+  }
 }
