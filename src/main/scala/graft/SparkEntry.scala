@@ -137,6 +137,7 @@ object SparkEntry {
     "dedup_simhash"       -> DedupOps.simhash _,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
+    "dedup_cluster_best"  -> DedupOps.dupClusterBest _,
     "source_overlap"      -> DedupOps.sourceOverlap _,
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
@@ -234,6 +235,7 @@ object SparkEntry {
     "dedup_spans"         -> DedupOps.dedupSpansSql,
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     "dedup_clusters"      -> DedupOps.dupClustersSql,
+    "dedup_cluster_best"  -> DedupOps.dupClusterBestSql,
     "source_overlap"      -> DedupOps.sourceOverlapSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,

@@ -422,6 +422,59 @@ object DedupOps {
        | (id = cluster_id) AS keep
        |FROM lbl JOIN sz USING (cluster_id)""".stripMargin
 
+  /** Representative SELECTION POLICY over the duplicate clusters:
+    * keep the best-QUALITY member, not the lowest id. [[dupClusters]]
+    * tags `keep` = min-label representative — the right default when
+    * members are interchangeable, the wrong one when a cluster holds
+    * a clean original and a mangled near-copy and the policy keeps
+    * whichever id sorted first. This joins the cluster membership
+    * with the [[TextOps.textQuality]] score and re-tags `keep` as
+    * the quality-argmax (ties → min doc_id, via one max-struct
+    * aggregate — map-side partial, no per-cluster sort), the
+    * "keep best, not first" dedup mode a curation pipeline actually
+    * wants. Cluster members always survive the quality join: every
+    * near-dup pair implies ≥3 tokens per member, and quality is
+    * defined for any tokenized doc. */
+  def dupClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = dupClusters(spark, dir)
+      .select("doc_id", "cluster_id", "cluster_size")
+    val quality = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val mem = members.join(quality, Seq("doc_id"))
+    val best = mem.groupBy(col("cluster_id").as("bc"))
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("bc"), (-col("m.nid")).as("best_doc"))
+    mem.join(best, col("cluster_id") === col("bc"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), (col("doc_id") === col("best_doc")).as("keep"))
+  }
+
+  val dupClusterBestSql: String =
+    s"""WITH RECURSIVE j AS ($jaccardSql),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM j
+       | UNION SELECT doc_b, doc_a FROM j),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       | SELECT id, id FROM nodes
+       | UNION
+       | SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id),
+       |${TextOps.qualityCtes},
+       |mem AS (
+       | SELECT l.id AS doc_id, l.cluster_id, sz.cluster_size, q.quality
+       | FROM lbl l JOIN sz USING (cluster_id) JOIN quality q ON q.doc_id = l.id),
+       |best AS (
+       | SELECT cluster_id, doc_id AS best_doc
+       | FROM (SELECT cluster_id, doc_id,
+       |        row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY quality DESC, doc_id ASC) AS rk
+       |       FROM mem) WHERE rk = 1)
+       |SELECT m.doc_id, m.cluster_id, m.cluster_size, m.quality,
+       | (m.doc_id = b.best_doc) AS keep
+       |FROM mem m JOIN best b USING (cluster_id)""".stripMargin
+
   /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via 8×8-bit band
     * join (pigeonhole: ≤7 differing bits leave ≥1 of 8 bands equal,
     * so recall at the ≤6 threshold is exact). Hashes 3-gram shingles,

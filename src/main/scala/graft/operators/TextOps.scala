@@ -148,6 +148,32 @@ object TextOps {
        |FROM s""".stripMargin
   }
 
+  /** (doc_id, quality) as an embeddable CTE chain (terminal CTE name
+    * `quality`) — the score other oracles compose (dedup_cluster_best).
+    * Expressions are verbatim [[textQualitySql]]'s, so the composed
+    * oracle cannot drift from the hash-gated standalone one. */
+  private[graft] val qualityCtes: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""qt AS (
+       | SELECT doc_id, length(text) AS n_chars,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |qm AS (
+       | SELECT doc_id, n_chars, len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+       | FROM qt WHERE len(toks) > 0),
+       |qs AS (
+       | SELECT doc_id,
+       |  CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+       |  (CAST(n_chars AS DOUBLE)-tok_chars)/n_chars AS space_ratio
+       | FROM qm),
+       |quality AS (
+       | SELECT doc_id,
+       |  CAST(1.0 AS DOUBLE) - stop_ratio*0.5 - space_ratio*0.2 AS quality
+       | FROM qs)""".stripMargin
+  }
+
   /** Language-ID by marker-token voting (n-gram-heuristic shape:
     * count hits per language-specific marker set, argmax with a fixed
     * priority order on ties). */

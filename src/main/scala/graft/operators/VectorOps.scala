@@ -589,6 +589,12 @@ object VectorOps {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
     writeIvfIds(spark, indexDir)
+    // drift baseline for ivfDriftReport — read the materialized
+    // centroids back so the stats pass can't see a re-planned Lloyd
+    writeIvfDistStats(spark,
+      vecs(spark, dir).filter(col("vec_id") >= nQueries)
+        .select(col("vec_id"), col("vd")),
+      spark.read.parquet(s"$indexDir/centroids"), indexDir)
   }
 
   /** (Re)derive a vector index's `ids` membership store from its list
@@ -639,6 +645,98 @@ object VectorOps {
   private def appendIds(pts: DataFrame, indexDir: String): Unit =
     pts.select(col("vec_id"), col("kb"))
       .write.mode("append").partitionBy("kb").parquet(s"$indexDir/ids")
+
+  /** Rank-1 assignment KEEPING the min distance — the drift metric's
+    * raw signal ([[assignTo]] drops d2; the search paths never need
+    * it). Same min-struct map-side-collapse shape. */
+  private def assignD2(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .withColumn("d2", vecDistSq(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  /** Build-time assignment-distance baseline (`diststats`, 1 row:
+    * build population + p95 of rank-1 distances) — what
+    * [[ivfDriftReport]] compares arrivals against. percentile_approx
+    * at accuracy 10⁴: the baseline is a monitoring threshold, not a
+    * result surface, and the sketch is deterministic for fixed input
+    * and parameters. */
+  private def writeIvfDistStats(spark: SparkSession, points: DataFrame,
+                                cents: DataFrame, indexDir: String): Unit =
+    assignD2(points, cents)
+      .agg(count(lit(1)).as("n_build"),
+        percentile_approx(col("d2"), lit(0.95), lit(10000)).as("p95_d2"))
+      .write.mode("overwrite").parquet(s"$indexDir/diststats")
+
+  /** WHEN to rebuild — the scheduling half of the frozen-quantizer
+    * drift contract. [[ivfAppend]]'s scaladoc says appends from a
+    * drifting distribution erode recall and the periodic
+    * [[ivfBuildIndex]] reconciles; this op is the trigger that tells
+    * an operator the drift has actually happened, closing the
+    * lifecycle loop (append → measure → rebuild) the minhash index
+    * closes with [[DedupOps.rebuildIndex]].
+    *
+    * Two independent signals, one report row:
+    *  - DISTRIBUTION drift: the incoming batch is rank-1-assigned
+    *    against the frozen centroids (batch × k work, the append's
+    *    own cost shape) and `frac_beyond_p95` is the fraction landing
+    *    beyond the build population's 95th-percentile distance. Same
+    *    distribution → ≈0.05; a shifted distribution pushes it
+    *    toward 1. `drifted` flags frac > `driftFrac` (default 0.10 =
+    *    2× the build-time tail).
+    *  - SIZE drift: `k_auto` re-derives the ⌈√n⌉ sizing rule from
+    *    the CURRENT membership + batch; when it reaches 2× `k_built`
+    *    the index is serving at half its intended list resolution
+    *    and the report flags regardless of distances.
+    *
+    * Indexes built before `diststats` existed derive a baseline once
+    * from their current membership (corpus ∩ ids — necessarily
+    * including any already-appended drift, so the legacy baseline is
+    * conservative; the next full rebuild writes the clean one).
+    * The two driver-side counts (centroids, ids) are dimension-sized
+    * reads, the [[corpusN]] pattern. */
+  def ivfDriftReport(spark: SparkSession, dir: String, indexDir: String,
+                     batch: DataFrame, driftFrac: Double = 0.10): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    if (!hExists(spark, s"$indexDir/diststats/_SUCCESS")) {
+      val ids = spark.read.parquet(s"$indexDir/ids").select("vec_id")
+      val pts = vecs(spark, dir).filter(col("vec_id") >= nQueries)
+        .select(col("vec_id"), col("vd"))
+        .join(ids, Seq("vec_id"), "left_semi")
+      writeIvfDistStats(spark, pts, cents, indexDir)
+    }
+    val stats = spark.read.parquet(s"$indexDir/diststats")
+    // k_built is the SERVING list count (what the index actually has —
+    // Lloyd can land under the sizing-rule k when clusters empty);
+    // the size rule compares it against ⌈√n⌉ of the post-append
+    // membership, counting only genuinely NEW batch ids (a replayed
+    // batch must not inflate n) via the same bucket-pruned anti-join
+    // the append guard uses.
+    val kBuilt = cents.count()
+    val nIndexed = spark.read.parquet(s"$indexDir/ids").count()
+    val keyed = batch.select(col("vec_id"))
+      .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
+    val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(s"$indexDir/ids")
+      .filter(col("kb").isin(buckets: _*)).select("vec_id")
+    val nNew = keyed.join(existing, Seq("vec_id"), "left_anti").count()
+    // drift measures the WHOLE batch (a redelivered vector scoring
+    // in-envelope is correct — redelivery is not drift)
+    assignD2(batch.select(col("vec_id"), col("embedding").as("vd")), cents)
+      .crossJoin(broadcast(stats))
+      .agg(count(lit(1)).as("n_batch"),
+        avg(when(col("d2") > col("p95_d2"), 1.0).otherwise(0.0))
+          .as("frac_beyond_p95"),
+        first(col("p95_d2")).as("p95_d2"))
+      .withColumn("k_built", lit(kBuilt.toInt))
+      .withColumn("k_auto",
+        greatest(lit(ivfK),
+          ceil(sqrt(lit(nIndexed + nNew))).cast("int")))
+      .withColumn("drifted",
+        col("frac_beyond_p95") > lit(driftFrac) ||
+          col("k_auto") >= col("k_built") * 2)
+  }
 
   /** Incremental append to a parquet IVF index — the frozen-QUANTIZER
     * analogue of the frozen-universe minhash append

@@ -180,6 +180,54 @@ class QueriesSpec extends AnyFunSuite {
     assert(qPart === qFull)
   }
 
+  test("ivfDriftReport: in-distribution arrivals pass; shifted ones flag the rebuild; legacy baseline derives") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, transform}
+    val idx = Files.createTempDirectory("graft-ivf-drift").toString
+    operators.VectorOps.ivfBuildIndex(spark, sf, idx)
+    val batch = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(7)) === 0)
+      .select("vec_id", "embedding")
+
+    // a same-distribution slice lands inside the build-time envelope:
+    // ~5% beyond the p95 by construction, nowhere near the 10% flag
+    val ok = operators.VectorOps.ivfDriftReport(spark, sf, idx, batch)
+      .collect().head
+    assert(!ok.getAs[Boolean]("drifted"))
+    assert(ok.getAs[Double]("frac_beyond_p95") <= 0.10)
+    assert(ok.getAs[Int]("k_auto") < ok.getAs[Int]("k_built") * 2,
+      "a replayed in-distribution batch must not inflate the size rule")
+
+    // an UNDERSIZED index (explicit small k) flags on the size rule
+    // alone — the batch's distances are in-envelope for its coarse
+    // baseline, but k_auto has outgrown 2× the built list count
+    val small = Files.createTempDirectory("graft-ivf-small").toString
+    operators.VectorOps.ivfBuildIndex(spark, sf, small, k = 4)
+    val sizeDrift = operators.VectorOps.ivfDriftReport(spark, sf, small, batch)
+      .collect().head
+    assert(sizeDrift.getAs[Boolean]("drifted"))
+    assert(sizeDrift.getAs[Int]("k_auto") >= sizeDrift.getAs[Int]("k_built") * 2)
+
+    // the same vectors through an affine shift: assignment distances
+    // blow past the baseline and the report demands a rebuild
+    val shifted = batch.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(5.0f) + lit(3.0f)))
+    val bad = operators.VectorOps.ivfDriftReport(spark, sf, idx, shifted)
+      .collect().head
+    assert(bad.getAs[Boolean]("drifted"))
+    assert(bad.getAs[Double]("frac_beyond_p95") > 0.5)
+
+    // an index built before diststats existed derives a baseline once
+    // from its current membership and reports identically
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(idx + "/diststats"))
+    val rederived = operators.VectorOps.ivfDriftReport(spark, sf, idx, batch)
+      .collect().head
+    assert(!rederived.getAs[Boolean]("drifted"))
+  }
+
   test("ivfpqAppend: frozen-codebook encode matches the builder; rebuild re-sizes a drifted quantizer") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val idxFull = Files.createTempDirectory("graft-ivfpq-full").toString
@@ -635,6 +683,26 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(r.getLong(1) - p).toDouble / p <= 0.1, s"parts err too big")
       assert(math.abs(r.getLong(2) - o).toDouble / o <= 0.1, s"orders err too big")
     }
+  }
+
+  test("dedup_cluster_best: one keeper per cluster, and it is the quality argmax") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.DedupOps.dupClusterBest(spark, sf)
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality"), r.getAs[Boolean]("keep")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length === 1, s"cluster $cid must keep exactly one member")
+      val best = members.minBy { case (_, id, q, _) => (-q, id) }
+      assert(keepers.head._2 === best._2,
+        s"cluster $cid keeper must be the quality argmax (ties -> min id)")
+    }
+    // membership and sizes agree with the min-label clustering
+    val base = operators.DedupOps.dupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._2, t._1)).toSet === base)
   }
 
   test("dedup_embedding_lsh: subset of exact pairs, bitwise cosines, useful recall") {

@@ -26,7 +26,12 @@ def main(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         tbl = ds.dataset(f"{src}/{t}.parquet", format="parquet").to_table()
-        if t == "events":
+        if t == "events" and pa.types.is_int64(tbl.schema.field("ts").type):
+            # legacy ScaleData output only: the nanosAsLong read of the
+            # old int64-nanos testdata dropped the TIMESTAMP(NANOS)
+            # annotation — restore it. The current testdata ships native
+            # TIMESTAMP(MICROS) which passes through unchanged (both
+            # engines read it directly).
             i = tbl.schema.get_field_index("ts")
             tbl = tbl.set_column(i, pa.field("ts", pa.timestamp("ns")),
                                  tbl.column("ts").cast(pa.timestamp("ns")))
