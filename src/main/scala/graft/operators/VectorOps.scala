@@ -612,6 +612,12 @@ object VectorOps {
       .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
 
+  /** Whether an index carries the [[ivfDriftReport]] baseline —
+    * the streaming sink's drift log probes this to skip (not wedge)
+    * on a pre-diststats index. */
+  private[graft] def hasDistStats(spark: SparkSession, indexDir: String): Boolean =
+    hExists(spark, s"$indexDir/diststats/_SUCCESS")
+
   /** Existence probe through the Hadoop FileSystem API (matching
     * [[Maintenance.compactTiered]] / the sinks' migration probes) so
     * index dirs on a non-local filesystem resolve correctly — a
@@ -700,6 +706,10 @@ object VectorOps {
                      batch: DataFrame, driftFrac: Double = 0.10): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     if (!hExists(spark, s"$indexDir/diststats/_SUCCESS")) {
+      require(dir.nonEmpty,
+        s"$indexDir has no diststats baseline and no corpus dir was " +
+          "given to derive one — rebuild via ivfBuildIndex, or call " +
+          "with the corpus dir once to migrate")
       val ids = spark.read.parquet(s"$indexDir/ids").select("vec_id")
       val pts = vecs(spark, dir).filter(col("vec_id") >= nQueries)
         .select(col("vec_id"), col("vd"))
@@ -1022,6 +1032,13 @@ object VectorOps {
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
     codes.write.mode("overwrite").parquet(s"$indexDir/codes")
     writeIvfIds(spark, indexDir, "codes")
+    // drift baseline: the coarse quantizer is the drift surface the
+    // report measures (codebook drift follows it), so the IVF-PQ
+    // index carries the same diststats an IVF index does
+    writeIvfDistStats(spark,
+      vecs(spark, dir).filter(col("vec_id") >= nQueries)
+        .select(col("vec_id"), col("vd")),
+      spark.read.parquet(s"$indexDir/centroids"), indexDir)
   }
 
   /** [[ivfAppend]] for the composed IVF-PQ index: new vectors are

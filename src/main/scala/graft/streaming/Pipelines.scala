@@ -541,13 +541,24 @@ object Pipelines {
     * compaction's rename-then-delete window can race an external
     * reader's file listing (see [[graft.operators.Maintenance
     * .compactTiered]]'s concurrent-reader contract) — compact served
-    * indexes offline instead. */
+    * indexes offline instead.
+    *
+    * `driftEvery = N` (0 = off) additionally runs
+    * [[graft.operators.VectorOps.ivfDriftReport]] over every N-th
+    * trigger's decoded batch and APPENDS the report row (tagged with
+    * the batch id) to `<indexDir>/driftlog` — the monitoring feed
+    * that schedules the periodic rebuild; an ingestion stream whose
+    * arrivals have drifted off the frozen quantizer erodes recall
+    * silently otherwise. Indexes without the diststats baseline
+    * (built before it existed) skip the log rather than wedging the
+    * trigger — rebuild to start monitoring. */
   def vectorIndexSink(messages: DataFrame, indexDir: String,
-                      maintain: Boolean = true): DataStreamWriter[Row] =
+                      maintain: Boolean = true,
+                      driftEvery: Int = 0): DataStreamWriter[Row] =
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", indexDir + "/_checkpoint")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val dim = spark.read.parquet(s"$indexDir/centroids")
           .select(size(col("cv"))).head.getInt(0)
@@ -559,6 +570,12 @@ object Pipelines {
             size(col("embedding")) === dim &&
             !exists(col("embedding"), e => e.isNull))
           .dropDuplicates("vec_id")
+          .localCheckpoint(true) // consumed by append AND drift report
+        if (driftEvery > 0 && batchId % driftEvery == 0 && !vecs.isEmpty &&
+            graft.operators.VectorOps.hasDistStats(spark, indexDir))
+          graft.operators.VectorOps.ivfDriftReport(spark, "", indexDir, vecs)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$indexDir/driftlog")
         graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
         if (maintain) {
           graft.operators.Maintenance.compactTiered(

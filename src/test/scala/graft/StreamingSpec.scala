@@ -476,6 +476,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(qPart === qFull)
   }
 
+  test("vector-index sink drift log: clean arrivals record clean reports, shifted ones flag") {
+    val broker = tmpDir("graft-broker")
+    val sf = SparkSpec.sf
+    val idx = tmpDir("graft-vecidx-drift")
+    operators.VectorOps.ivfBuildIndex(spark, sf, idx)
+
+    val slice = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(5)) === 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // clean publish, then an affine-shifted publish under fresh ids
+    GraftQueueBroker.publish(broker, "vecs", slice.map { case (id, emb) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L,
+        "t/vecs/0", emb.mkString(","))
+    })
+    GraftQueueBroker.publish(broker, "vecs", slice.map { case (id, emb) =>
+      GraftQueueBroker.textMsg(10000000L + id, 1700000000000000L + id * 1000000L,
+        "t/vecs/0", emb.map(x => x * 5.0f + 3.0f).mkString(","))
+    })
+
+    val msgs = Pipelines.readQueues(spark, broker, Seq("vecs"),
+      maxRecordsPerTrigger = Some(slice.length))
+    val q = Pipelines.vectorIndexSink(msgs, idx, driftEvery = 1)
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val log = spark.read.parquet(idx + "/driftlog").collect()
+    assert(log.length >= 2, "every trigger must log a report at driftEvery=1")
+    val clean = log.filter(!_.getAs[Boolean]("drifted"))
+    val flagged = log.filter(_.getAs[Boolean]("drifted"))
+    assert(clean.nonEmpty, "the in-distribution trigger must pass")
+    assert(flagged.nonEmpty, "the shifted trigger must flag a rebuild")
+    assert(flagged.forall(_.getAs[Double]("frac_beyond_p95") > 0.5))
+  }
+
   test("streaming incremental dedup: per-trigger index probe equals the batch probe") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-dedup-table")
