@@ -82,6 +82,7 @@ object SparkEntry {
     "windowed_wordcount" -> TextOps.windowedWordCount _,
     "dedup_exact"        -> TextOps.dedupExact _,
     "token_count"        -> TextOps.tokenCount _,
+    "doc_pack_sequences" -> TextOps.docPackSequences _,
     "text_quality"       -> TextOps.textQuality _,
     "lang_id"            -> TextOps.langId _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
@@ -214,6 +215,7 @@ object SparkEntry {
     "windowed_wordcount" -> TextOps.windowedWordCountSql,
     "dedup_exact"        -> TextOps.dedupExactSql,
     "token_count"        -> TextOps.tokenCountSql,
+    "doc_pack_sequences" -> TextOps.docPackSequencesSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,

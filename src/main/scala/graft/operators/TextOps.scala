@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Texts._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the training-data
@@ -103,6 +104,48 @@ object TextOps {
       | len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
       | length(text) AS n_chars_seen
       |FROM documents""".stripMargin
+
+  /** Sequence-PACKING assignment — the pretraining concatenation
+    * layout: documents within a stratum are laid end-to-end in
+    * doc_id order and every [[packSeqLen]]-token window of the
+    * concatenation becomes one training sequence, so each doc gets
+    * (start_off, seq_id, off_in_seq) — the sequence its first token
+    * lands in and where (docs straddle boundaries exactly as packed
+    * pretraining batches do; a tokenizer-side writer consumes these
+    * offsets verbatim). Pure window arithmetic: one cumulative sum
+    * per stratum ordered by doc_id — deterministic (doc_id is
+    * unique), integer-exact (`div`/`%`, no doubles), one shuffle.
+    * Strata pack independently and in parallel; within a stratum the
+    * running sum is the one inherently sequential piece — the same
+    * per-partition window class as q_cumulative, range-partitioned
+    * by the window key at scale. */
+  val packSeqLen = 256
+
+  def docPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_off div $packSeqLen"))
+      .withColumn("off_in_seq", col("start_off") % packSeqLen)
+  }
+
+  val docPackSequencesSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, source,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |       AS BIGINT) AS n_tokens
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, source, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+       |       - n_tokens AS BIGINT) AS start_off
+       | FROM t)
+       |SELECT doc_id, source, n_tokens, start_off,
+       | start_off // $packSeqLen AS seq_id,
+       | start_off % $packSeqLen AS off_in_seq
+       |FROM c""".stripMargin
 
   private val stopwords = Seq("the", "a", "of", "and", "data", "value")
 

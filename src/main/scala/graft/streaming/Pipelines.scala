@@ -562,7 +562,7 @@ object Pipelines {
         val spark = batch.sparkSession
         val dim = spark.read.parquet(s"$indexDir/centroids")
           .select(size(col("cv"))).head.getInt(0)
-        val vecs = batch
+        val decoded = batch
           .select(col("message_id").as("vec_id"),
             expr("try_cast(split(cast(payload AS string), ',') AS array<float>)")
               .as("embedding"))
@@ -570,7 +570,10 @@ object Pipelines {
             size(col("embedding")) === dim &&
             !exists(col("embedding"), e => e.isNull))
           .dropDuplicates("vec_id")
-          .localCheckpoint(true) // consumed by append AND drift report
+        // materialize once only when BOTH the drift report and the
+        // append will consume the decode
+        val vecs =
+          if (driftEvery > 0) decoded.localCheckpoint(true) else decoded
         if (driftEvery > 0 && batchId % driftEvery == 0 && !vecs.isEmpty &&
             graft.operators.VectorOps.hasDistStats(spark, indexDir))
           graft.operators.VectorOps.ivfDriftReport(spark, "", indexDir, vecs)
