@@ -226,6 +226,17 @@ class QueriesSpec extends AnyFunSuite {
     val rederived = operators.VectorOps.ivfDriftReport(spark, sf, idx, batch)
       .collect().head
     assert(!rederived.getAs[Boolean]("drifted"))
+
+    // the IVF-PQ builder writes the same baseline (the coarse
+    // quantizer is the drift surface) — the report serves both layouts
+    val pq = Files.createTempDirectory("graft-ivfpq-drift").toString
+    operators.VectorOps.ivfpqBuildIndex(spark, sf, pq)
+    val pqOk = operators.VectorOps.ivfDriftReport(spark, sf, pq, batch)
+      .collect().head
+    assert(!pqOk.getAs[Boolean]("drifted"))
+    assert(operators.VectorOps
+      .ivfDriftReport(spark, sf, pq, shifted).collect().head
+      .getAs[Boolean]("drifted"))
   }
 
   test("ivfpqAppend: frozen-codebook encode matches the builder; rebuild re-sizes a drifted quantizer") {
