@@ -700,8 +700,10 @@ object VectorOps {
     * from their current membership (corpus ∩ ids — necessarily
     * including any already-appended drift, so the legacy baseline is
     * conservative; the next full rebuild writes the clean one).
-    * The two driver-side counts (centroids, ids) are dimension-sized
-    * reads, the [[corpusN]] pattern. */
+    * Driver-side scalars: the centroid count is dimension-sized; the
+    * `ids` count is a column-pruned parquet row-count (footer
+    * statistics, no row scan) — both the [[corpusN]] pattern, paid
+    * once per report at the monitoring cadence, not per batch row. */
   def ivfDriftReport(spark: SparkSession, dir: String, indexDir: String,
                      batch: DataFrame, driftFrac: Double = 0.10): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
