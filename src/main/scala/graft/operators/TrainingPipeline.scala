@@ -121,7 +121,11 @@ object TrainingPipeline {
     * pipeline stage (scrub what ships, never drop the doc), the shape
     * a real training-shard writer runs. Off by default only because
     * the benched entry's summary doesn't need the text payload;
-    * the scrub itself is a zero-shuffle projection on the write. */
+    * the scrub itself is a zero-shuffle projection on the write.
+    *
+    * Downstream, [[TextOps.docPackSequences]] assigns the written
+    * survivors their packed-sequence offsets (per-stratum cumulative
+    * token windows) — the batch-writer handoff after the shards. */
   def run(spark: SparkSession, dir: String, outDir: String = "",
           piiScrub: Boolean = false): DataFrame = {
     val out =
