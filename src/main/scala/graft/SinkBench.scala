@@ -22,7 +22,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    [[graft.streaming.Pipelines.vectorIndexSink]] against a
   *    frozen-quantizer IVF index of the other two thirds (the
   *    StreamingSpec carve-out setup, so the first trigger also pays
-  *    the one-time ids migration — visible, not hidden).
+  *    the one-time ids migration — visible, not hidden);
+  *  - `vector-drift` — the same run with `driftEvery = 1`, so every
+  *    trigger also pays the [[graft.operators.VectorOps
+  *    .ivfDriftReport]] + driftlog append: the measured price of
+  *    per-trigger drift monitoring, and proof the report's own key
+  *    checks stay O(batch) (a climbing tail here would mean the
+  *    monitoring defeats the bounded-trigger contract it guards).
   *
   * `sbt "runMain graft.SinkBench [sfDir] [outFile] [triggers] [mode]"`
   * → one JSON line (stdout + artifact), the Bench convention.
@@ -83,9 +89,11 @@ object SinkBench {
         stream(broker, "docs", slice.length,
           streaming.Pipelines.incrementalDedupSink(_, idx, table))
 
-      case "vector" =>
+      case "vector" | "vector-drift" =>
         // frozen quantizer over the full corpus, lists carved down to
-        // two thirds; the missing third arrives as embedding messages
+        // two thirds; the missing third arrives as embedding messages.
+        // vector-drift streams through the identical setup with the
+        // per-trigger drift report on (diststats comes with the build).
         val idxFull = tmp("graft-sinkbench-vecfull")
         operators.VectorOps.ivfBuildIndex(spark, sfDir, idxFull)
         val idx = tmp("graft-sinkbench-vecidx")
@@ -94,6 +102,8 @@ object SinkBench {
         spark.read.parquet(idxFull + "/invlist")
           .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
           .write.parquet(idx + "/invlist")
+        spark.read.parquet(idxFull + "/diststats")
+          .write.parquet(idx + "/diststats")
         val slice = Tables(spark, sfDir, "embeddings")
           .filter(col("vec_id") >= operators.VectorOps.nQueries &&
             pmod(col("vec_id"), lit(3)) === 0)
@@ -104,11 +114,13 @@ object SinkBench {
           sources.GraftQueueBroker.textMsg(
             id, 1700000000000000L + id * 1000L, "t/vecs/0", emb.mkString(","))
         })
+        val driftEvery = if (mode == "vector-drift") 1 else 0
         stream(broker, "vecs", slice.length,
-          streaming.Pipelines.vectorIndexSink(_, idx))
+          streaming.Pipelines.vectorIndexSink(_, idx, driftEvery = driftEvery))
 
       case other =>
-        throw new IllegalArgumentException(s"unknown mode '$other' (dedup | vector)")
+        throw new IllegalArgumentException(
+          s"unknown mode '$other' (dedup | vector | vector-drift)")
     }
 
     val durs = q.recentProgress.toSeq

@@ -707,6 +707,12 @@ object VectorOps {
   def ivfDriftReport(spark: SparkSession, dir: String, indexDir: String,
                      batch: DataFrame, driftFrac: Double = 0.10): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
+    // a pre-append index may not carry the ids membership store yet —
+    // the same one-time derivation the append guard performs, against
+    // whichever list table this layout has
+    if (!hExists(spark, s"$indexDir/ids/_SUCCESS"))
+      writeIvfIds(spark, indexDir,
+        if (hExists(spark, s"$indexDir/invlist/_SUCCESS")) "invlist" else "codes")
     if (!hExists(spark, s"$indexDir/diststats/_SUCCESS")) {
       require(dir.nonEmpty,
         s"$indexDir has no diststats baseline and no corpus dir was " +
