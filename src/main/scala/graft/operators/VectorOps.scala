@@ -752,7 +752,10 @@ object VectorOps {
         greatest(lit(ivfK),
           ceil(sqrt(lit(nIndexed + nNew))).cast("int")))
       .withColumn("drifted",
-        col("frac_beyond_p95") > lit(driftFrac) ||
+        // coalesce: an empty batch has a null frac (avg over zero
+        // rows) — report "not drifted" rather than a null verdict
+        // that would NPE a Boolean reader
+        coalesce(col("frac_beyond_p95") > lit(driftFrac), lit(false)) ||
           col("k_auto") >= col("k_built") * 2)
   }
 
