@@ -231,27 +231,35 @@ object Maintenance {
   def zOrderBy(spark: SparkSession, srcDir: String, dstDir: String,
                keyA: String, keyB: String, files: Int): Unit = {
     val df = spark.read.parquet(srcDir)
+    // the bounds aliases share the `_z` reserved prefix with the
+    // z-value column: an unprefixed name like `za_min` could collide
+    // with a data column of the same name, making the bucket
+    // expression ambiguous (and the final drop destructive)
     val bounds = df.agg(
-      min(col(keyA)).cast("double").as("za_min"),
-      max(col(keyA)).cast("double").as("za_max"),
-      min(col(keyB)).cast("double").as("zb_min"),
-      max(col(keyB)).cast("double").as("zb_max"))
+      min(col(keyA)).cast("double").as("_z_bounds_a_min"),
+      max(col(keyA)).cast("double").as("_z_bounds_a_max"),
+      min(col(keyB)).cast("double").as("_z_bounds_b_min"),
+      max(col(keyB)).cast("double").as("_z_bounds_b_max"))
     def bucket(key: String, mn: String, mx: String) =
       least(lit(65535L),
         floor((col(key).cast("double") - col(mn)) /
           greatest(col(mx) - col(mn), lit(java.lang.Double.MIN_NORMAL)) *
           lit(65536.0)).cast("bigint"))
-    val za = bucket(keyA, "za_min", "za_max")
-    val zb = bucket(keyB, "zb_min", "zb_max")
+    val za = bucket(keyA, "_z_bounds_a_min", "_z_bounds_a_max")
+    val zb = bucket(keyB, "_z_bounds_b_min", "_z_bounds_b_max")
     val z = (0 until 16).map { i =>
       shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
+    require(!df.columns.exists(_.startsWith("_z")),
+      s"zOrderBy reserves the _z column-name prefix; $srcDir carries " +
+        df.columns.filter(_.startsWith("_z")).mkString(", "))
     df.crossJoin(broadcast(bounds))
       .withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
-      .drop("_z", "za_min", "za_max", "zb_min", "zb_max")
+      .drop("_z", "_z_bounds_a_min", "_z_bounds_a_max",
+        "_z_bounds_b_min", "_z_bounds_b_max")
       .write.mode("overwrite").parquet(dstDir)
   }
 }

@@ -700,10 +700,19 @@ object VectorOps {
     * from their current membership (corpus ∩ ids — necessarily
     * including any already-appended drift, so the legacy baseline is
     * conservative; the next full rebuild writes the clean one).
-    * Driver-side scalars: the centroid count is dimension-sized; the
-    * `ids` count is a column-pruned parquet row-count (footer
-    * statistics, no row scan) — both the [[corpusN]] pattern, paid
-    * once per report at the monitoring cadence, not per batch row. */
+    * ONE Spark job per report: the centroid count, the `ids`
+    * membership count, and the batch's new-id count all enter the
+    * returned plan as 1-row broadcast aggregates (the scalar-subquery
+    * idiom the global-total queries use) rather than separate driver
+    * `count()` actions, so materializing the report row launches a
+    * single job — the only pre-action is the bucket-list collect the
+    * append guard also performs (batch-bounded, ≤ keyBuckets values).
+    *
+    * A null rank-1 distance (a malformed vector — null elements or
+    * wrong width — reaching this API directly, bypassing the sink's
+    * codec guard) counts as BEYOND the envelope: a vector the
+    * quantizer cannot even score must never dilute
+    * `frac_beyond_p95` toward "not drifted". */
   def ivfDriftReport(spark: SparkSession, dir: String, indexDir: String,
                      batch: DataFrame, driftFrac: Double = 0.10): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
@@ -731,32 +740,37 @@ object VectorOps {
     // membership, counting only genuinely NEW batch ids (a replayed
     // batch must not inflate n) via the same bucket-pruned anti-join
     // the append guard uses.
-    val kBuilt = cents.count()
-    val nIndexed = spark.read.parquet(s"$indexDir/ids").count()
+    val kBuiltDf = cents.agg(count(lit(1)).cast("int").as("k_built"))
     val keyed = batch.select(col("vec_id"))
       .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
     val existing = spark.read.parquet(s"$indexDir/ids")
       .filter(col("kb").isin(buckets: _*)).select("vec_id")
-    val nNew = keyed.join(existing, Seq("vec_id"), "left_anti").count()
+    val nIdxDf = spark.read.parquet(s"$indexDir/ids")
+      .agg(count(lit(1)).as("_n_indexed"))
+    val nNewDf = keyed.join(existing, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("_n_new"))
     // drift measures the WHOLE batch (a redelivered vector scoring
     // in-envelope is correct — redelivery is not drift)
     assignD2(batch.select(col("vec_id"), col("embedding").as("vd")), cents)
       .crossJoin(broadcast(stats))
       .agg(count(lit(1)).as("n_batch"),
-        avg(when(col("d2") > col("p95_d2"), 1.0).otherwise(0.0))
-          .as("frac_beyond_p95"),
+        avg(when(col("d2").isNull || col("d2") > col("p95_d2"), 1.0)
+          .otherwise(0.0)).as("frac_beyond_p95"),
         first(col("p95_d2")).as("p95_d2"))
-      .withColumn("k_built", lit(kBuilt.toInt))
+      .crossJoin(broadcast(kBuiltDf))
+      .crossJoin(broadcast(nIdxDf))
+      .crossJoin(broadcast(nNewDf))
       .withColumn("k_auto",
         greatest(lit(ivfK),
-          ceil(sqrt(lit(nIndexed + nNew))).cast("int")))
+          ceil(sqrt(col("_n_indexed") + col("_n_new"))).cast("int")))
       .withColumn("drifted",
         // coalesce: an empty batch has a null frac (avg over zero
         // rows) — report "not drifted" rather than a null verdict
         // that would NPE a Boolean reader
         coalesce(col("frac_beyond_p95") > lit(driftFrac), lit(false)) ||
           col("k_auto") >= col("k_built") * 2)
+      .drop("_n_indexed", "_n_new")
   }
 
   /** Incremental append to a parquet IVF index — the frozen-QUANTIZER

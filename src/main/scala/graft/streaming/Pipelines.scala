@@ -551,17 +551,33 @@ object Pipelines {
     * arrivals have drifted off the frozen quantizer erodes recall
     * silently otherwise. Indexes without the diststats baseline
     * (built before it existed) skip the log rather than wedging the
-    * trigger — rebuild to start monitoring. */
+    * trigger — rebuild to start monitoring. foreachBatch is
+    * at-least-once, so a trigger replayed after a crash re-appends
+    * its report row under the SAME batch_id (deterministically
+    * identical values — the report depends only on the batch, the
+    * frozen centroids, and the membership total, which the replay
+    * leaves unchanged because its own append was either not yet or
+    * already committed): read the log through [[driftLog]], which
+    * collapses those duplicates. With `maintain = true` the log
+    * joins the per-trigger [[graft.operators.Maintenance
+    * .compactTiered]] sweep — a monitoring feed written once per N
+    * triggers must not itself become the unbounded small-file store
+    * the sweep exists to prevent. */
   def vectorIndexSink(messages: DataFrame, indexDir: String,
                       maintain: Boolean = true,
-                      driftEvery: Int = 0): DataStreamWriter[Row] =
+                      driftEvery: Int = 0): DataStreamWriter[Row] = {
+    // the embedding width is a property of the index's frozen
+    // centroids — immutable for the life of the directory (a rebuild
+    // re-trains positions, never the dimension) — so resolve it ONCE
+    // at sink construction instead of a per-trigger parquet read +
+    // driver head on the hot path
+    val dim = messages.sparkSession.read.parquet(s"$indexDir/centroids")
+      .select(size(col("cv"))).head.getInt(0)
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", indexDir + "/_checkpoint")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dim = spark.read.parquet(s"$indexDir/centroids")
-          .select(size(col("cv"))).head.getInt(0)
         val decoded = batch
           .select(col("message_id").as("vec_id"),
             expr("try_cast(split(cast(payload AS string), ',') AS array<float>)")
@@ -585,9 +601,26 @@ object Pipelines {
             batch.sparkSession, s"$indexDir/invlist")
           graft.operators.Maintenance.compactTieredPartitioned(
             batch.sparkSession, s"$indexDir/ids")
+          // the drift log is append-only and its reader ([[driftLog]])
+          // dedups by batch_id, so it tolerates the compactor's
+          // crash-window duplicate rows like the index stores do
+          if (driftEvery > 0)
+            graft.operators.Maintenance.compactTiered(
+              batch.sparkSession, s"$indexDir/driftlog")
         }
         ()
       }
+  }
+
+  /** An index's drift-report feed (`<indexDir>/driftlog`), with
+    * replayed-trigger duplicates collapsed: foreachBatch is
+    * at-least-once, so a crash between the report append and the
+    * checkpoint commit re-appends the SAME batch_id's
+    * (deterministically identical) row on replay — one row per
+    * batch_id survives here. Works for any sink writing the shared
+    * driftlog row shape (batch_id + per-signal columns + `drifted`). */
+  def driftLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/driftlog").dropDuplicates("batch_id")
 
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
     * documents (message_id = doc_id, payload = UTF-8 text) is first

@@ -503,8 +503,10 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", tmpDir("graft-ckpt")).start()
     try q.processAllAvailable() finally q.stop()
 
-    val log = spark.read.parquet(idx + "/driftlog").collect()
+    val log = Pipelines.driftLog(spark, idx).collect()
     assert(log.length >= 2, "every trigger must log a report at driftEvery=1")
+    assert(log.map(_.getAs[Long]("batch_id")).distinct.length === log.length,
+      "driftLog must collapse replayed batch_ids to one row")
     val clean = log.filter(!_.getAs[Boolean]("drifted"))
     val flagged = log.filter(_.getAs[Boolean]("drifted"))
     assert(clean.nonEmpty, "the in-distribution trigger must pass")
