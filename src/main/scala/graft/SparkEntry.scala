@@ -48,7 +48,13 @@ object SparkEntry {
     "q9_profit"    -> Relational5.q9Profit _,
     "q11_share"    -> Relational5.q11Share _,
     "q20_excess"   -> Relational5.q20Excess _,
-    "q_table_stats" -> Relational5.qTableStats _,
+    "q_table_stats" -> ((s: SparkSession, d: String) =>
+      Relational5.qTableStats(s, d)),
+    // HLL NDV profile — the mode a 100 TB operator runs; rows-only
+    // gate (sketch NDV is engine-specific), rsd-bounded vs the exact
+    // twin in QueriesSpec
+    "q_table_stats_approx" -> ((s: SparkSession, d: String) =>
+      Relational5.qTableStats(s, d, approx = true)),
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,

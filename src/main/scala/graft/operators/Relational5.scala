@@ -198,12 +198,25 @@ object Relational5 {
   private val statsCols =
     Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
 
-  def qTableStats(spark: SparkSession, dir: String): DataFrame = {
+  /** `approx = true` is the profile a 100 TB operator actually runs:
+    * exact NDV plans the four `count_distinct`s as one Expand pass —
+    * rows × |statsCols| through a full shuffle — while
+    * `approx_count_distinct` (HLL++, default rsd 0.05) keeps the
+    * whole profile a single map-side-combinable aggregate with a
+    * fixed-size sketch per column. Same stack() pivot, same schema;
+    * the exact mode stays the cross-engine gate, the approx mode is
+    * spec-gated against it (rsd-bounded NDV, bit-equal min/max/null
+    * columns — the q_approx_distinct pattern). */
+  def qTableStats(spark: SparkSession, dir: String,
+                  approx: Boolean = false): DataFrame = {
     val aggs = statsCols.flatMap { c =>
+      val ndv =
+        if (approx) approx_count_distinct(col(c)).as(s"${c}_ndv")
+        else count_distinct(col(c)).as(s"${c}_ndv")
       Seq(
         min(col(c)).cast("double").as(s"${c}_min"),
         max(col(c)).cast("double").as(s"${c}_max"),
-        count_distinct(col(c)).as(s"${c}_ndv"),
+        ndv,
         (count(lit(1)) - count(col(c))).as(s"${c}_nulls"))
     }
     Tables(spark, dir, "lineitem")

@@ -696,6 +696,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_table_stats approx mode: HLL NDV rsd-bounded, every other column bit-equal") {
+    val exact = operators.Relational5.qTableStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val got = operators.Relational5.qTableStats(spark, sf, approx = true).collect()
+    assert(got.length === exact.size)
+    got.foreach { r =>
+      val (mn, mx, ndv, nulls) = exact(r.getString(0))
+      // min/max/null counts are exact aggregates in both modes
+      assert(r.getDouble(1) === mn && r.getDouble(2) === mx &&
+        r.getLong(4) === nulls, s"${r.getString(0)}: non-NDV column diverged")
+      // HLL++ default rsd 0.05 ⇒ 3σ = 15% relative error bound
+      assert(math.abs(r.getLong(3) - ndv).toDouble / ndv <= 0.15,
+        s"${r.getString(0)}: approx NDV ${r.getLong(3)} vs exact $ndv")
+    }
+  }
+
   test("dedup_cluster_best: one keeper per cluster, and it is the quality argmax") {
     import org.apache.spark.sql.functions.col
     val rows = operators.DedupOps.dupClusterBest(spark, sf)
