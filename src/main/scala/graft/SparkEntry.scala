@@ -160,9 +160,14 @@ object SparkEntry {
     // 32x compression, exact re-rank; index built once to parquet
     "ann_ivfpq_query" -> ((s: SparkSession, d: String) => VectorOps.annIvfPqQuery(s, d)),
     "knn_centroid"    -> VectorOps.knnCentroid _,
-    // Multimodal plumbing
+    // Multimodal codec + plumbing
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,
-    "mm_feature_stub" -> MultimodalOps.featureExtractDf _,
+    // header codec through the batched mapPartitions path (+ byte-hist
+    // feature) — the shape a vectorized native decoder plugs into
+    "mm_feature"      -> MultimodalOps.featureExtractDf _,
+    // the same codec as one codegen'd projection: magic-byte dispatch
+    // + fixed-offset header fields, scan-speed
+    "mm_media_decode" -> MultimodalOps.mediaDecode _,
     "mm_frame_sample" -> MultimodalOps.frameSample _,
   )
 
@@ -251,7 +256,8 @@ object SparkEntry {
     // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
     "knn_centroid"    -> VectorOps.knnCentroidSql,
     "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,
-    "mm_feature_stub" -> MultimodalOps.featureStubSql,
+    "mm_feature"      -> MultimodalOps.featureSql,
+    "mm_media_decode" -> MultimodalOps.mediaDecodeSql,
     "mm_frame_sample" -> MultimodalOps.frameSampleSql,
   )
 }

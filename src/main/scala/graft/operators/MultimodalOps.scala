@@ -1,27 +1,43 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Opaque feature vector produced by the (stubbed) decoder. */
+/** Decoded media record: container format from magic-byte dispatch,
+  * header fields where the format stores them at fixed offsets
+  * (None elsewhere — e.g. JPEG dims live in variable-offset SOF
+  * segments), plus a 16-bin byte histogram as the extracted feature. */
 final case class MmFeature(
     doc_id: Long,
-    width: Int,
-    height: Int,
-    channels: Int,
+    format: String,
+    width: Option[Long],
+    height: Option[Long],
+    channels: Option[Long],
+    sample_rate: Option[Long],
     byte_len: Long,
     hist: Array[Long])
 
 /** Multimodal-column plumbing: treat media as opaque `binary` columns
-  * with typed metadata, decoded by batched per-partition workers.
+  * and DECODE them — magic-byte container dispatch (PNG / JPEG / GIF /
+  * BMP / RIFF-WAVE) plus fixed-offset header-field extraction (width,
+  * height, channels, sample rate), the deterministic byte-math half of
+  * a media codec. The pixel/sample decode behind the headers is the
+  * part that needs native image/audio libs (absent in this
+  * environment); everything up to it — format dispatch, header
+  * parsing, the byte-histogram feature, the batched per-partition
+  * decode shape a vectorized native codec plugs into — is real and
+  * oracle-checked.
   *
-  * The real decode (image/audio libs) is STUBBED — this container has
-  * no codecs — but everything Spark-side is real and tested: the
-  * binary column, the metadata extraction (codegen'd expressions), the
-  * mapPartitions batching shape a native decoder plugs into, and the
-  * output schema. Swap [[MultimodalOps.stubDecode]] for a JNI/FFI call
-  * and nothing else changes.
+  * The same codec runs through TWO independent paths, spec-pinned
+  * equal: [[mediaFields]] (pure Catalyst expressions —
+  * substring/hex/conv, whole-stage codegen, zero shuffle) and
+  * [[decodeMedia]] (JVM byte parsing inside the fixed-size
+  * `mapPartitions` batches a native decoder would use). The gate
+  * payloads embed REAL format headers (constructed deterministically
+  * in-query from doc_id, byte-identical in the DuckDB oracle's
+  * list-domain arithmetic), so every dispatch branch is exercised
+  * cross-engine, not just the raw fallback.
   */
 object MultimodalOps {
 
@@ -46,22 +62,210 @@ object MultimodalOps {
       | CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
-  /** ======== STUB ========
-    * Deterministic fake "decode": pretends the payload is an image
-    * whose dimensions derive from header bytes, and emits a 16-bin
-    * byte histogram as the "feature". A real deployment replaces this
-    * function body with an actual codec call; signature and batching
-    * stay identical. */
-  def stubDecode(docId: Long, payload: Array[Byte]): MmFeature = {
-    val w = 64 + (if (payload.length > 0) (payload(0) & 0x3F) else 0)
-    val h = 64 + (if (payload.length > 1) (payload(1) & 0x3F) else 0)
+  // ---- header codec, expression path ----------------------------------
+  // Byte access compiles to substring+hex+conv — codegen'd builtins, no
+  // arrays, no UDF. Offsets are 1-based like SQL substring.
+
+  private def byteAt(bin: Column, o: Int): Column =
+    conv(hex(substring(bin, o, 1)), 16, 10).cast("int")
+  private def be32e(bin: Column, o: Int): Column =
+    conv(hex(substring(bin, o, 4)), 16, 10).cast("long")
+  private def le16e(bin: Column, o: Int): Column =
+    (byteAt(bin, o) + byteAt(bin, o + 1) * 256).cast("long")
+  private def le32e(bin: Column, o: Int): Column =
+    (byteAt(bin, o).cast("long") + byteAt(bin, o + 1).cast("long") * 256L +
+      byteAt(bin, o + 2).cast("long") * 65536L +
+      byteAt(bin, o + 3).cast("long") * 16777216L)
+
+  /** Container dispatch + fixed-offset header fields over a binary
+    * column. Classification requires the FULL fixed header to be
+    * present (a truncated header is not decodable, so it falls to
+    * `raw`), and each format's fields come from its published layout:
+    * PNG IHDR big-endian dims + color type; GIF logical-screen
+    * little-endian dims; BMP BITMAPINFOHEADER little-endian dims +
+    * bits-per-pixel; RIFF/WAVE fmt-chunk channels + sample rate. JPEG
+    * is dispatched by magic only — its dimensions live in
+    * variable-offset SOF segments (a scan, not a fixed-offset read),
+    * exactly what the native half of a codec is for. */
+  def mediaFields(bin: Column): Seq[Column] = {
+    val n = length(bin)
+    val isPng = n >= 26 && hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+    val isJpeg = n >= 4 && hex(substring(bin, 1, 3)) === "FFD8FF"
+    val isGif = n >= 10 && hex(substring(bin, 1, 4)) === "47494638"
+    val isBmp = n >= 30 && hex(substring(bin, 1, 2)) === "424D"
+    val isWav = n >= 28 && hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 4)) === "57415645"
+    val ct = byteAt(bin, 26) // PNG color type
+    val pngCh = when(ct === 0, lit(1L)).when(ct === 2, lit(3L))
+      .when(ct === 3, lit(1L)).when(ct === 4, lit(2L))
+      .when(ct === 6, lit(4L)).otherwise(lit(null).cast("long"))
+    Seq(
+      when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
+        .when(isBmp, "bmp").when(isWav, "wav").otherwise("raw").as("format"),
+      when(isPng, be32e(bin, 17)).when(isGif, le16e(bin, 7))
+        .when(isBmp, le32e(bin, 19)).as("width"),
+      when(isPng, be32e(bin, 21)).when(isGif, le16e(bin, 9))
+        .when(isBmp, le32e(bin, 23)).as("height"),
+      when(isPng, pngCh)
+        .when(isBmp, floor(le16e(bin, 29) / 8).cast("long"))
+        .when(isWav, le16e(bin, 23)).as("channels"),
+      when(isWav, le32e(bin, 25)).as("sample_rate"),
+      n.cast("long").as("byte_len"))
+  }
+
+  // ---- gate payloads: real headers, constructed deterministically -----
+  // doc_id % 6 picks the container; dims/channels/rate derive from
+  // doc_id; the header bytes are assembled as a hex string (unhex →
+  // binary) prepended to the document's text bytes. The DuckDB oracle
+  // builds the identical byte list, so every dispatch branch — not
+  // just the raw fallback ASCII text can reach — is hash-gated.
+
+  private def hex2(c: Column) = lpad(hex(c), 2, "0")
+  private def be32h(c: Column) = lpad(hex(c), 8, "0")
+  private def le16h(c: Column) =
+    concat(hex2(pmod(c, lit(256L))), hex2(floor(c / 256).cast("long")))
+  private def le32h(c: Column) = concat(
+    hex2(pmod(c, lit(256L))),
+    hex2(pmod(floor(c / 256).cast("long"), lit(256L))),
+    hex2(pmod(floor(c / 65536).cast("long"), lit(256L))),
+    hex2(pmod(floor(c / 16777216).cast("long"), lit(256L))))
+
+  /** The mixed-format gate payload column (over `documents`). */
+  def taggedPayload: Column = {
+    val id = col("doc_id")
+    val w = lit(16L) + pmod(id, lit(1000L))
+    val h = lit(16L) + pmod(id * 7, lit(1000L))
+    val ct = when(pmod(id, lit(3L)) === 0, lit(0L))
+      .when(pmod(id, lit(3L)) === 1, lit(2L)).otherwise(lit(6L))
+    val wch = lit(1L) + pmod(id, lit(2L))
+    val rate = lit(8000L) + pmod(id, lit(5L)) * 8000L
+    val tag = pmod(id, lit(6L))
+    val headerHex =
+      when(tag === 0, concat( // PNG signature + IHDR(len 13): w/h BE32, depth 8, color type
+        lit("89504E470D0A1A0A0000000D49484452"),
+        be32h(w), be32h(h), lit("08"), hex2(ct)))
+      .when(tag === 1, concat( // GIF89a logical screen: w/h LE16
+        lit("474946383961"), le16h(w), le16h(h)))
+      .when(tag === 2, concat( // BM + 12 filler + BITMAPINFOHEADER(40): w/h LE32, planes 1, bpp 24
+        lit("424D" + "0" * 24), le32h(lit(40L)), le32h(w), le32h(h),
+        lit("0100"), le16h(lit(24L))))
+      .when(tag === 3, concat( // RIFF....WAVEfmt (16, PCM): channels LE16, rate LE32
+        lit("52494646" + "00000000" + "57415645" + "666D7420" +
+          "10000000" + "0100"),
+        le16h(wch), le32h(rate)))
+      .when(tag === 4, lit("FFD8FFE0")) // JPEG SOI + APP0 marker
+      .otherwise(lit(""))
+    concat(unhex(headerHex), col("text").cast("binary"))
+  }
+
+  /** Expression-path gate entry: dispatch + header decode over the
+    * mixed-format payloads, one codegen'd projection — scan-speed,
+    * zero shuffle. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: mediaFields(taggedPayload): _*)
+
+  /** The oracle's shared prefix: byte list = constructed header ++
+    * text bytes, dims derived from doc_id exactly as [[taggedPayload]]
+    * does (ASCII corpus ⇒ ord(char) = byte). */
+  private val mmPayloadCte: String =
+    """WITH base AS (
+      | SELECT doc_id,
+      |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb,
+      |  16 + doc_id % 1000 AS w, 16 + (doc_id * 7) % 1000 AS h,
+      |  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct,
+      |  1 + doc_id % 2 AS wch, 8000 + (doc_id % 5) * 8000 AS rate,
+      |  doc_id % 6 AS tag
+      | FROM documents),
+      |hdr AS (
+      | SELECT doc_id, tb, CASE tag
+      |  WHEN 0 THEN [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+      |   w//16777216%256, w//65536%256, w//256%256, w%256,
+      |   h//16777216%256, h//65536%256, h//256%256, h%256, 8, ct]
+      |  WHEN 1 THEN [71,73,70,56,57,97, w%256, w//256, h%256, h//256]
+      |  WHEN 2 THEN [66,77, 0,0,0,0,0,0,0,0,0,0,0,0, 40,0,0,0,
+      |   w%256, w//256%256, w//65536%256, w//16777216%256,
+      |   h%256, h//256%256, h//65536%256, h//16777216%256, 1,0, 24,0]
+      |  WHEN 3 THEN [82,73,70,70, 0,0,0,0, 87,65,86,69, 102,109,116,32,
+      |   16,0,0,0, 1,0, wch%256, wch//256,
+      |   rate%256, rate//256%256, rate//65536%256, rate//16777216%256]
+      |  WHEN 4 THEN [255,216,255,224]
+      |  ELSE CAST([] AS BIGINT[]) END AS hb
+      | FROM base),
+      |p AS (SELECT doc_id, list_concat(hb, tb) AS b FROM hdr),
+      |d AS (
+      | SELECT doc_id, b, len(b) AS n,
+      |  (len(b)>=26 AND b[1]=137 AND b[2]=80 AND b[3]=78 AND b[4]=71
+      |   AND b[5]=13 AND b[6]=10 AND b[7]=26 AND b[8]=10) AS is_png,
+      |  (len(b)>=4 AND b[1]=255 AND b[2]=216 AND b[3]=255) AS is_jpeg,
+      |  (len(b)>=10 AND b[1]=71 AND b[2]=73 AND b[3]=70 AND b[4]=56) AS is_gif,
+      |  (len(b)>=30 AND b[1]=66 AND b[2]=77) AS is_bmp,
+      |  (len(b)>=28 AND b[1]=82 AND b[2]=73 AND b[3]=70 AND b[4]=70
+      |   AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69) AS is_wav
+      | FROM p)""".stripMargin
+
+  private val mmDecodeSelect: String =
+    """ CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
+      |  WHEN is_gif THEN 'gif' WHEN is_bmp THEN 'bmp'
+      |  WHEN is_wav THEN 'wav' ELSE 'raw' END AS format,
+      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]
+      |  WHEN is_gif THEN b[7] + b[8]*256
+      |  WHEN is_bmp THEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216
+      |  END AS BIGINT) AS width,
+      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]
+      |  WHEN is_gif THEN b[9] + b[10]*256
+      |  WHEN is_bmp THEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216
+      |  END AS BIGINT) AS height,
+      | CAST(CASE WHEN is_png THEN
+      |   CASE b[26] WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+      |    WHEN 4 THEN 2 WHEN 6 THEN 4 END
+      |  WHEN is_bmp THEN (b[29] + b[30]*256) // 8
+      |  WHEN is_wav THEN b[23] + b[24]*256
+      |  END AS BIGINT) AS channels,
+      | CAST(CASE WHEN is_wav THEN
+      |   b[25] + b[26]*256 + b[27]*65536 + b[28]*16777216
+      |  END AS BIGINT) AS sample_rate,
+      | CAST(n AS BIGINT) AS byte_len""".stripMargin
+
+  val mediaDecodeSql: String =
+    mmPayloadCte + "\nSELECT doc_id,\n" + mmDecodeSelect + "\nFROM d"
+
+  // ---- header codec, batched JVM path ---------------------------------
+
+  /** The same codec as [[mediaFields]], as plain JVM byte parsing —
+    * the body a vectorized native decoder replaces, running inside
+    * fixed-size per-partition batches. Also emits the 16-bin byte
+    * histogram feature. Spec-pinned field-for-field equal to the
+    * expression path. */
+  def decodeMedia(docId: Long, p: Array[Byte]): MmFeature = {
+    val n = p.length
+    def u(i: Int) = p(i) & 0xFF // 0-based
+    def m(o: Int, bs: Int*) = bs.zipWithIndex.forall { case (b, i) => u(o + i) == b }
+    def be32(o: Int) = (u(o).toLong << 24) | (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
+    def le16(o: Int) = (u(o) | (u(o + 1) << 8)).toLong
+    def le32(o: Int) = u(o).toLong | (u(o + 1).toLong << 8) |
+      (u(o + 2).toLong << 16) | (u(o + 3).toLong << 24)
+    val isPng = n >= 26 && m(0, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val isJpeg = n >= 4 && m(0, 0xFF, 0xD8, 0xFF)
+    val isGif = n >= 10 && m(0, 'G', 'I', 'F', '8')
+    val isBmp = n >= 30 && m(0, 'B', 'M')
+    val isWav = n >= 28 && m(0, 'R', 'I', 'F', 'F') && m(8, 'W', 'A', 'V', 'E')
+    val (format, width, height, channels, rate): (String, Option[Long], Option[Long], Option[Long], Option[Long]) =
+      if (isPng) {
+        val ch = u(25) match {
+          case 0 => Some(1L); case 2 => Some(3L); case 3 => Some(1L)
+          case 4 => Some(2L); case 6 => Some(4L); case _ => None
+        }
+        ("png", Some(be32(16)), Some(be32(20)), ch, None)
+      } else if (isJpeg) ("jpeg", None, None, None, None)
+      else if (isGif) ("gif", Some(le16(6)), Some(le16(8)), None, None)
+      else if (isBmp) ("bmp", Some(le32(18)), Some(le32(22)), Some(le16(28) / 8), None)
+      else if (isWav) ("wav", None, None, Some(le16(22)), Some(le32(24)))
+      else ("raw", None, None, None, None)
     val hist = new Array[Long](16)
     var i = 0
-    while (i < payload.length) {
-      hist((payload(i) & 0xFF) >> 4) += 1
-      i += 1
-    }
-    MmFeature(docId, w, h, 3, payload.length.toLong, hist)
+    while (i < n) { hist(u(i) >> 4) += 1; i += 1 }
+    MmFeature(docId, format, width, height, channels, rate, n.toLong, hist)
   }
 
   val decodeBatchSize = 64
@@ -72,12 +276,12 @@ object MultimodalOps {
   def featureExtract(spark: SparkSession, dir: String): Dataset[MmFeature] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), taggedPayload.as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.grouped(decodeBatchSize).flatMap { batch =>
           // a real decoder would process `batch` as one vectorized call
-          batch.map { case (id, payload) => stubDecode(id, payload) }
+          batch.map { case (id, payload) => decodeMedia(id, payload) }
         }
       }
   }
@@ -89,8 +293,16 @@ object MultimodalOps {
     val base = featureExtract(spark, dir).toDF()
     val histCols = (0 until 16).map(i => element_at(col("hist"), i + 1).as(s"hist_$i"))
     base.select(
-      Seq(col("doc_id"), col("width"), col("height"), col("channels"), col("byte_len"))
+      Seq(col("doc_id"), col("format"), col("width"), col("height"),
+        col("channels"), col("sample_rate"), col("byte_len"))
         ++ histCols: _*)
+  }
+
+  val featureSql: String = {
+    val hist = (0 until 16)
+      .map(i => s"CAST(len(list_filter(b, x -> x // 16 = $i)) AS BIGINT) AS hist_$i")
+      .mkString(",\n ")
+    mmPayloadCte + "\nSELECT doc_id,\n" + mmDecodeSelect + ",\n " + hist + "\nFROM d"
   }
 
   /** Frame sampling over an opaque media payload — the video-pipeline
@@ -137,22 +349,4 @@ object MultimodalOps {
        | CAST(i * $frameStride * $frameBytes AS BIGINT) AS byte_offset,
        | md5(substring(text, CAST(i * $frameStride * $frameBytes + 1 AS INT), $frameBytes)) AS frame_digest
        |FROM f""".stripMargin
-
-  /** The stub decode is deterministic byte math, so it has an exact
-    * SQL oracle: per-bin counts of `byte >> 4`, dims from header bytes. */
-  val featureStubSql: String = {
-    val hist = (0 until 16)
-      .map(b => s"CAST(len(list_filter(bytes, x -> x // 16 = $b)) AS BIGINT) AS hist_$b")
-      .mkString(",\n ")
-    s"""WITH t AS (
-       | SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bytes
-       | FROM documents)
-       |SELECT doc_id,
-       | CAST(64 + CASE WHEN len(bytes) > 0 THEN bytes[1] % 64 ELSE 0 END AS INTEGER) AS width,
-       | CAST(64 + CASE WHEN len(bytes) > 1 THEN bytes[2] % 64 ELSE 0 END AS INTEGER) AS height,
-       | CAST(3 AS INTEGER) AS channels,
-       | CAST(len(bytes) AS BIGINT) AS byte_len,
-       | $hist
-       |FROM t""".stripMargin
-  }
 }

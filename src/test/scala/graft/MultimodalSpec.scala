@@ -1,36 +1,105 @@
 package graft
 
 import graft.operators.MultimodalOps
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
-  test("stubDecode is deterministic and histogram counts all bytes") {
-    val payload = "abcXYZ 0189".getBytes("UTF-8")
-    val f = MultimodalOps.stubDecode(7L, payload)
-    assert(f.doc_id === 7L)
-    assert(f.byte_len === payload.length)
-    assert(f.hist.sum === payload.length)
-    assert(f.width === 64 + (payload(0) & 0x3F))
-    assert(f.channels === 3)
-    // bin of 'a'(0x61) is 6
-    assert(f.hist(6) >= 3)
+  // real container headers, built byte-for-byte from the published
+  // layouts — what a file from an actual camera/encoder starts with
+  private def bytes(is: Int*): Array[Byte] = is.map(_.toByte).toArray
+  private val pngRgba640x480 = bytes(
+    0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // signature
+    0, 0, 0, 13, 'I', 'H', 'D', 'R', // IHDR length + type
+    0, 0, 2, 0x80, // width 640 BE
+    0, 0, 1, 0xE0, // height 480 BE
+    8, 6) // bit depth, color type 6 = RGBA
+  private val gif320x200 = bytes(
+    'G', 'I', 'F', '8', '9', 'a',
+    0x40, 0x01, // width 320 LE
+    0xC8, 0x00) // height 200 LE
+  private val bmp800x600x24 = bytes(
+    'B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // file header
+    40, 0, 0, 0, // BITMAPINFOHEADER size
+    0x20, 0x03, 0, 0, // width 800 LE
+    0x58, 0x02, 0, 0, // height 600 LE
+    1, 0, 24, 0) // planes, bpp 24
+  private val wavStereo44k = bytes(
+    'R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+    'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, // fmt chunk, PCM
+    2, 0, // channels 2 LE
+    0x44, 0xAC, 0, 0) // sample rate 44100 LE
+  private val jpegFrame = bytes(0xFF, 0xD8, 0xFF, 0xE0)
+  private val rawText = "just some text".getBytes("UTF-8")
+
+  test("decodeMedia parses real container headers: dispatch + fields") {
+    val png = MultimodalOps.decodeMedia(1L, pngRgba640x480)
+    assert(png.format === "png" && png.width === Some(640L) &&
+      png.height === Some(480L) && png.channels === Some(4L))
+    val gif = MultimodalOps.decodeMedia(2L, gif320x200)
+    assert(gif.format === "gif" && gif.width === Some(320L) && gif.height === Some(200L))
+    val bmp = MultimodalOps.decodeMedia(3L, bmp800x600x24)
+    assert(bmp.format === "bmp" && bmp.width === Some(800L) &&
+      bmp.height === Some(600L) && bmp.channels === Some(3L))
+    val wav = MultimodalOps.decodeMedia(4L, wavStereo44k)
+    assert(wav.format === "wav" && wav.channels === Some(2L) &&
+      wav.sample_rate === Some(44100L))
+    val jpg = MultimodalOps.decodeMedia(5L, jpegFrame)
+    assert(jpg.format === "jpeg" && jpg.width.isEmpty)
+    val raw = MultimodalOps.decodeMedia(6L, rawText)
+    assert(raw.format === "raw" && raw.width.isEmpty && raw.channels.isEmpty)
+    // a TRUNCATED header must not classify: 8 magic bytes alone are
+    // not a decodable PNG
+    assert(MultimodalOps.decodeMedia(7L, pngRgba640x480.take(20)).format === "raw")
+    // histogram mass always equals byte length
+    assert(png.hist.sum === png.byte_len)
   }
 
-  test("featureExtract runs distributed and covers every document") {
-    val nDocs = Tables(spark, SparkSpec.sf, "documents").count()
+  test("expression path decodes the same real headers as the JVM path") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, pngRgba640x480), (2L, gif320x200), (3L, bmp800x600x24),
+      (4L, wavStereo44k), (5L, jpegFrame), (6L, rawText))
+    val viaExpr = payloads.toDF("doc_id", "payload")
+      .select(col("doc_id") +: MultimodalOps.mediaFields(col("payload")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5)), r.getLong(6))).toMap
+    payloads.foreach { case (id, p) =>
+      val f = MultimodalOps.decodeMedia(id, p)
+      val (fmt, w, h, ch, sr, n) = viaExpr(id)
+      assert(fmt === f.format, s"doc $id format")
+      assert(w === f.width && h === f.height, s"doc $id dims")
+      assert(ch === f.channels && sr === f.sample_rate, s"doc $id ch/rate")
+      assert(n === f.byte_len, s"doc $id len")
+    }
+  }
+
+  test("gate payloads: mapPartitions path == expression path on every document") {
+    val expr = MultimodalOps.mediaDecode(spark, SparkSpec.sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5)), r.getLong(6))).toMap
     val feats = MultimodalOps.featureExtract(spark, SparkSpec.sf).collect()
-    assert(feats.length === nDocs)
-    // histogram mass equals byte length for every row
-    feats.foreach(f => assert(f.hist.sum === f.byte_len))
+    assert(feats.length === expr.size)
+    // every constructed container appears — all dispatch branches run
+    assert(feats.map(_.format).distinct.sorted ===
+      Seq("bmp", "gif", "jpeg", "png", "raw", "wav"))
+    feats.foreach { f =>
+      val (fmt, w, h, ch, sr, n) = expr(f.doc_id)
+      assert(fmt === f.format && n === f.byte_len, s"doc ${f.doc_id}")
+      assert(w === f.width && h === f.height, s"doc ${f.doc_id} dims")
+      assert(ch === f.channels && sr === f.sample_rate, s"doc ${f.doc_id} ch/rate")
+      assert(f.hist.sum === f.byte_len, s"doc ${f.doc_id} hist mass")
+    }
   }
 
   test("binaryMeta checksum equals sum of payload bytes") {
     val row = MultimodalOps.binaryMeta(spark, SparkSpec.sf)
-      .filter(org.apache.spark.sql.functions.col("doc_id") === 0).collect()(0)
+      .filter(col("doc_id") === 0).collect()(0)
     val text = Tables(spark, SparkSpec.sf, "documents")
-      .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .filter(col("doc_id") === 0)
       .collect()(0).getAs[String]("text")
     assert(row.getAs[Long]("checksum") === text.getBytes("UTF-8").map(_.toLong & 0xFF).sum)
     assert(row.getAs[Long]("byte_len") === text.getBytes("UTF-8").length.toLong)
