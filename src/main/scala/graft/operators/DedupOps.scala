@@ -598,6 +598,11 @@ object DedupOps {
     sets.select(explode(col("arr")).as("e"))
       .select(col("e.s").as("s"), col("e.df").as("df")).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/universe")
+    // drift baseline for minhashDriftReport — derived from the
+    // freshly-written sets (kept instances) plus one narrow
+    // shingle-count pass over the corpus (total instances): no join,
+    // no second df aggregate
+    writeVocabStats(spark, corpusDocs, indexDir)
     // ids before bands so bands/_SUCCESS stays the LAST write — the
     // build-complete marker convention callers already check.
     // Membership covers EVERY corpus doc (the update's rule): a doc
@@ -606,6 +611,117 @@ object DedupOps {
     corpusDocs.select(col("doc_id"), keyBucket(col("doc_id")).as("kb"))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
     minhashBands(sets).write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Whether an index carries the [[minhashDriftReport]] baseline —
+    * the streaming sink's drift log probes this to skip (not wedge)
+    * on a pre-vocabstats index. */
+  private[graft] def hasVocabStats(spark: SparkSession, indexDir: String): Boolean =
+    VectorOps.hExists(spark, s"$indexDir/vocabstats/_SUCCESS")
+
+  /** Build-time vocabulary baseline (`vocabstats`, 1 row): the build
+    * population and the fraction of the build corpus' own shingle
+    * INSTANCES that fell outside the df-capped universe (the
+    * capped-out common shingles) — what [[minhashDriftReport]]
+    * compares arrivals against. Kept instances come from the written
+    * `sets` table's per-doc counts; total instances are one narrow
+    * no-join pass over the corpus. */
+  private def writeVocabStats(spark: SparkSession, corpusDocs: DataFrame,
+                              indexDir: String): Unit = {
+    val tot = corpusDocs.agg(
+      count(lit(1)).as("n_build"),
+      coalesce(sum(size(distinctShingles3(col("text")))), lit(0L))
+        .cast("long").as("_inst_total"))
+    val kept = spark.read.parquet(s"$indexDir/sets")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("_inst_kept"))
+    tot.crossJoin(broadcast(kept))
+      .select(col("n_build"),
+        when(col("_inst_total") > 0,
+          lit(1.0) - col("_inst_kept") / col("_inst_total"))
+          .otherwise(lit(0.0)).as("frac_out_build"))
+      .write.mode("overwrite").parquet(s"$indexDir/vocabstats")
+  }
+
+  /** WHEN to rebuild the minhash index — the scheduling half of the
+    * frozen-UNIVERSE drift contract, the twin of
+    * [[VectorOps.ivfDriftReport]] for the frozen-quantizer one.
+    * [[incrementalIndexUpdate]]'s scaladoc documents the trade (new
+    * vocabulary is invisible to the frozen df-cap decisions, so
+    * new-vocabulary near-dups cannot pair until [[rebuildIndex]]); this
+    * op is the trigger that tells an operator the drift has actually
+    * happened, closing the append → measure → rebuild loop.
+    *
+    * Two independent signals, one report row (the vector report's
+    * shape — n_batch / frac signal / baseline / size pair / drifted):
+    *  - VOCABULARY drift: `frac_beyond_univ` is the fraction of the
+    *    batch's shingle instances absent from the frozen universe.
+    *    The build-time baseline (`frac_out_build` — the corpus' own
+    *    capped-out fraction) anchors the comparison: a same-
+    *    distribution batch lands near it (plus a sliver of genuinely
+    *    new rare shingles), a shifted vocabulary pushes toward 1.
+    *    `drifted` flags frac > baseline + `driftFrac`.
+    *  - SIZE drift: the RELATIVE half of the df cap (df·
+    *    [[maxDfShareDenom]] ≤ n) was decided against the build
+    *    population; when the current membership (+ genuinely new
+    *    batch ids, bucket-pruned anti-join — a replayed batch must
+    *    not inflate n) reaches 2× `n_built`, those cap decisions are
+    *    serving at half their intended share and the report flags
+    *    regardless of vocabulary.
+    *
+    * ONE Spark job per report (every scalar enters the plan as a
+    * 1-row broadcast aggregate); the universe-membership join is the
+    * probe path's own per-trigger join shape, paid at monitoring
+    * cadence. Indexes built before `vocabstats` existed derive a
+    * baseline once from their current membership (corpus ∩ ids —
+    * necessarily including any already-appended drift, so the legacy
+    * baseline is conservative; the next full rebuild writes the
+    * clean one). */
+  def minhashDriftReport(spark: SparkSession, dir: String, indexDir: String,
+                         batchDocs: DataFrame,
+                         driftFrac: Double = 0.10): DataFrame = {
+    require(VectorOps.hExists(spark, s"$indexDir/bands/_SUCCESS"),
+      s"$indexDir is not a complete minhash index")
+    if (!hasVocabStats(spark, indexDir)) {
+      require(dir.nonEmpty,
+        s"$indexDir has no vocabstats baseline and no corpus dir was " +
+          "given to derive one — rebuild via rebuildIndex, or call " +
+          "with the corpus dir once to migrate")
+      val ids = spark.read.parquet(s"$indexDir/ids").select("doc_id")
+      writeVocabStats(spark,
+        Tables(spark, dir, "documents").select("doc_id", "text")
+          .join(ids, Seq("doc_id"), "left_semi"), indexDir)
+    }
+    val stats = spark.read.parquet(s"$indexDir/vocabstats")
+    val universe = spark.read.parquet(s"$indexDir/universe")
+      .select(col("s"), lit(1).as("_in_u"))
+    val fracDf = batchDocs
+      .select(explode(distinctShingles3(col("text"))).as("s"))
+      .join(universe, Seq("s"), "left_outer")
+      .agg(avg(when(col("_in_u").isNull, 1.0).otherwise(0.0))
+        .as("frac_beyond_univ"))
+    val nBatchDf = batchDocs.agg(count(lit(1)).as("n_batch"))
+    val keyed = batchDocs.select(col("doc_id"))
+      .withColumn("kb", keyBucket(col("doc_id")))
+    val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
+    val nIdxDf = spark.read.parquet(s"$indexDir/ids")
+      .agg(count(lit(1)).as("_n_indexed"))
+    val nNewDf = keyed.join(indexedIds(spark, indexDir, buckets),
+        Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("_n_new"))
+    nBatchDf
+      .crossJoin(broadcast(fracDf))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(nIdxDf))
+      .crossJoin(broadcast(nNewDf))
+      .withColumn("n_auto", col("_n_indexed") + col("_n_new"))
+      .withColumn("drifted",
+        // coalesce: an empty batch has a null frac (avg over zero
+        // rows) — report "not drifted" rather than a null verdict
+        coalesce(col("frac_beyond_univ") >
+          col("frac_out_build") + lit(driftFrac), lit(false)) ||
+          col("n_auto") >= col("n_build") * 2)
+      .withColumnRenamed("n_build", "n_built")
+      .drop("_n_indexed", "_n_new")
   }
 
   /** Incremental dedup — the ingestion-time shape at 100 TB: a NEW

@@ -665,15 +665,30 @@ object Pipelines {
     * The pair table itself is NOT auto-compacted: duplicate pair rows
     * would surface to consumers, so its maintenance stays the offline
     * [[graft.operators.Maintenance.compactPartitioned]] (stream
-    * stopped), and it accretes only ~1 file per trigger. */
+    * stopped), and it accretes only ~1 file per trigger.
+    *
+    * `driftEvery = N` (0 = off) additionally runs
+    * [[graft.operators.DedupOps.minhashDriftReport]] over every N-th
+    * trigger's batch and appends the report row (tagged with the
+    * batch id) to `<indexDir>/driftlog` — the same monitoring feed
+    * the vector sink writes (read through [[driftLog]], which
+    * collapses replayed batch_ids; the report runs BEFORE the index
+    * update, and a replay's re-derived row is deterministically
+    * identical either way because the frozen universe never changes
+    * between rebuilds and membership totals cancel). A minhash index
+    * without the vocabstats baseline (built before it existed) skips
+    * the log rather than wedging the trigger — rebuild to start
+    * monitoring. The driftlog joins the maintain sweep like the
+    * index stores. */
   def incrementalDedupSink(messages: DataFrame, indexDir: String,
                            tablePath: String,
-                           maintain: Boolean = true): DataStreamWriter[Row] = {
+                           maintain: Boolean = true,
+                           driftEvery: Int = 0): DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", tablePath + "/_checkpoint")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         // deterministic within-trigger winner; localCheckpoint: docs is
         // referenced by the bucket list, the membership anti-join, and
@@ -681,6 +696,14 @@ object Pipelines {
         // below appends to, so the frame must be materialized before
         // any write plan could scan its own output path
         val docs = latestDocVersion(batch).localCheckpoint(true)
+        // drift report BEFORE the index update (frozen universe + the
+        // whole batch — redelivery is not drift, the vector sink's rule)
+        if (driftEvery > 0 && batchId % driftEvery == 0 && !docs.isEmpty &&
+            graft.operators.DedupOps.hasVocabStats(spark, indexDir))
+          graft.operators.DedupOps
+            .minhashDriftReport(spark, "", indexDir, docs.select("doc_id", "text"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$indexDir/driftlog")
         // only genuinely new doc_ids are folded in: CROSS-trigger
         // broker redelivery would otherwise append an identical index
         // row per redelivery, growing the index without bound. First
@@ -706,6 +729,8 @@ object Pipelines {
           graft.operators.Maintenance.compactTiered(spark, s"$indexDir/bands")
           graft.operators.Maintenance.compactTiered(spark, s"$indexDir/sets")
           graft.operators.Maintenance.compactTieredPartitioned(spark, s"$indexDir/ids")
+          if (driftEvery > 0)
+            graft.operators.Maintenance.compactTiered(spark, s"$indexDir/driftlog")
         }
         ()
       }

@@ -563,6 +563,51 @@ class QueriesSpec extends AnyFunSuite {
       "post-rebuild, the new-vocabulary pair must be found")
   }
 
+  test("minhashDriftReport: in-vocabulary batch passes; novel vocabulary flags; legacy baseline derives") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-driftrep").toString
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx)
+
+    // an in-distribution batch: docs FROM the indexed corpus — their
+    // out-of-universe fraction is exactly the build-time capped-out
+    // baseline, so the report must not flag
+    val inVocab = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id", "text")
+    val ok = operators.DedupOps.minhashDriftReport(spark, "", idx, inVocab).head
+    assert(!ok.getAs[Boolean]("drifted"),
+      s"in-vocabulary batch flagged: $ok")
+    assert(ok.getAs[Long]("n_batch") > 0)
+
+    // a batch made ENTIRELY of vocabulary the corpus has never seen
+    // (the rebuildIndex fixture) — every shingle misses the universe
+    val novel = (1 to 50).map(i =>
+      (20000000L + i, (1 to 40).map(j => s"qzvw${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bad = operators.DedupOps.minhashDriftReport(spark, "", idx, novel).head
+    assert(bad.getAs[Boolean]("drifted"), s"novel-vocabulary batch passed: $bad")
+    assert(bad.getAs[Double]("frac_beyond_univ") > 0.9)
+
+    // SIZE drift: a batch of new ids large enough to double the
+    // membership flags regardless of vocabulary (in-corpus text)
+    val n = Tables(spark, sf, "documents").count()
+    val grown = Tables(spark, sf, "documents")
+      .select((col("doc_id") + lit(30000000L)).as("doc_id"), col("text"))
+      .limit((n + 1).toInt)
+    val sized = operators.DedupOps.minhashDriftReport(spark, "", idx, grown).head
+    assert(sized.getAs[Boolean]("drifted"), s"2x-membership batch passed: $sized")
+    assert(sized.getAs[Long]("n_auto") >= sized.getAs[Long]("n_built") * 2)
+
+    // legacy index (no vocabstats): baseline derives once from the
+    // given corpus dir, then the clean batch still passes
+    val fs = new org.apache.hadoop.fs.Path(s"$idx/vocabstats")
+    fs.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fs, true)
+    assertThrows[IllegalArgumentException](
+      operators.DedupOps.minhashDriftReport(spark, "", idx, inVocab))
+    val rederived = operators.DedupOps.minhashDriftReport(spark, sf, idx, inVocab).head
+    assert(!rederived.getAs[Boolean]("drifted"))
+  }
+
   test("training_pipeline scale modes: hashed-decontam survivors equal raw survivors; pii run redacts shards") {
     import org.apache.spark.sql.functions.{col, expr}
     // scale mode (hashed-gram decontamination, the 100 TB default)

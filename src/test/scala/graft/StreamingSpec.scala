@@ -560,6 +560,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(table + "/data").count() === streamed.size)
   }
 
+  test("dedup sink drift log: in-vocabulary triggers record clean, novel-vocabulary ones flag") {
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-dedup-drift-table")
+    val idx = tmpDir("graft-mhidx-drift-sink")
+    val sf = SparkSpec.sf
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx)
+
+    // one in-distribution publish (docs from the corpus), then one of
+    // pure novel vocabulary — the rebuildIndex fixture's shape
+    val inVocab = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 4)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    GraftQueueBroker.publish(broker, "docs", inVocab.map { case (id, text) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L, "t/docs/0", text)
+    })
+    GraftQueueBroker.publish(broker, "docs", inVocab.map { case (id, _) =>
+      GraftQueueBroker.textMsg(40000000L + id, 1700000000000000L + id * 1000000L,
+        "t/docs/0", (1 to 40).map(j => s"wqzv${id}x$j").mkString(" "))
+    })
+
+    val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+      maxRecordsPerTrigger = Some(inVocab.length))
+    val q = Pipelines.incrementalDedupSink(msgs, idx, table, driftEvery = 1)
+      .option("checkpointLocation", tmpDir("graft-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // shared driftlog row shape with the vector sink: batch_id-tagged
+    // 1-row reports, read deduped through the same accessor
+    val log = Pipelines.driftLog(spark, idx).collect()
+    assert(log.length >= 2, "every trigger must log a report at driftEvery=1")
+    assert(log.map(_.getAs[Long]("batch_id")).distinct.length === log.length)
+    val clean = log.filter(!_.getAs[Boolean]("drifted"))
+    val flagged = log.filter(_.getAs[Boolean]("drifted"))
+    assert(clean.nonEmpty, "the in-vocabulary trigger must pass")
+    assert(flagged.nonEmpty, "the novel-vocabulary trigger must flag a rebuild")
+    assert(flagged.forall(_.getAs[Double]("frac_beyond_univ") > 0.5))
+  }
+
   test("streaming dedup pairs two brand-new docs across triggers (update-before-probe)") {
     import org.apache.spark.sql.functions.col
     val sf = SparkSpec.sf
