@@ -537,10 +537,10 @@ object DedupOps {
     * index history). Indexes written before the `ids` table existed
     * fall back to the unpruned single-column `sets` read. */
   def indexedIds(spark: SparkSession, idx: String, buckets: Seq[Int]): DataFrame =
-    try spark.read.parquet(s"$idx/ids")
+    try Snapshot.read(spark, s"$idx/ids")
       .filter(col("kb").isin(buckets: _*)).select("doc_id")
     catch { case _: org.apache.spark.sql.AnalysisException =>
-      spark.read.parquet(s"$idx/sets").select("doc_id")
+      Snapshot.read(spark, s"$idx/sets").select("doc_id")
     }
 
   /** Build the minhash dedup index to parquet — the state a streaming
@@ -632,7 +632,7 @@ object DedupOps {
       count(lit(1)).as("n_build"),
       coalesce(sum(size(distinctShingles3(col("text")))), lit(0L))
         .cast("long").as("_inst_total"))
-    val kept = spark.read.parquet(s"$indexDir/sets")
+    val kept = Snapshot.read(spark, s"$indexDir/sets")
       .agg(coalesce(sum(col("n")), lit(0L)).as("_inst_kept"))
     tot.crossJoin(broadcast(kept))
       .select(col("n_build"),
@@ -686,7 +686,7 @@ object DedupOps {
         s"$indexDir has no vocabstats baseline and no corpus dir was " +
           "given to derive one — rebuild via rebuildIndex, or call " +
           "with the corpus dir once to migrate")
-      val ids = spark.read.parquet(s"$indexDir/ids").select("doc_id")
+      val ids = Snapshot.read(spark, s"$indexDir/ids").select("doc_id")
       writeVocabStats(spark,
         Tables(spark, dir, "documents").select("doc_id", "text")
           .join(ids, Seq("doc_id"), "left_semi"), indexDir)
@@ -703,7 +703,7 @@ object DedupOps {
     val keyed = batchDocs.select(col("doc_id"))
       .withColumn("kb", keyBucket(col("doc_id")))
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
-    val nIdxDf = spark.read.parquet(s"$indexDir/ids")
+    val nIdxDf = Snapshot.read(spark, s"$indexDir/ids")
       .agg(count(lit(1)).as("_n_indexed"))
     val nNewDf = keyed.join(indexedIds(spark, indexDir, buckets),
         Seq("doc_id"), "left_anti")
@@ -771,7 +771,7 @@ object DedupOps {
       // doc_id is unique by construction, so no dedup pass is needed
       // and the verify keeps its exchange-reuse shape. Updated indexes
       // belong to the probe path below, which tolerates replayed rows.
-      val sets = spark.read.parquet(s"$idx/sets")
+      val sets = Snapshot.read(spark, s"$idx/sets")
       val cands = probeCandidates(spark, batchDocs, idx)._1
         .union(prefixCandidates(sets).filter(
           incomingBatch(col("doc_a")) || incomingBatch(col("doc_b"))))
@@ -795,7 +795,7 @@ object DedupOps {
   private def probeCandidates(spark: SparkSession, batchDocs: DataFrame,
                               idx: String): (DataFrame, DataFrame) = {
     val universe = spark.read.parquet(s"$idx/universe")
-    val bands = spark.read.parquet(s"$idx/bands")
+    val bands = Snapshot.read(spark, s"$idx/bands")
     val batchSets = batchSetsAgainst(batchDocs, universe)
     val cands = minhashBands(batchSets)
       .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bkey"))
@@ -826,7 +826,7 @@ object DedupOps {
     // reference (the dupClusters iteration idiom)
     val (cands0, batchSets) = probeCandidates(spark, batchDocs, idx)
     val cands = cands0.localCheckpoint(true)
-    val idxSets = spark.read.parquet(s"$idx/sets")
+    val idxSets = Snapshot.read(spark, s"$idx/sets")
     val bs = batchSets.select(idxSets.columns.map(col): _*)
     // verification only needs candidate docs' rows: restrict the index
     // side (broadcast semi join on the scan) before de-duplicating the

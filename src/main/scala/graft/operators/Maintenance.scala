@@ -128,12 +128,12 @@ object Maintenance {
     * reader in ANOTHER process that listed files before a merge can
     * hit FileNotFoundException when the sources are deleted mid-scan.
     * In-process readers are safe (each Spark action re-lists), but a
-    * separate serving process (e.g. [[VectorOps.annIvfQuery]] against
-    * an index dir a streaming sink compacts per trigger) must not
-    * share a store with in-place compaction — gate the sink's
-    * `maintain` flag off for served indexes and compact them offline
-    * (or serve a [[compactTable]]-rewritten copy), exactly as any
-    * LSM store separates serving snapshots from compaction.
+    * separate serving process must not share a store with THIS
+    * compactor. For stores that are served while maintained, use
+    * [[Snapshot.compactTiered]] instead: same merge policy, but
+    * commits go through generation manifests and retired sources
+    * outlive a grace window, so a pinned [[Snapshot.read]] snapshot
+    * stays valid under live compaction (the sinks default to it).
     *
     * Returns the number of files merged away (0 = under threshold,
     * no-op). */

@@ -1,0 +1,325 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generation-stamped snapshot manifests for append-only parquet
+  * stores — what lets a SERVING process and in-place compaction share
+  * an index directory.
+  *
+  * [[Maintenance.compactTiered]]'s rename-then-delete window is safe
+  * for in-process readers (each Spark action re-lists) but can break a
+  * reader in ANOTHER process that pinned its file list before a merge:
+  * the sources it is mid-way through scanning get deleted underneath
+  * it. The round-8 contract therefore required gating a sink's
+  * `maintain` flag off for served indexes — choosing between
+  * maintenance and serving. This module removes that choice with the
+  * standard lakehouse answer (the Iceberg/Delta snapshot idea reduced
+  * to a directory-local text manifest):
+  *
+  *  - The store dir keeps holding the data files; appends keep being
+  *    plain `mode("append")` parquet writes (no coordination — an
+  *    appended file is live the moment it lands).
+  *  - `_manifests/gen-<N>.txt` (hidden from every parquet reader)
+  *    records the live file set and the not-yet-collected retired
+  *    files. Commit is an atomic rename, so readers see either the
+  *    old or the new generation, never a half state.
+  *  - A compaction writes the merged tier file FIRST (invisible until
+  *    committed — see the orphan rule below), then commits a new
+  *    generation in which the sources are RETIRED, not deleted.
+  *  - Retired files are garbage-collected only after `graceMs`: a
+  *    reader that resolved its snapshot at scan start keeps every
+  *    pinned file on disk for at least the grace window, so an
+  *    in-flight scan and a post-compaction scan both return
+  *    bit-identical results while maintenance runs live.
+  *
+  * Resolution rule (`files`/`read`): live = the newest generation's
+  * live set, PLUS any on-disk data file the manifest has never seen
+  * whose name is not `tier-*` (those are appends — live immediately),
+  * MINUS nothing else. An unknown `tier-*` file is an UNCOMMITTED
+  * compaction (a crash between the tier rename and the manifest
+  * commit) and is excluded — reading it alongside its still-live
+  * sources would double rows; the next compactor call sweeps it. A
+  * store with no manifest at all reads as a plain directory (legacy
+  * mode — every pre-snapshot store keeps working unchanged, and a
+  * `mode("overwrite")` rebuild deletes `_manifests` with the rest of
+  * the dir, resetting the store to legacy cleanly).
+  *
+  * Writer cardinality is unchanged from the tiered compactor: ONE
+  * maintenance writer per store (the owning sink's trigger loop or an
+  * offline job), any number of readers in any process. Readers must
+  * finish a scan within `graceMs` of resolving it — the same kind of
+  * bound every snapshot store with vacuuming imposes.
+  */
+object Snapshot {
+
+  private val ManifestDirName = "_manifests"
+  private val Header = "graft-snapshot-v1"
+  /** Superseded generations kept on disk so a reader that listed the
+    * manifest dir just before a commit still finds the file it chose. */
+  private val KeepManifests = 3
+
+  /** Default GC grace: how long a retired file stays on disk after the
+    * generation that retired it commits. Bounds served scan duration. */
+  val DefaultGraceMs: Long = 10L * 60L * 1000L
+
+  private case class Manifest(gen: Long, live: Vector[String],
+                              retired: Vector[(Long, String)])
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def isTier(rel: String): Boolean =
+    rel.substring(rel.lastIndexOf('/') + 1).startsWith("tier-")
+
+  private def parentRel(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Recursive data-file listing as root-relative (path, bytes) pairs;
+    * `_`/`.`-prefixed entries (manifests, temp dirs, _SUCCESS, crcs)
+    * are skipped at every level. */
+  private def listData(fs: FileSystem, root: Path): Vector[(String, Long)] = {
+    val rootPath = root.toUri.getPath
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(d: Path): Vector[(String, Long)] =
+      fs.listStatus(d).toVector.flatMap { s =>
+        if (hidden(s.getPath.getName)) Vector.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet"))
+          Vector((fs.makeQualified(s.getPath).toUri.getPath
+            .stripPrefix(rootPath).stripPrefix("/"), s.getLen))
+        else Vector.empty
+      }
+    walk(root)
+  }
+
+  private def genOf(name: String): Option[Long] =
+    if (name.startsWith("gen-") && name.endsWith(".txt"))
+      name.stripPrefix("gen-").stripSuffix(".txt").toLongOption
+    else None
+
+  private def latestManifest(fs: FileSystem, root: Path): Option[Manifest] = {
+    val md = new Path(root, ManifestDirName)
+    if (!fs.exists(md)) return None
+    val gens = fs.listStatus(md)
+      .flatMap(s => genOf(s.getPath.getName).map(g => (g, s.getPath)))
+    if (gens.isEmpty) return None
+    val (gen, path) = gens.maxBy(_._1)
+    val in = fs.open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").toVector.filter(_.nonEmpty)
+    require(lines.headOption.contains(Header),
+      s"$path is not a $Header manifest")
+    val live = Vector.newBuilder[String]
+    val retired = Vector.newBuilder[(Long, String)]
+    lines.tail.foreach { l =>
+      if (l.startsWith("live ")) live += l.stripPrefix("live ")
+      else if (l.startsWith("retired ")) {
+        val parts = l.stripPrefix("retired ").split(" ", 2)
+        retired += ((parts(0).toLong, parts(1)))
+      } else throw new IllegalStateException(s"unparseable manifest line in $path: $l")
+    }
+    Some(Manifest(gen, live.result(), retired.result()))
+  }
+
+  /** Atomic commit: write to a `_tmp-*` name, close, rename to the
+    * generation file. A crash before the rename leaves an ignored temp
+    * file; readers see either gen N or gen N+1, never a partial file. */
+  private def writeManifest(fs: FileSystem, root: Path, m: Manifest): Unit = {
+    val md = new Path(root, ManifestDirName)
+    fs.mkdirs(md)
+    val tmp = new Path(md, "_tmp-" + UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder(Header).append('\n')
+      m.live.foreach(n => sb.append("live ").append(n).append('\n'))
+      m.retired.foreach { case (ts, n) =>
+        sb.append("retired ").append(ts).append(' ').append(n).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    val dst = new Path(md, f"gen-${m.gen}%012d.txt")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"manifest commit $tmp -> $dst failed")
+    // prune superseded generations beyond the keep window
+    fs.listStatus(md).foreach { s =>
+      genOf(s.getPath.getName).foreach { g =>
+        if (g <= m.gen - KeepManifests) fs.delete(s.getPath, false)
+      }
+    }
+  }
+
+  /** The pinned snapshot: absolute paths of the store's CURRENT live
+    * set, resolved once. A serving process passes these to its scan
+    * and is guaranteed they exist for `graceMs` after any concurrent
+    * compaction retires them. Legacy (manifest-less) stores resolve to
+    * their full on-disk file set. */
+  def files(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    // manifest BEFORE the listing: a concurrent merge committing in
+    // between then shows up as an unknown tier file (excluded) with
+    // its sources still live — the reverse order would see the new
+    // generation's tier missing from the stale listing and fail the
+    // lost-file check spuriously
+    val manifest = latestManifest(fs, root)
+    val onDisk = listData(fs, root)
+    manifest match {
+      case None => onDisk.map(f => new Path(root, f._1).toString).sorted
+      case Some(m) =>
+        val onDiskNames = onDisk.map(_._1).toSet
+        val missing = m.live.filterNot(onDiskNames)
+        require(missing.isEmpty,
+          s"snapshot store $dir lost live files (externally deleted?): " +
+            missing.take(5).mkString(", "))
+        val known = m.live.toSet ++ m.retired.map(_._2)
+        val appends = onDisk.map(_._1).filter(n => !known(n) && !isTier(n))
+        (m.live ++ appends).sorted.map(n => new Path(root, n).toString)
+    }
+  }
+
+  /** Snapshot-resolved read of a store dir: the manifest's live set
+    * (plus post-manifest appends) as an explicit file-list scan with
+    * `basePath = dir`, so Hive partition columns (`kb=…`) keep being
+    * inferred and pruned exactly as a whole-directory read would.
+    * Stores without a manifest read as plain directories — this is a
+    * drop-in replacement for `spark.read.parquet(dir)` on every store
+    * the snapshot compactor may manage. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(new Path(root, ManifestDirName)))
+      return spark.read.parquet(dir)
+    val paths = files(spark, dir)
+    require(paths.nonEmpty, s"snapshot store $dir resolved to an empty live set")
+    spark.read.option("basePath", root.toString).parquet(paths: _*)
+  }
+
+  /** Snapshot-isolated size-tiered compaction of a FLAT append-only
+    * store — [[Maintenance.compactTiered]]'s merge policy (smallest
+    * `n - maxFiles/2 + 1` live files, capped at `maxMergeFiles`, when
+    * the live count crosses `maxFiles`) with manifest commits instead
+    * of delete-after-rename. Returns files merged away (0 = no-op).
+    * With `graceMs = 0` retired sources are collected in the same
+    * call — the old compactor's disk behavior, plus the manifest. */
+  def compactTiered(spark: SparkSession, dir: String, maxFiles: Int = 128,
+                    maxMergeFiles: Int = 512,
+                    graceMs: Long = DefaultGraceMs): Int =
+    compactCore(spark, dir, maxFiles, maxMergeFiles, graceMs, perLeaf = false)
+
+  /** [[compactTiered]] over every `col=value` leaf of a
+    * Hive-partitioned store, all committed in ONE new generation (one
+    * manifest at the store ROOT covers the whole tree — a single
+    * atomic commit for the trigger's sweep, and one resolution read
+    * for a serving scan of the whole tree). */
+  def compactTieredPartitioned(spark: SparkSession, dir: String,
+                               maxFilesPerLeaf: Int = 16,
+                               maxMergeFiles: Int = 512,
+                               graceMs: Long = DefaultGraceMs): Int =
+    compactCore(spark, dir, maxFilesPerLeaf, maxMergeFiles, graceMs, perLeaf = true)
+
+  private def compactCore(spark: SparkSession, dir: String, maxFiles: Int,
+                          maxMergeFiles: Int, graceMs: Long,
+                          perLeaf: Boolean): Int = {
+    require(maxFiles >= 2, s"maxFiles must be >= 2, got $maxFiles")
+    require(maxMergeFiles >= 2, s"maxMergeFiles must be >= 2, got $maxMergeFiles")
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return 0
+    // sweep merge-output temp dirs a crashed previous call left behind
+    fs.listStatus(root).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("_compact_tmp"))
+        fs.delete(s.getPath, true)
+    }
+    val onDisk = listData(fs, root)
+    val sizes = onDisk.toMap
+    val manifest = latestManifest(fs, root) match {
+      case Some(m) => m
+      case None =>
+        // bootstrap gen 0 = everything currently on disk (including
+        // legacy tier files — under the old compactor they were
+        // committed by their sources' deletion, so they are data).
+        // Committed BEFORE any tier write, so from here on an
+        // unknown tier file always means a crashed commit.
+        val m = Manifest(0L, onDisk.map(_._1).sorted, Vector.empty)
+        writeManifest(fs, root, m)
+        m
+    }
+    val onDiskNames = onDisk.map(_._1).toSet
+    val liveSet0 = manifest.live.toSet
+    val retiredNames = manifest.retired.map(_._2).toSet
+    val missing = manifest.live.filterNot(onDiskNames)
+    require(missing.isEmpty,
+      s"snapshot store $dir lost live files (externally deleted? a " +
+        s"non-snapshot compactor run?): ${missing.take(5).mkString(", ")}")
+    // crashed-commit orphans: tier files no manifest ever admitted are
+    // invisible to readers; delete (single maintenance writer — no
+    // concurrent commit can be mid-rename on this store)
+    onDisk.foreach { case (n, _) =>
+      if (isTier(n) && !liveSet0(n) && !retiredNames(n))
+        fs.delete(new Path(root, n), false)
+    }
+    val appends = onDisk.map(_._1)
+      .filter(n => !liveSet0(n) && !retiredNames(n) && !isTier(n))
+    val live = (manifest.live ++ appends).sorted
+    val now = System.currentTimeMillis()
+
+    // merge groups: per partition leaf, or the store root's own files
+    // (a flat compactor must never merge ACROSS leaf dirs — that would
+    // destroy the partition layout; nested files are simply not its
+    // candidates, matching the non-recursive old compactor)
+    val groups: Seq[Vector[String]] =
+      if (perLeaf) live.groupBy(parentRel).values.toSeq
+      else Seq(live.filter(n => !n.contains('/')))
+
+    var mergedCount = 0
+    var newLive = live
+    var newRetired = manifest.retired
+    groups.foreach { g =>
+      if (g.length > maxFiles) {
+        val sel = g.map(n => (sizes(n), n)).sorted
+          .take(math.min(g.length - maxFiles / 2 + 1, maxMergeFiles))
+          .map(_._2)
+        val tmp = new Path(root, "_compact_tmp-" + UUID.randomUUID().toString)
+        spark.read.parquet(sel.map(n => new Path(root, n).toString): _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .find(_.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"merge wrote no parquet under $tmp"))
+        val leaf = parentRel(sel.head)
+        val tierRel = (if (leaf.isEmpty) "" else leaf + "/") +
+          "tier-" + UUID.randomUUID().toString + ".parquet"
+        if (!fs.rename(part.getPath, new Path(root, tierRel)))
+          throw new IllegalStateException(
+            s"rename ${part.getPath} -> $root/$tierRel failed")
+        fs.delete(tmp, true)
+        val selSet = sel.toSet
+        newLive = newLive.filterNot(selSet) :+ tierRel
+        newRetired = newRetired ++ sel.map(n => (now, n))
+        mergedCount += sel.length
+      }
+    }
+
+    // GC strictly BEFORE the manifest commit: a crash after these
+    // deletes re-resolves against the OLD manifest, whose retired
+    // entries simply point at already-gone files (delete is a no-op
+    // next time). The reverse order would let a crash strand deleted
+    // names as "unknown appends" — silent row duplication.
+    val (expired, kept) = newRetired.partition { case (ts, _) => now - ts >= graceMs }
+    expired.foreach { case (_, n) => fs.delete(new Path(root, n), false) }
+
+    if (mergedCount > 0 || expired.nonEmpty)
+      writeManifest(fs, root,
+        Manifest(manifest.gen + 1, newLive.sorted, kept))
+    mergedCount
+  }
+}

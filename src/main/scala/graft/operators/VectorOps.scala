@@ -607,7 +607,7 @@ object VectorOps {
     * existed. */
   private def writeIvfIds(spark: SparkSession, indexDir: String,
                           listTable: String = "invlist"): Unit =
-    spark.read.parquet(s"$indexDir/$listTable")
+    Snapshot.read(spark, s"$indexDir/$listTable")
       .select(col("neighbor_id").as("vec_id")).distinct()
       .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
@@ -640,7 +640,7 @@ object VectorOps {
     if (!hExists(spark, s"$indexDir/ids/_SUCCESS"))
       writeIvfIds(spark, indexDir, listTable)
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
-    val existing = spark.read.parquet(s"$indexDir/ids")
+    val existing = Snapshot.read(spark, s"$indexDir/ids")
       .filter(col("kb").isin(buckets: _*)).select("vec_id")
     keyed.join(existing, Seq("vec_id"), "left_anti").localCheckpoint(true)
   }
@@ -727,7 +727,7 @@ object VectorOps {
         s"$indexDir has no diststats baseline and no corpus dir was " +
           "given to derive one — rebuild via ivfBuildIndex, or call " +
           "with the corpus dir once to migrate")
-      val ids = spark.read.parquet(s"$indexDir/ids").select("vec_id")
+      val ids = Snapshot.read(spark, s"$indexDir/ids").select("vec_id")
       val pts = vecs(spark, dir).filter(col("vec_id") >= nQueries)
         .select(col("vec_id"), col("vd"))
         .join(ids, Seq("vec_id"), "left_semi")
@@ -744,9 +744,9 @@ object VectorOps {
     val keyed = batch.select(col("vec_id"))
       .withColumn("kb", DedupOps.keyBucket(col("vec_id")))
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
-    val existing = spark.read.parquet(s"$indexDir/ids")
+    val existing = Snapshot.read(spark, s"$indexDir/ids")
       .filter(col("kb").isin(buckets: _*)).select("vec_id")
-    val nIdxDf = spark.read.parquet(s"$indexDir/ids")
+    val nIdxDf = Snapshot.read(spark, s"$indexDir/ids")
       .agg(count(lit(1)).as("_n_indexed"))
     val nNewDf = keyed.join(existing, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("_n_new"))
@@ -857,7 +857,7 @@ object VectorOps {
       ivfBuildIndex(spark, dir, idx, kk)
     ivfSearch(spark, dir,
       spark.read.parquet(s"$idx/centroids"),
-      spark.read.parquet(s"$idx/invlist"), pp)
+      Snapshot.read(spark, s"$idx/invlist"), pp)
   }
 
   /** PQ (product quantization) ANN — the memory-compression scale path:
@@ -1128,7 +1128,7 @@ object VectorOps {
       ivfpqBuildIndex(spark, dir, idx, kk)
     val cents = spark.read.parquet(s"$idx/centroids")
     val cb = spark.read.parquet(s"$idx/codebook")
-    val codes = spark.read.parquet(s"$idx/codes")
+    val codes = Snapshot.read(spark, s"$idx/codes")
 
     val v = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))

@@ -532,16 +532,16 @@ object Pipelines {
     * source's permissive parse mode.
     *
     * Like [[incrementalDedupSink]], the sink self-maintains its file
-    * layout: each trigger runs the size-tiered
-    * [[graft.operators.Maintenance.compactTiered]] threshold check
-    * over `invlist` (duplicate-tolerant by the same search-path
-    * argument above), so per-trigger listing cost stays bounded
-    * instead of growing with trigger history. Set `maintain = false`
-    * when a SEPARATE process serves this index dir: in-place
-    * compaction's rename-then-delete window can race an external
-    * reader's file listing (see [[graft.operators.Maintenance
-    * .compactTiered]]'s concurrent-reader contract) — compact served
-    * indexes offline instead.
+    * layout: each trigger runs the SNAPSHOT-ISOLATED size-tiered
+    * threshold check ([[graft.operators.Snapshot.compactTiered]])
+    * over `invlist`, so per-trigger listing cost stays bounded
+    * instead of growing with trigger history — and because merges
+    * commit through generation manifests (sources retired, collected
+    * only after `graceMs`), a SEPARATE serving process reading this
+    * index through [[graft.operators.Snapshot.read]] (as
+    * [[graft.operators.VectorOps.annIvfQuery]] does) stays
+    * bit-identical while maintenance runs live; `maintain = false`
+    * is now an opt-out, not a serving requirement.
     *
     * `driftEvery = N` (0 = off) additionally runs
     * [[graft.operators.VectorOps.ivfDriftReport]] over every N-th
@@ -565,7 +565,9 @@ object Pipelines {
     * the sweep exists to prevent. */
   def vectorIndexSink(messages: DataFrame, indexDir: String,
                       maintain: Boolean = true,
-                      driftEvery: Int = 0): DataStreamWriter[Row] = {
+                      driftEvery: Int = 0,
+                      graceMs: Long = graft.operators.Snapshot.DefaultGraceMs)
+      : DataStreamWriter[Row] = {
     // the embedding width is a property of the index's frozen
     // centroids — immutable for the life of the directory (a rebuild
     // re-trains positions, never the dimension) — so resolve it ONCE
@@ -597,16 +599,16 @@ object Pipelines {
             .write.mode("append").parquet(s"$indexDir/driftlog")
         graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
         if (maintain) {
-          graft.operators.Maintenance.compactTiered(
-            batch.sparkSession, s"$indexDir/invlist")
-          graft.operators.Maintenance.compactTieredPartitioned(
-            batch.sparkSession, s"$indexDir/ids")
+          graft.operators.Snapshot.compactTiered(
+            batch.sparkSession, s"$indexDir/invlist", graceMs = graceMs)
+          graft.operators.Snapshot.compactTieredPartitioned(
+            batch.sparkSession, s"$indexDir/ids", graceMs = graceMs)
           // the drift log is append-only and its reader ([[driftLog]])
           // dedups by batch_id, so it tolerates the compactor's
           // crash-window duplicate rows like the index stores do
           if (driftEvery > 0)
-            graft.operators.Maintenance.compactTiered(
-              batch.sparkSession, s"$indexDir/driftlog")
+            graft.operators.Snapshot.compactTiered(
+              batch.sparkSession, s"$indexDir/driftlog", graceMs = graceMs)
         }
         ()
       }
@@ -620,7 +622,8 @@ object Pipelines {
     * batch_id survives here. Works for any sink writing the shared
     * driftlog row shape (batch_id + per-signal columns + `drifted`). */
   def driftLog(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/driftlog").dropDuplicates("batch_id")
+    graft.operators.Snapshot.read(spark, s"$indexDir/driftlog")
+      .dropDuplicates("batch_id")
 
   /** Ingestion-time dedup ON THE STREAM: every micro-batch of incoming
     * documents (message_id = doc_id, payload = UTF-8 text) is first
@@ -656,12 +659,14 @@ object Pipelines {
     * to `bands`/`sets`/`ids`, and every later trigger's probe re-LISTS
     * and re-opens them — an O(triggers) per-file cost that showed up
     * as a 1.7× climbing tail over 455 triggers at sf1 (SINKBENCH).
-    * Each trigger therefore runs the size-tiered
-    * [[graft.operators.Maintenance.compactTiered]] threshold check
+    * Each trigger therefore runs the snapshot-isolated size-tiered
+    * threshold check ([[graft.operators.Snapshot.compactTiered]])
     * over the index stores (driver-side listing, merge only when a
     * store crosses its threshold — amortized O(rows appended), never
-    * a corpus rewrite), which is safe exactly because every reader of
-    * these stores tolerates the compactor's crash-window duplicates.
+    * a corpus rewrite). Merges commit through generation manifests,
+    * so an external probe reading the index through
+    * [[graft.operators.Snapshot.read]] keeps its pinned snapshot for
+    * `graceMs` while maintenance runs live.
     * The pair table itself is NOT auto-compacted: duplicate pair rows
     * would surface to consumers, so its maintenance stays the offline
     * [[graft.operators.Maintenance.compactPartitioned]] (stream
@@ -683,7 +688,9 @@ object Pipelines {
   def incrementalDedupSink(messages: DataFrame, indexDir: String,
                            tablePath: String,
                            maintain: Boolean = true,
-                           driftEvery: Int = 0): DataStreamWriter[Row] = {
+                           driftEvery: Int = 0,
+                           graceMs: Long = graft.operators.Snapshot.DefaultGraceMs)
+      : DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
     messages.writeStream
       .outputMode("append")
@@ -726,11 +733,15 @@ object Pipelines {
             Seq("doc_a", "doc_b"), "left_anti")
           .write.mode("append").partitionBy("kb").parquet(dataPath)
         if (maintain) {
-          graft.operators.Maintenance.compactTiered(spark, s"$indexDir/bands")
-          graft.operators.Maintenance.compactTiered(spark, s"$indexDir/sets")
-          graft.operators.Maintenance.compactTieredPartitioned(spark, s"$indexDir/ids")
+          graft.operators.Snapshot.compactTiered(
+            spark, s"$indexDir/bands", graceMs = graceMs)
+          graft.operators.Snapshot.compactTiered(
+            spark, s"$indexDir/sets", graceMs = graceMs)
+          graft.operators.Snapshot.compactTieredPartitioned(
+            spark, s"$indexDir/ids", graceMs = graceMs)
           if (driftEvery > 0)
-            graft.operators.Maintenance.compactTiered(spark, s"$indexDir/driftlog")
+            graft.operators.Snapshot.compactTiered(
+              spark, s"$indexDir/driftlog", graceMs = graceMs)
         }
         ()
       }

@@ -293,4 +293,150 @@ class MaintenanceSpec extends AnyFunSuite {
     // rows preserved
     assert(spark.read.parquet(zed).count() === spark.read.parquet(src).count())
   }
+
+  test("annIvfQuery serves bit-identically across a live snapshot compaction") {
+    // the round-8 gap: in-place compaction and serving could not share
+    // an index dir (maintain had to be gated off for served indexes).
+    // Carve a frozen-quantizer index and fragment its invlist with six
+    // append batches — the streaming sink's trigger pattern — then
+    // merge WHILE a serving snapshot is pinned.
+    val idxFull = tmp("graft-ivfsnap-full")
+    operators.VectorOps.ivfBuildIndex(spark, sf, idxFull)
+    val idx = tmp("graft-ivfsnap")
+    spark.read.parquet(idxFull + "/centroids").write.parquet(idx + "/centroids")
+    spark.read.parquet(idxFull + "/invlist")
+      .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
+      .write.parquet(idx + "/invlist")
+    val rest = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id", "embedding")
+    (0 until 6).foreach { i =>
+      operators.VectorOps.ivfAppend(spark,
+        rest.filter(pmod(col("vec_id"), lit(6)) === i), idx)
+    }
+    def serve() = operators.VectorOps.annIvfQuery(spark, sf, idx)
+      .collect().map(_.toString).sorted.toSeq
+    val before = serve()
+    assert(before.nonEmpty)
+    // a serving process resolves its snapshot (scan in flight)...
+    val pinned = operators.Snapshot.files(spark, idx + "/invlist")
+    val pinnedLists = spark.read.parquet(pinned: _*)
+      .collect().map(_.toString).sorted.toSeq
+    // ...and maintenance merges the fragmented lists LIVE, mid-scan
+    assert(operators.Snapshot.compactTiered(spark, idx + "/invlist",
+      maxFiles = 4, graceMs = 24L * 3600 * 1000) > 0)
+    // the in-flight scan's pinned files still read bit-identically
+    assert(spark.read.parquet(pinned: _*)
+      .collect().map(_.toString).sorted.toSeq === pinnedLists)
+    // and the next serving resolution returns the same neighbors
+    assert(serve() === before)
+  }
+
+  test("snapshot compaction: pinned readers survive a live merge, GC only after grace") {
+    val dir = tmp("graft-snap")
+    (0 until 18).foreach { i =>
+      spark.range(i * 10, i * 10 + (if (i % 6 == 0) 200 else 5))
+        .select(col("id")).coalesce(1).write.mode("append").parquet(dir)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val rows = ids(spark.read.parquet(dir))
+
+    // legacy store (no manifest yet): snapshot read IS the plain read
+    assert(ids(operators.Snapshot.read(spark, dir)) === rows)
+
+    // a serving process pins its snapshot, THEN maintenance merges —
+    // the round-8 contract forbade exactly this interleaving
+    val pinned = operators.Snapshot.files(spark, dir)
+    val day = 24L * 3600 * 1000
+    val merged = operators.Snapshot.compactTiered(spark, dir,
+      maxFiles = 8, graceMs = day)
+    assert(merged > 0)
+    def onDisk(p: String) = new java.io.File(new java.net.URI(p).getPath).exists()
+    assert(pinned.forall(onDisk),
+      "every pinned file must outlive the merge for the grace window")
+    assert(ids(spark.read.parquet(pinned: _*)) === rows,
+      "the in-flight scan's snapshot must stay bit-identical")
+
+    // a fresh resolution sees the new generation: fewer files, same rows
+    val after = operators.Snapshot.files(spark, dir)
+    assert(after.length < pinned.length)
+    assert(ids(operators.Snapshot.read(spark, dir)) === rows)
+    // ...while retired sources still sit on disk inside the grace window
+    assert(parquetFiles(dir).length > after.length)
+
+    // crashed commit: a tier file no manifest admitted must be
+    // invisible (its still-live sources would otherwise double)
+    val aLive = new java.io.File(new java.net.URI(after.head).getPath)
+    val orphan = new java.io.File(dir, "tier-orphan-crashed.parquet")
+    java.nio.file.Files.copy(aLive.toPath, orphan.toPath)
+    assert(ids(operators.Snapshot.read(spark, dir)) === rows,
+      "an uncommitted tier file must not surface rows")
+
+    // grace elapsed (graceMs = 0): the next call collects retired
+    // files and sweeps the orphan; the store converges to live-only
+    operators.Snapshot.compactTiered(spark, dir, maxFiles = 8, graceMs = 0)
+    assert(!orphan.exists(), "orphan tier must be swept")
+    assert(parquetFiles(dir).length ===
+      operators.Snapshot.files(spark, dir).length)
+    assert(ids(operators.Snapshot.read(spark, dir)) === rows)
+
+    // appends land live with no manifest coordination
+    spark.range(5000, 5003).coalesce(1).write.mode("append").parquet(dir)
+    assert(ids(operators.Snapshot.read(spark, dir)) ===
+      (rows ++ (5000L until 5003L)).sorted)
+  }
+
+  test("snapshot compaction of a partitioned store keeps layout and pruning") {
+    val dir = tmp("graft-snap-part")
+    val base = spark.range(200)
+      .select(col("id").as("doc_id"),
+        operators.DedupOps.keyBucket(col("id")).as("kb"))
+    (0 until 12).foreach { i =>
+      base.filter(col("doc_id") % 12 === i)
+        .write.mode("append").partitionBy("kb").parquet(dir)
+    }
+    def docs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val rows = docs(spark.read.parquet(dir))
+    val pinned = operators.Snapshot.files(spark, dir)
+
+    val merged = operators.Snapshot.compactTieredPartitioned(spark, dir,
+      maxFilesPerLeaf = 2, graceMs = 24L * 3600 * 1000)
+    assert(merged > 0)
+    assert(docs(spark.read.parquet(pinned: _*)) === rows,
+      "pinned partitioned snapshot must survive the merge")
+
+    val snap = operators.Snapshot.read(spark, dir)
+    assert(docs(snap) === rows)
+    // the kb partition column is still inferred and still prunes: a
+    // one-bucket filter SCANS only that leaf's files (executed-plan
+    // metric — inputFiles reports the unpruned relation)
+    val kb = snap.select("kb").head.getInt(0)
+    val one = operators.Snapshot.read(spark, dir).filter(col("kb") === kb)
+    val got = one.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got === docs(base.filter(col("kb") === kb)))
+    val scanned = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val liveInLeaf = operators.Snapshot.files(spark, dir)
+      .count(_.contains(s"kb=$kb"))
+    assert(scanned === liveInLeaf &&
+      scanned < operators.Snapshot.files(spark, dir).length,
+      s"one-bucket filter must scan only its leaf ($scanned vs $liveInLeaf live)")
+
+    // grace elapsed: the tree converges to live-only, rows intact
+    operators.Snapshot.compactTieredPartitioned(spark, dir,
+      maxFilesPerLeaf = 2, graceMs = 0)
+    def allParquet(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) allParquet(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    assert(allParquet(new java.io.File(dir)).length ===
+      operators.Snapshot.files(spark, dir).length)
+    assert(docs(operators.Snapshot.read(spark, dir)) === rows)
+  }
 }
