@@ -39,6 +39,13 @@ object SinkBench {
     val outFile = args.lift(1).getOrElse("sink-bench.json")
     val triggers = args.lift(2).map(_.toInt).getOrElse(40)
     val mode = args.lift(3).getOrElse("dedup")
+    // GC grace for the sinks' snapshot maintenance (ms). The default
+    // 10-min grace never GCs inside a minutes-long bench run, so the
+    // retired backlog this knob bounds in production is unbounded here
+    // — pass a grace sized to the bench's trigger cadence to measure
+    // the steady state a real deployment (grace ≪ run length) sees.
+    val graceMs = args.lift(4).map(_.toLong)
+      .getOrElse(operators.Snapshot.DefaultGraceMs)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,7 +94,8 @@ object SinkBench {
         })
         val table = tmp("graft-sinkbench-table")
         stream(broker, "docs", slice.length,
-          streaming.Pipelines.incrementalDedupSink(_, idx, table))
+          streaming.Pipelines.incrementalDedupSink(_, idx, table,
+            graceMs = graceMs))
 
       case "vector" | "vector-drift" =>
         // frozen quantizer over the full corpus, lists carved down to
@@ -116,7 +124,8 @@ object SinkBench {
         })
         val driftEvery = if (mode == "vector-drift") 1 else 0
         stream(broker, "vecs", slice.length,
-          streaming.Pipelines.vectorIndexSink(_, idx, driftEvery = driftEvery))
+          streaming.Pipelines.vectorIndexSink(_, idx, driftEvery = driftEvery,
+            graceMs = graceMs))
 
       case other =>
         throw new IllegalArgumentException(

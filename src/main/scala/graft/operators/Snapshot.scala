@@ -158,48 +158,89 @@ object Snapshot {
     }
   }
 
-  /** The pinned snapshot: absolute paths of the store's CURRENT live
-    * set, resolved once. A serving process passes these to its scan
-    * and is guaranteed they exist for `graceMs` after any concurrent
-    * compaction retires them. Legacy (manifest-less) stores resolve to
-    * their full on-disk file set. */
+  /** Shared resolution: (root-relative live names, on-disk names).
+    * Returns None when the store has no manifest (legacy mode). The
+    * manifest is read BEFORE the listing: a concurrent merge
+    * committing in between then shows up as an unknown tier file
+    * (excluded) with its sources still live — the reverse order would
+    * see the new generation's tier missing from the stale listing and
+    * fail the lost-file check spuriously. */
+  private def resolveLive(fs: FileSystem, root: Path,
+                          dir: String): Option[(Vector[String], Vector[String])] = {
+    val manifest = latestManifest(fs, root)
+    val onDisk = listData(fs, root).map(_._1)
+    manifest.map { m =>
+      val onDiskNames = onDisk.toSet
+      val missing = m.live.filterNot(onDiskNames)
+      require(missing.isEmpty,
+        s"snapshot store $dir lost live files (externally deleted?): " +
+          missing.take(5).mkString(", "))
+      val known = m.live.toSet ++ m.retired.map(_._2)
+      val appends = onDisk.filter(n => !known(n) && !isTier(n))
+      ((m.live ++ appends).sorted, onDisk)
+    }
+  }
+
+  /** The pinned snapshot: absolute FILE paths of the store's CURRENT
+    * live set, resolved once. A serving process passes these to its
+    * scan and is guaranteed they exist for `graceMs` after any
+    * concurrent compaction retires them — the strict isolation mode.
+    * Legacy (manifest-less) stores resolve to their full on-disk
+    * file set. */
   def files(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
-    // manifest BEFORE the listing: a concurrent merge committing in
-    // between then shows up as an unknown tier file (excluded) with
-    // its sources still live — the reverse order would see the new
-    // generation's tier missing from the stale listing and fail the
-    // lost-file check spuriously
-    val manifest = latestManifest(fs, root)
-    val onDisk = listData(fs, root)
-    manifest match {
-      case None => onDisk.map(f => new Path(root, f._1).toString).sorted
-      case Some(m) =>
-        val onDiskNames = onDisk.map(_._1).toSet
-        val missing = m.live.filterNot(onDiskNames)
-        require(missing.isEmpty,
-          s"snapshot store $dir lost live files (externally deleted?): " +
-            missing.take(5).mkString(", "))
-        val known = m.live.toSet ++ m.retired.map(_._2)
-        val appends = onDisk.map(_._1).filter(n => !known(n) && !isTier(n))
-        (m.live ++ appends).sorted.map(n => new Path(root, n).toString)
+    resolveLive(fs, root, dir) match {
+      case None =>
+        listData(fs, root).map(f => new Path(root, f._1).toString).sorted
+      case Some((live, _)) => live.map(n => new Path(root, n).toString)
     }
   }
 
   /** Snapshot-resolved read of a store dir: the manifest's live set
-    * (plus post-manifest appends) as an explicit file-list scan with
-    * `basePath = dir`, so Hive partition columns (`kb=…`) keep being
-    * inferred and pruned exactly as a whole-directory read would.
-    * Stores without a manifest read as plain directories — this is a
-    * drop-in replacement for `spark.read.parquet(dir)` on every store
-    * the snapshot compactor may manage. */
+    * (plus post-manifest appends) with `basePath = dir`, so Hive
+    * partition columns (`kb=…`) keep being inferred and pruned
+    * exactly as a whole-directory read would. Stores without a
+    * manifest read as plain directories — a drop-in replacement for
+    * `spark.read.parquet(dir)` on every store the snapshot compactor
+    * may manage.
+    *
+    * Path granularity is ADAPTIVE: a leaf whose on-disk set equals
+    * its live set (the steady state — no retired files awaiting GC,
+    * no crashed-commit orphans) is passed as its DIRECTORY, and only
+    * dirty leaves pin individual files. Per-file scans pay Spark's
+    * per-path resolution ceremony (a distributed listing job above
+    * the parallel-discovery threshold) on EVERY read — O(live files)
+    * per trigger, which measurably climbs a streaming sink's
+    * per-trigger cost as the store approaches its compaction
+    * equilibrium — while directory paths stay at the store's leaf
+    * count. The trade: under an exactly-concurrent merge commit, a
+    * directory-granular scan can see a leaf's tier file AND its
+    * retired sources (duplicate rows — which every composed reader
+    * of these stores already tolerates and collapses), where the
+    * per-file [[files]] pin stays bit-exact; callers needing strict
+    * isolation across processes pin with [[files]]. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (fs, root) = fsOf(spark, dir)
     if (!fs.exists(new Path(root, ManifestDirName)))
       return spark.read.parquet(dir)
-    val paths = files(spark, dir)
-    require(paths.nonEmpty, s"snapshot store $dir resolved to an empty live set")
-    spark.read.option("basePath", root.toString).parquet(paths: _*)
+    resolveLive(fs, root, dir) match {
+      case None => spark.read.parquet(dir)
+      case Some((live, onDisk)) =>
+        require(live.nonEmpty,
+          s"snapshot store $dir resolved to an empty live set")
+        if (live == onDisk.sorted) return spark.read.parquet(dir)
+        val liveByLeaf = live.groupBy(parentRel)
+        val diskByLeaf = onDisk.groupBy(parentRel)
+        val paths = (liveByLeaf.keySet ++ diskByLeaf.keySet).toSeq.sorted
+          .flatMap { leaf =>
+            val l = liveByLeaf.getOrElse(leaf, Vector.empty)
+            val d = diskByLeaf.getOrElse(leaf, Vector.empty)
+            if (leaf.nonEmpty && l.toSet == d.toSet)
+              Seq(new Path(root, leaf).toString)
+            else l.map(n => new Path(root, n).toString)
+          }
+        spark.read.option("basePath", root.toString).parquet(paths: _*)
+    }
   }
 
   /** Snapshot-isolated size-tiered compaction of a FLAT append-only
