@@ -89,6 +89,11 @@ object SparkEntry {
     "dedup_exact"        -> TextOps.dedupExact _,
     "token_count"        -> TextOps.tokenCount _,
     "doc_pack_sequences" -> TextOps.docPackSequences _,
+    "doc_shard_plan" -> TextOps.docShardPlan _,
+    "doc_quality_adaptive" -> ((s: SparkSession, d: String) =>
+      TextOps.docQualityAdaptive(s, d)),
+    "doc_quality_adaptive_approx" -> ((s: SparkSession, d: String) =>
+      TextOps.docQualityAdaptive(s, d, approx = true)),
     "text_quality"       -> TextOps.textQuality _,
     "lang_id"            -> TextOps.langId _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
@@ -145,6 +150,7 @@ object SparkEntry {
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEdit _,
     "dedup_clusters"      -> DedupOps.dupClusters _,
     "dedup_cluster_best"  -> DedupOps.dupClusterBest _,
+    "doc_split_leakproof" -> DedupOps.docSplitLeakproof _,
     "source_overlap"      -> DedupOps.sourceOverlap _,
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
@@ -227,6 +233,8 @@ object SparkEntry {
     "dedup_exact"        -> TextOps.dedupExactSql,
     "token_count"        -> TextOps.tokenCountSql,
     "doc_pack_sequences" -> TextOps.docPackSequencesSql,
+    "doc_shard_plan" -> TextOps.docShardPlanSql,
+    "doc_quality_adaptive" -> TextOps.docQualityAdaptiveSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
@@ -249,6 +257,7 @@ object SparkEntry {
     "dedup_fuzzy_edit"    -> DedupOps.fuzzyEditSql,
     "dedup_clusters"      -> DedupOps.dupClustersSql,
     "dedup_cluster_best"  -> DedupOps.dupClusterBestSql,
+    "doc_split_leakproof" -> DedupOps.docSplitLeakproofSql,
     "source_overlap"      -> DedupOps.sourceOverlapSql,
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,

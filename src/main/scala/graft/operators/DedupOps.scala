@@ -475,6 +475,59 @@ object DedupOps {
        | (m.doc_id = b.best_doc) AS keep
        |FROM mem m JOIN best b USING (cluster_id)""".stripMargin
 
+  /** Deterministic train/val SPLIT with a near-dup LEAKAGE GUARD —
+    * the property an eval split of pretraining data actually needs:
+    * no near-duplicate pair may straddle the split, or the val set
+    * silently scores memorization. Hash-splitting doc_ids alone
+    * violates it (each member of a dup pair hashes independently);
+    * splitting by CLUSTER restores it: every doc's split key is its
+    * [[dupClusters]] min-label (its own id when un-clustered), so a
+    * whole near-dup component lands on one side by construction.
+    *
+    * The split hash is a linear congruence on the key — expressible
+    * identically in ANSI SQL, so the assignment (not just its
+    * statistics) is cross-engine gated. Valid for keys below
+    * ~2^45 (the multiply must not overflow a long under ANSI mode);
+    * a deployment with wider ids swaps in xxhash64 and loses only
+    * the DuckDB twin, not the leakage property, which the ScalaTest
+    * spec (no [[ngramJaccard]] pair straddles) pins either way.
+    *
+    * Scale shape: cluster labels exist only for docs that appear in
+    * a dup pair — the DEDUP OUTPUT, tiny vs the corpus — so the
+    * corpus-side join is one broadcast, no shuffle of the documents
+    * table, and the label propagation cost is [[dupClusters]]'s
+    * O(pairs × diameter). */
+  val splitValPct = 10
+
+  def docSplitLeakproof(spark: SparkSession, dir: String): DataFrame = {
+    val members = dupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(members), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      .withColumn("split",
+        when(pmod(col("split_key") * lit(40503L) + lit(17L), lit(100L))
+          < splitValPct, lit("val")).otherwise(lit("train")))
+  }
+
+  val docSplitLeakproofSql: String =
+    s"""WITH RECURSIVE j AS ($jaccardSql),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM j
+       | UNION SELECT doc_b, doc_a FROM j),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       | SELECT id, id FROM nodes
+       | UNION
+       | SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       | COALESCE(l.cluster_id, d.doc_id) AS split_key,
+       | CASE WHEN (COALESCE(l.cluster_id, d.doc_id) * 40503 + 17) % 100
+       |           < $splitValPct
+       |      THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id""".stripMargin
+
   /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via 8×8-bit band
     * join (pigeonhole: ≤7 differing bits leave ≥1 of 8 bands equal,
     * so recall at the ≤6 threshold is exact). Hashes 3-gram shingles,

@@ -149,6 +149,115 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "data", "value")
 
+  /** SHARD assignment for the packed-batch writer — which of
+    * [[shardCount]] output shards each document's tokens land in,
+    * balanced by TOKEN MASS, not doc count (shards feed data-parallel
+    * trainer ranks; a token-skewed shard is a straggler rank). Within
+    * each source stratum docs are ranked by descending token count
+    * (doc_id tiebreak) and dealt round-robin — the classic
+    * longest-first dealing, whose per-source shard sums differ by at
+    * most one largest doc, summed across strata. One window shuffle
+    * per stratum (the [[docPackSequences]] scale class:
+    * range-partitioned by the window key at scale), no global sort,
+    * no driver state, and the assignment is pure rank arithmetic so
+    * the DuckDB oracle gates it row-for-row. */
+  val shardCount = 8
+
+  def docShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(row_number().over(w).cast("long") - 1, lit(shardCount.toLong)))
+  }
+
+  val docShardPlanSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id, source,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |       AS BIGINT) AS n_tokens
+       | FROM documents)
+       |SELECT doc_id, source, n_tokens,
+       | (row_number() OVER (PARTITION BY source
+       |                     ORDER BY n_tokens DESC, doc_id) - 1)
+       |   % $shardCount AS shard
+       |FROM t""".stripMargin
+
+  /** Per-source ADAPTIVE quality filter: keep a doc iff its quality
+    * clears its OWN source's [[qualityKeepQuantile]] — the curation
+    * rule that survives heterogeneous corpora, where one global
+    * threshold would gut a uniformly-low-scoring source and pass
+    * everything from a high-scoring one. Exact mode ranks within each
+    * source (`percent_rank`, doc_id tiebreak — deterministic, and the
+    * rank arithmetic is integer-derived so the DuckDB twin matches
+    * bit-for-bit); one window shuffle per stratum.
+    *
+    * `approx = true` is the 100 TB path when strata are too large or
+    * skewed to sort: per-source thresholds from `percentile_approx`
+    * (one map-side-partial aggregate, sources × 1 rows) broadcast
+    * back as a filter — no per-source ordering of the corpus at all.
+    * Boundary semantics differ only AT the threshold value (the
+    * approx rule keeps quality == threshold; the exact rule asks for
+    * rank ≥ quantile), so the spec gates agreement away from the
+    * boundary rather than a hash. */
+  val qualityKeepQuantile = 0.25
+
+  def docQualityAdaptive(spark: SparkSession, dir: String,
+                         approx: Boolean = false): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val totTokChars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    // same expression order as textQuality, so the scores agree bit-for-bit
+    val scored = docs(spark, dir)
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        (lit(1.0) - (nStop / nTok) * 0.5
+          - ((nChars - totTokChars) / nChars) * 0.2).as("quality"))
+    if (!approx) {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("src_pct", percent_rank().over(w))
+        .withColumn("keep", col("src_pct") >= qualityKeepQuantile)
+    } else {
+      val thr = scored.groupBy(col("source").as("tsrc"))
+        .agg(percentile_approx(col("quality"), lit(qualityKeepQuantile),
+          lit(10000)).as("thr"))
+      scored.join(broadcast(thr), col("source") === col("tsrc"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          (col("quality") >= col("thr")).as("keep"))
+    }
+  }
+
+  val docQualityAdaptiveSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       | SELECT doc_id, source, length(text) AS n_chars,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |m AS (
+       | SELECT doc_id, source, n_chars, len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars
+       | FROM t WHERE len(toks) > 0),
+       |s AS (
+       | SELECT doc_id, source,
+       |  CAST(1.0 AS DOUBLE) - (CAST(n_stop AS DOUBLE)/n_tokens)*0.5
+       |   - ((CAST(n_chars AS DOUBLE)-tok_chars)/n_chars)*0.2 AS quality
+       | FROM m),
+       |r AS (
+       | SELECT doc_id, source, quality,
+       |  percent_rank() OVER (PARTITION BY source
+       |                       ORDER BY quality, doc_id) AS src_pct
+       | FROM s)
+       |SELECT doc_id, source, quality, src_pct,
+       | (src_pct >= $qualityKeepQuantile) AS keep
+       |FROM r""".stripMargin
+  }
+
   /** Quality scoring: stopword ratio, mean token length, space ratio,
     * and a fixed linear score — all exact-int division. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {

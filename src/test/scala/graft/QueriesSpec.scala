@@ -778,6 +778,67 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(t => (t._2, t._1)).toSet === base)
   }
 
+  test("doc_split_leakproof: no near-dup pair straddles, every doc assigned") {
+    val split = operators.DedupOps.docSplitLeakproof(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(split.size.toLong === nDocs, "every document gets a split")
+    // the leakage guard itself: both ends of every exact near-dup
+    // pair share a split key, hence a side — true for ANY split hash,
+    // which is why the guard survives swapping the congruence for
+    // xxhash64 on wider ids
+    val pairs = operators.DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+    // and the split is a real partition, not degenerate
+    val valFrac = split.values.count(_ == "val").toDouble / split.size
+    assert(valFrac > 0.02 && valFrac < 0.3, s"val fraction off: $valFrac")
+  }
+
+  test("doc_shard_plan: even dealing per source, token-mass spread within the LPT bound") {
+    val rows = operators.TextOps.docShardPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(t => t._4 >= 0 && t._4 < operators.TextOps.shardCount))
+    // round-robin dealing: within a source, shard doc-counts differ ≤ 1
+    rows.groupBy(_._2).foreach { case (src, ms) =>
+      val counts = (0 until operators.TextOps.shardCount)
+        .map(s => ms.count(_._4 == s))
+      assert(counts.max - counts.min <= 1, s"source $src dealt unevenly")
+    }
+    // longest-first dealing bounds any two within-source shard sums by
+    // that source's largest doc; across sources the bounds add
+    val sums = (0 until operators.TextOps.shardCount)
+      .map(s => rows.filter(_._4 == s).map(_._3).sum)
+    val spreadBound = rows.groupBy(_._2).values.map(_.map(_._3).max).sum
+    assert(sums.max - sums.min <= spreadBound,
+      s"shard token spread ${sums.max - sums.min} exceeds the dealing bound $spreadBound")
+  }
+
+  test("doc_quality_adaptive: approx thresholds flip only boundary docs") {
+    val exact = operators.TextOps.docQualityAdaptive(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getBoolean(4)))
+      .toMap
+    val approx = operators.TextOps.docQualityAdaptive(spark, sf, approx = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(approx.nonEmpty && approx.length === exact.size)
+    // the exact rule's boundary value per source: smallest KEPT quality
+    val minKept = exact.values.toSeq.filter(_._3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val disagree = approx.filter { case (id, k) => exact(id)._3 != k }
+    disagree.foreach { case (id, _) =>
+      val (src, q, _) = exact(id)
+      assert(math.abs(q - minKept(src)) <= 0.02,
+        s"doc $id flipped far from source $src's quantile boundary " +
+          s"(q=$q, boundary=${minKept(src)})")
+    }
+    assert(disagree.length.toDouble / approx.length <= 0.05,
+      s"approx/exact keep disagreement too high: ${disagree.length}/${approx.length}")
+  }
+
   test("dedup_embedding_lsh: subset of exact pairs, bitwise cosines, useful recall") {
     val exact = operators.VectorOps.embeddingNearDup(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
