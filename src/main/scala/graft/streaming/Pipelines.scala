@@ -575,6 +575,12 @@ object Pipelines {
     // driver head on the hot path
     val dim = messages.sparkSession.read.parquet(s"$indexDir/centroids")
       .select(size(col("cv"))).head.getInt(0)
+    // running membership total for the drift report's size signal:
+    // seeded from the store once (first drift trigger), advanced by
+    // each append's genuinely-new count — so the per-trigger report
+    // never pays the ids-store count whose file-listing cost grows
+    // with trigger history (the measured sf1 vector-drift climb)
+    var memberCount = -1L
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", indexDir + "/_checkpoint")
@@ -593,11 +599,16 @@ object Pipelines {
         val vecs =
           if (driftEvery > 0) decoded.localCheckpoint(true) else decoded
         if (driftEvery > 0 && batchId % driftEvery == 0 && !vecs.isEmpty &&
-            graft.operators.VectorOps.hasDistStats(spark, indexDir))
-          graft.operators.VectorOps.ivfDriftReport(spark, "", indexDir, vecs)
+            graft.operators.VectorOps.hasDistStats(spark, indexDir)) {
+          if (memberCount < 0)
+            memberCount = graft.operators.VectorOps.idsCount(spark, indexDir)
+          graft.operators.VectorOps
+            .ivfDriftReport(spark, "", indexDir, vecs, memberCount = memberCount)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$indexDir/driftlog")
-        graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
+        }
+        val appended = graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
+        if (memberCount >= 0) memberCount += appended
         if (maintain) {
           graft.operators.Snapshot.compactTiered(
             batch.sparkSession, s"$indexDir/invlist", graceMs = graceMs)
@@ -692,6 +703,9 @@ object Pipelines {
                            graceMs: Long = graft.operators.Snapshot.DefaultGraceMs)
       : DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
+    // running membership total for the drift report's size signal —
+    // the vectorIndexSink idiom (seed once, advance per fold)
+    var memberCount = -1L
     messages.writeStream
       .outputMode("append")
       .option("checkpointLocation", tablePath + "/_checkpoint")
@@ -706,11 +720,16 @@ object Pipelines {
         // drift report BEFORE the index update (frozen universe + the
         // whole batch — redelivery is not drift, the vector sink's rule)
         if (driftEvery > 0 && batchId % driftEvery == 0 && !docs.isEmpty &&
-            graft.operators.DedupOps.hasVocabStats(spark, indexDir))
+            graft.operators.DedupOps.hasVocabStats(spark, indexDir)) {
+          if (memberCount < 0)
+            memberCount = graft.operators.Snapshot
+              .read(spark, s"$indexDir/ids").count()
           graft.operators.DedupOps
-            .minhashDriftReport(spark, "", indexDir, docs.select("doc_id", "text"))
+            .minhashDriftReport(spark, "", indexDir,
+              docs.select("doc_id", "text"), memberCount = memberCount)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$indexDir/driftlog")
+        }
         // only genuinely new doc_ids are folded in: CROSS-trigger
         // broker redelivery would otherwise append an identical index
         // row per redelivery, growing the index without bound. First
@@ -719,8 +738,10 @@ object Pipelines {
         val newDocs = docs.join(
           graft.operators.DedupOps.indexedIds(spark, indexDir, bucketsOf(docs)),
           Seq("doc_id"), "left_anti").select("doc_id", "text").localCheckpoint(true)
-        if (!newDocs.isEmpty)
+        if (!newDocs.isEmpty) {
           graft.operators.DedupOps.incrementalIndexUpdate(spark, newDocs, indexDir)
+          if (memberCount >= 0) memberCount += newDocs.count()
+        }
         // pairs feed the bucket list AND the anti-joined write —
         // localCheckpoint so the probe's verify join runs once
         val pairs = graft.operators.DedupOps
