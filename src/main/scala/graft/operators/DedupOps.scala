@@ -946,12 +946,21 @@ object DedupOps {
     val bs = batchSetsAgainst(batchDocs, universe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      minhashBands(bs).write.mode("append").parquet(s"$idx/bands")
-      bs.write.mode("append").parquet(s"$idx/sets")
+      // batch-sized appends (VectorOps.appendParts): inheriting the
+      // shuffle partitioning writes ~32 near-empty files per trigger,
+      // racing the store to its compaction threshold and parking the
+      // reads on retired-file pinning — the vector sink's measured
+      // step-to-plateau, same mechanics here
+      val nDocs = batchDocs.count()
+      minhashBands(bs).coalesce(VectorOps.appendParts(nDocs * numBands))
+        .write.mode("append").parquet(s"$idx/bands")
+      bs.coalesce(VectorOps.appendParts(nDocs))
+        .write.mode("append").parquet(s"$idx/sets")
       // membership covers EVERY batch doc, not just those with
       // universe-overlapping shingles — a doc contributing zero set
       // rows is still "folded" and must not be re-processed forever
       batchDocs.select(col("doc_id"), keyBucket(col("doc_id")).as("kb"))
+        .coalesce(VectorOps.appendParts(nDocs))
         .write.mode("append").partitionBy("kb").parquet(s"$idx/ids")
     } finally bs.unpersist()
   }

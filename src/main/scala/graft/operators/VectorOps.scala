@@ -309,13 +309,30 @@ object VectorOps {
     val cb = buckets.select(col("tbl"), col("code"), col("vec_id").as("vec_id_b"))
     val cands = ca.join(cb, Seq("tbl", "code"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .select("vec_id_a", "vec_id_b").distinct()
+      .select("vec_id_a", "vec_id_b")
+    // Verify-then-dedup, corpus broadcast: the candidate stream is
+    // tables × bucket-population × n rows — at sf10/42 tables, 1.6·10⁹
+    // pairs, duplicated across every table a pair collides in — while
+    // the corpus row set is ~50 MB of floats. The earlier
+    // dedup-then-verify shape shuffled that duplicated stream TWICE
+    // (the distinct, then the id joins), which spilled ~200 GB at
+    // sf10 and filled the disk; broadcasting the corpus side instead
+    // lets candidates PIPELINE through both attach joins and the
+    // cosine filter inside one codegen stage — never materialized,
+    // never shuffled — so only the ~10⁷ surviving true pairs reach
+    // the distinct. Duplicate candidates re-verify (identical
+    // deterministic cosines — the distinct collapses them exactly),
+    // trading redundant map-side flops for the spill. Corpus floats
+    // stop being broadcastable ~10⁶ vectors at these dims — past
+    // that single-probe LSH at this regime is already handed to the
+    // IVF family ([[lshMaxTables]] scaladoc), which never broadcasts
+    // the corpus.
     val va = v0.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("na"))
     val vb = v0.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("nb"))
-    cands.join(va, Seq("vec_id_a")).join(vb, Seq("vec_id_b"))
+    cands.join(broadcast(va), Seq("vec_id_a")).join(broadcast(vb), Seq("vec_id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= nearDupThreshold)
-      .select("vec_id_a", "vec_id_b", "cos")
+      .select("vec_id_a", "vec_id_b", "cos").distinct()
   }
 
   val nQueries = 10
@@ -406,28 +423,34 @@ object VectorOps {
         explode(array(keys: _*)).as("k"))
       .select(col("vec_id"), col("nbits"),
         col("k.tbl").as("tbl"), col("k.code").as("code"))
-    // QUERY-side Hamming-1 multiprobe: each query additionally probes
-    // the `nbits` buckets one bit-flip away from its code, in every
+    // QUERY-side Hamming-≤2 multiprobe: each query additionally
+    // probes every bucket within two bit-flips of its code, in every
     // table. Auto width holds bucket population (and so cost) flat as
     // the corpus grows, but per-table collision probability p^bits
     // falls with the log-growing width — measured recall 0.90 at sf1
-    // (9 bits) decayed to 0.30 at sf10 (9→10 bits over 10× corpus).
-    // A true neighbor that misses a bucket usually misses by ONE bit
-    // (bit outcomes are independent Bernoullis), so probing the
-    // Hamming-1 shell lifts per-table hit probability from p^b to
-    // p^b + b·p^(b−1)(1−p). The explode is on the QUERY side only —
-    // per-query candidate volume becomes ~tables·(1+bits)·bucket,
-    // still corpus-independent up to the log factor, and the corpus
-    // side of the join is untouched.
+    // decayed to 0.30 at sf10 (single-probe), and Hamming-1 alone
+    // re-measured 0.86 at sf10: at these weak-neighbor cosines
+    // (p ≈ 0.67/bit at cos 0.5) a true neighbor misses a 10-bit
+    // bucket by two bits often enough to matter, and the shell-2
+    // terms (C(b,2)·p^(b−2)(1−p)²) roughly triple the per-table hit
+    // probability. The explode is on the QUERY side only — per-query
+    // candidate volume is ~tables·(1+b+C(b,2))·bucket, still
+    // corpus-independent up to the log² factor, and the corpus side
+    // of the join is untouched.
     val qb = buckets.filter(col("vec_id") < nQueries)
     val qprobes =
       if (!multiprobe)
         qb.select(col("tbl"), col("code"), col("vec_id").as("query_id"))
       else {
-        val flips = lit(0) +: (0 until genBits).map(i =>
-          when(lit(i) < col("nbits"), lit(1 << i)))
+        val flips = (lit(0), 0) +:
+          (0 until genBits).map(i => (lit(1 << i), i)) ++:
+          (for { i <- 0 until genBits; j <- (i + 1) until genBits }
+            yield (lit((1 << i) | (1 << j)), j))
+        val guarded = flips.map { case (mask, hiBit) =>
+          when(lit(hiBit) < col("nbits"), mask)
+        }
         qb.select(col("vec_id").as("query_id"), col("tbl"), col("code"),
-            explode(array(flips: _*)).as("flip"))
+            explode(array(guarded: _*)).as("flip"))
           .filter(col("flip").isNotNull)
           .select(col("tbl"),
             col("code").bitwiseXOR(col("flip")).as("code"), col("query_id"))
@@ -735,6 +758,21 @@ object VectorOps {
     pts.select(col("vec_id"), col("kb"))
       .write.mode("append").partitionBy("kb").parquet(s"$indexDir/ids")
 
+  /** Output-partition count for an append of `rows` rows: one file
+    * per [[appendRowsPerFile]], floor 1, capped at the upstream
+    * parallelism. A micro-batch append inheriting its shuffle
+    * partitioning writes ~32 near-empty files PER TRIGGER, so the
+    * store crosses its compaction threshold within a handful of
+    * triggers and then serves every read with retired files awaiting
+    * GC in the dir (per-file pinned scans) while paying merge debt —
+    * measured as the step-to-plateau in the sf1 vector sink curves.
+    * Writing batch-sized appends (1 file per small trigger) keeps
+    * the store near its floor for ~[[appendRowsPerFile]]·maxFiles
+    * rows per compaction cycle instead of triggers/32×. */
+  private[graft] val appendRowsPerFile = 1000000L
+  private[graft] def appendParts(rows: Long): Int =
+    math.max(1L, math.min(32L, rows / appendRowsPerFile + 1L)).toInt
+
   /** Rank-1 assignment KEEPING the min distance — the drift metric's
     * raw signal ([[assignTo]] drops d2; the search paths never need
     * it). Same min-struct map-side-collapse shape. */
@@ -909,13 +947,15 @@ object VectorOps {
       batch.select(col("vec_id"), col("embedding").as("vd"))
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       indexDir, "invlist")
+    val nNew = pts.count() // checkpointed — cheap; sizes the writes too
     assignMulti(pts.select(col("vec_id"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
+      .coalesce(appendParts(nNew * ivfAssign))
       .write.mode("append").parquet(s"$indexDir/invlist")
-    appendIds(pts, indexDir)
-    // genuinely-new count, off the checkpointed survivors (cheap) —
-    // what a per-trigger caller adds to its running membership total
-    pts.count()
+    appendIds(pts.coalesce(appendParts(nNew)), indexDir)
+    // genuinely-new count — what a per-trigger caller adds to its
+    // running membership total
+    nNew
   }
 
   /** One-time membership count for a per-trigger caller seeding its
@@ -1190,13 +1230,15 @@ object VectorOps {
         .withColumn("vn", transform(col("vd"), x => x / col("norm")))
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       indexDir, "codes")
+    val nNew = pts.count() // checkpointed — cheap; sizes the writes
     val inv = assignMulti(pts.select(col("vec_id"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     pqAssign(subExplode(pts, "vec_id"), cb)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
       .join(inv, Seq("neighbor_id"))
+      .coalesce(appendParts(nNew * ivfAssign * pqSub))
       .write.mode("append").parquet(s"$indexDir/codes")
-    appendIds(pts, indexDir)
+    appendIds(pts.coalesce(appendParts(nNew)), indexDir)
   }
 
   /** Query half of the IVF-PQ split (benched as `ann_ivfpq_query`).

@@ -839,6 +839,19 @@ class QueriesSpec extends AnyFunSuite {
       s"approx/exact keep disagreement too high: ${disagree.length}/${approx.length}")
   }
 
+  test("lshAutoTables: regime-derived table counts at the measured scales") {
+    import operators.VectorOps.{lshAutoTables, lshTargetBucket}
+    // small SFs sit at the floor — bench and plan-baseline shapes
+    // unchanged; the growth points are the measured sf1/sf10 decays
+    assert(lshAutoTables(2000, lshTargetBucket) === 8)
+    assert(lshAutoTables(20000, lshTargetBucket) === 17)
+    assert(lshAutoTables(200000, lshTargetBucket) === 42)
+    // ceiling: past ~2M vectors single-probe LSH at this regime is the
+    // wrong tool (scaladoc directs to IVF-family / explicit knobs)
+    assert(lshAutoTables(2000000, lshTargetBucket) === 64)
+    assert(lshAutoTables(0, lshTargetBucket) === 8)
+  }
+
   test("dedup_embedding_lsh: subset of exact pairs, bitwise cosines, useful recall") {
     val exact = operators.VectorOps.embeddingNearDup(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
