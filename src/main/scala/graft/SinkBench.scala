@@ -155,16 +155,24 @@ object SinkBench {
     // when the run starts clean, so the boundedness verdict is the
     // EQUILIBRIUM ratio: last10 vs the first post-step window —
     // growth there means an actual per-trigger cost that scales with
-    // history, which is what this bench exists to catch.
-    val eqStart = math.min(16, math.max(0, body.size - 20))
-    val mid = mean(body.slice(eqStart, eqStart + 10))
-    def f(v: Double): String =
+    // history, which is what this bench exists to catch. The window
+    // starts at EXACTLY trigger 16 and is emitted only when the run
+    // is long enough (≥36 body triggers) for it to be both fully
+    // post-step and disjoint from last10 — a shorter run's "eq"
+    // window would straddle the pre-compaction regime (or alias the
+    // legacy first10), mislabeling the step as equilibrium growth.
+    def fmt(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val eqFields =
+      if (body.size >= 36) {
+        val mid = mean(body.slice(16, 26))
+        s""""eq10_mean":${fmt(mid)},"eq_ratio":${fmt(last / mid)},"""
+      } else "" // run too short for a trustworthy equilibrium window
     val line =
       s"""{"metric":"sink_trigger_ms","sink":"$mode","sf":"$sfDir","triggers":${durs.size},""" +
-        s""""rows_per_trigger":$per,"first10_mean":${f(first)},""" +
-        s""""last10_mean":${f(last)},"ratio":${f(last / first)},""" +
-        s""""eq10_mean":${f(mid)},"eq_ratio":${f(last / mid)},""" +
+        s""""rows_per_trigger":$per,"first10_mean":${fmt(first)},""" +
+        s""""last10_mean":${fmt(last)},"ratio":${fmt(last / first)},""" +
+        eqFields +
         s""""per_trigger":[${durs.map(_._2).mkString(",")}]}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

@@ -368,8 +368,17 @@ object DedupOps {
     * per-round jobs are cheap. */
   val ccIters = 16
 
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b").localCheckpoint()
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOf(ngramJaccard(spark, dir).select("doc_a", "doc_b"))
+
+  /** The propagation itself, over an ARBITRARY pair table (doc_a,
+    * doc_b) — what lets a pipeline build the cluster graph from any
+    * similarity operator (or a union of several) and reuse ONE
+    * materialized cluster table across every downstream consumer
+    * ([[dupClusterBest]], [[docSplitLeakproof]]) instead of paying
+    * the O(pairs × diameter) propagation per call. */
+  def dupClustersOf(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select("doc_a", "doc_b").localCheckpoint()
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -435,8 +444,20 @@ object DedupOps {
     * wants. Cluster members always survive the quality join: every
     * near-dup pair implies ≥3 tokens per member, and quality is
     * defined for any tokenized doc. */
-  def dupClusterBest(spark: SparkSession, dir: String): DataFrame = {
-    val members = dupClusters(spark, dir)
+  def dupClusterBest(spark: SparkSession, dir: String): DataFrame =
+    dupClusterBest(spark, dir, dupClusters(spark, dir))
+
+  /** Overload taking a MATERIALIZED cluster table (the [[dupClusters]]
+    * / [[dupClustersOf]] output, typically written to parquet once):
+    * a composed pipeline that needs both the keep-best policy and the
+    * leakproof split pays the label propagation ONCE instead of
+    * re-deriving it inside every consumer — at sf1 the inline
+    * propagation is ~80% of this operator's wall. Bit-identical to
+    * the inline form for the same cluster table (spec-pinned through
+    * a parquet round-trip). */
+  def dupClusterBest(spark: SparkSession, dir: String,
+                     clusters: DataFrame): DataFrame = {
+    val members = clusters
       .select("doc_id", "cluster_id", "cluster_size")
     val quality = TextOps.textQuality(spark, dir)
       .select(col("doc_id"), col("quality"))
@@ -484,6 +505,17 @@ object DedupOps {
     * [[dupClusters]] min-label (its own id when un-clustered), so a
     * whole near-dup component lands on one side by construction.
     *
+    * SCOPE of the guarantee: the straddle-free property covers the
+    * pair graph the clusters were built from — by default the exact
+    * word-3-gram Jaccard ≥ 0.8 pairs ([[ngramJaccard]]). Pairs
+    * visible only to a DIFFERENT similarity operator (the embedding
+    * cosine or simhash near-dup families) are not edges of that
+    * graph and can still straddle; a pipeline wanting the guard over
+    * several notions of similarity passes the UNION of their pair
+    * sets as a materialized cluster table via the `clusters`
+    * overload below — the propagation and the split key handle any
+    * edge set identically.
+    *
     * The split hash is a linear congruence on the key — expressible
     * identically in ANSI SQL, so the assignment (not just its
     * statistics) is cross-engine gated. Valid for keys below
@@ -499,8 +531,18 @@ object DedupOps {
     * O(pairs × diameter). */
   val splitValPct = 10
 
-  def docSplitLeakproof(spark: SparkSession, dir: String): DataFrame = {
-    val members = dupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+  def docSplitLeakproof(spark: SparkSession, dir: String): DataFrame =
+    docSplitLeakproof(spark, dir, dupClusters(spark, dir))
+
+  /** Overload taking a MATERIALIZED cluster table — the
+    * [[dupClusterBest]] rationale: pay [[dupClusters]]'s propagation
+    * once per corpus, not once per consumer. Passing a cluster table
+    * built from a UNION of pair sets (ngram + embedding + simhash
+    * edges via [[dupClustersOf]]) also WIDENS the straddle-free
+    * guarantee to exactly that union — the scope note above. */
+  def docSplitLeakproof(spark: SparkSession, dir: String,
+                        clusters: DataFrame): DataFrame = {
+    val members = clusters.select(col("doc_id"), col("cluster_id"))
     Tables(spark, dir, "documents").select(col("doc_id"))
       .join(broadcast(members), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

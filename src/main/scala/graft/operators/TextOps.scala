@@ -213,8 +213,24 @@ object TextOps {
     * Boundary semantics differ only AT the threshold value (the
     * approx rule keeps quality == threshold; the exact rule asks for
     * rank ≥ quantile), so the spec gates agreement away from the
-    * boundary rather than a hash. */
+    * boundary rather than a hash. That "flips only boundary docs"
+    * claim is scoped to strata of at least [[qualityMinStratum]]
+    * docs: below it the two rules have no shared boundary to agree
+    * on (a singleton's percent_rank is 0 while its quality IS its own
+    * approx percentile, so exact would always drop what approx always
+    * keeps — and a 2-doc stratum's flipped doc can sit arbitrarily
+    * far from any quantile). Both modes therefore KEEP tiny strata
+    * whole: a quantile of a handful of docs is noise, not a
+    * threshold, and dropping a source's only documents on it would
+    * be indefensible curation. The guard is the same integer
+    * predicate in both engines, so the exact mode stays hash-gated. */
   val qualityKeepQuantile = 0.25
+
+  /** Strata smaller than this keep every doc in BOTH adaptive-filter
+    * modes (⌈1/[[qualityKeepQuantile]]⌉ — below it the quantile rule
+    * cannot even drop one doc without overshooting its own target
+    * rate, and exact/approx boundary semantics diverge arbitrarily). */
+  val qualityMinStratum = 4
 
   def docQualityAdaptive(spark: SparkSession, dir: String,
                          approx: Boolean = false): DataFrame = {
@@ -232,15 +248,20 @@ object TextOps {
     if (!approx) {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("quality"), col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
       scored.withColumn("src_pct", percent_rank().over(w))
-        .withColumn("keep", col("src_pct") >= qualityKeepQuantile)
+        .withColumn("keep",
+          count(lit(1)).over(wn) < qualityMinStratum ||
+            col("src_pct") >= qualityKeepQuantile)
     } else {
       val thr = scored.groupBy(col("source").as("tsrc"))
         .agg(percentile_approx(col("quality"), lit(qualityKeepQuantile),
-          lit(10000)).as("thr"))
+          lit(10000)).as("thr"),
+          count(lit(1)).as("n_src"))
       scored.join(broadcast(thr), col("source") === col("tsrc"))
         .select(col("doc_id"), col("source"), col("quality"),
-          (col("quality") >= col("thr")).as("keep"))
+          (col("n_src") < qualityMinStratum ||
+            col("quality") >= col("thr")).as("keep"))
     }
   }
 
@@ -263,10 +284,11 @@ object TextOps {
        |r AS (
        | SELECT doc_id, source, quality,
        |  percent_rank() OVER (PARTITION BY source
-       |                       ORDER BY quality, doc_id) AS src_pct
+       |                       ORDER BY quality, doc_id) AS src_pct,
+       |  count(*) OVER (PARTITION BY source) AS n_src
        | FROM s)
        |SELECT doc_id, source, quality, src_pct,
-       | (src_pct >= $qualityKeepQuantile) AS keep
+       | (n_src < $qualityMinStratum OR src_pct >= $qualityKeepQuantile) AS keep
        |FROM r""".stripMargin
   }
 

@@ -231,10 +231,19 @@ object VectorOps {
     * every scale. T is STRUCTURAL (it sizes the generated bucketing
     * projection), so auto mode resolves it from one column-pruned
     * corpus count — the IVF auto-k precedent. */
+  /** Driver-side twin of the [[autoBits]] clamp — ONE formula feeds
+    * both the table count and (in [[embeddingNearDupLsh]]'s auto
+    * mode) the code width itself, from the SAME corpus-count
+    * snapshot, so the two sizings can never disagree about n. The
+    * ceil(log(x)/log 2) arithmetic matches Spark's `ceil(log2(x))`
+    * op-for-op (both are StrictMath.log ratios). */
+  private[graft] def lshAutoBits(n: Long, target: Int): Int =
+    math.min(lshMaxBits, math.max(lshMinBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt))
+
   private[graft] def lshAutoTables(n: Long, target: Int): Int = {
     if (n <= 0) return lshTables
-    val bits = math.min(lshMaxBits, math.max(lshMinBits,
-      math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt))
+    val bits = lshAutoBits(n, target)
     val pBit = 1.0 - math.acos(lshRegimeCos) / math.Pi
     val pTable = math.pow(pBit, bits)
     val t = math.ceil(math.log(1.0 - lshRecallTarget) / math.log(1.0 - pTable)).toInt
@@ -279,28 +288,49 @@ object VectorOps {
       struct(lit(t).as("tbl"), code.as("code"))
     }
 
+  /** Ceiling on the corpus size whose float vectors the verify join
+    * may BROADCAST (see the plan note inside [[embeddingNearDupLsh]]):
+    * ~10⁶ 64-dim float rows is ~300 MB of executor-resident table —
+    * the edge of what a broadcast should carry. Past it the operator
+    * FALLS BACK to shuffle attach joins (slow-but-correct — the
+    * pre-broadcast plan) instead of OOMing the driver/executors on a
+    * hint the scaladoc boundary used to merely document; and at that
+    * scale the scaladoc hands this regime to the IVF family anyway. */
+  val lshBroadcastMaxVectors = 1000000L
+
   /** `bits = 0` (the default) auto-sizes the code space from the
-    * corpus count in-plan — see the sizing scaladoc above. `tables =
-    * 0` (the default) auto-sizes the table count to hold
-    * [[lshRecallTarget]] at the declared [[lshRegimeCos]] regime —
-    * see [[lshAutoTables]]. Explicit values pin either knob. */
+    * corpus count — see the sizing scaladoc above. `tables = 0` (the
+    * default) auto-sizes the table count to hold [[lshRecallTarget]]
+    * at the declared [[lshRegimeCos]] regime — see [[lshAutoTables]].
+    * Explicit values pin either knob. Both auto knobs derive from ONE
+    * eager corpus count resolved at construction (the IVF auto-k
+    * precedent: the table count is structural — it sizes the
+    * generated bucketing projection — so it cannot live in-plan, and
+    * deriving the width from the same snapshot keeps the two sizings
+    * consistent if the table grows between construction and
+    * execution). `broadcastMax` gates the verify join's corpus
+    * broadcast ([[lshBroadcastMaxVectors]]); tests lower it to
+    * exercise the fallback plan. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
                           tables: Int = 0,
-                          bits: Int = 0): DataFrame = {
+                          bits: Int = 0,
+                          broadcastMax: Long = lshBroadcastMaxVectors): DataFrame = {
     require(bits >= 0 && bits <= lshMaxBits, s"bits must be in [0, $lshMaxBits]")
     require(tables >= 0, "tables must be >= 0 (0 = auto)")
     val v0 = vecs(spark, dir)
+    // one count snapshot feeds the table count, the code width, and
+    // the broadcast-envelope decision
+    val n = Tables(spark, dir, "embeddings").select("vec_id").count()
     val nTables =
       if (tables > 0) tables
-      else lshAutoTables(
-        Tables(spark, dir, "embeddings").select("vec_id").count(), lshTargetBucket)
+      else lshAutoTables(n, lshTargetBucket)
     // genBits hyperplanes are GENERATED per table; nbits of them are
     // USED per row. Fixed mode pins both; auto mode generates the
-    // ceiling and masks to the in-plan width, so the bucket key is a
+    // ceiling and masks to the resolved width, so the bucket key is a
     // pure function of (corpus count, seeded planes) — deterministic.
     val genBits = if (bits > 0) bits else lshMaxBits
     val nbits: Column =
-      if (bits > 0) lit(bits) else autoBits(v0, lshTargetBucket)
+      if (bits > 0) lit(bits) else lit(lshAutoBits(n, lshTargetBucket))
     val v = v0.withColumn("nbits", nbits)
     val keys = lshBucketKeys(43, nTables, genBits, col("nbits"))
     val buckets = v.select(col("vec_id"), explode(array(keys: _*)).as("k"))
@@ -323,13 +353,22 @@ object VectorOps {
     // the distinct. Duplicate candidates re-verify (identical
     // deterministic cosines — the distinct collapses them exactly),
     // trading redundant map-side flops for the spill. Corpus floats
-    // stop being broadcastable ~10⁶ vectors at these dims — past
-    // that single-probe LSH at this regime is already handed to the
-    // IVF family ([[lshMaxTables]] scaladoc), which never broadcasts
-    // the corpus.
+    // stop being broadcastable ~[[lshBroadcastMaxVectors]] vectors
+    // at these dims, and that envelope is ENFORCED, not just
+    // documented: the already-in-hand corpus count gates the hint,
+    // and an oversized corpus routes to plain shuffle attach joins —
+    // the pre-broadcast slow-but-correct plan — instead of failing
+    // the broadcast build. (Single-probe LSH at that scale is
+    // already handed to the IVF family by the [[lshMaxTables]]
+    // scaladoc; the fallback keeps an over-the-line call correct.)
     val va = v0.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("na"))
     val vb = v0.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("nb"))
-    cands.join(broadcast(va), Seq("vec_id_a")).join(broadcast(vb), Seq("vec_id_b"))
+    val attached =
+      if (n <= broadcastMax)
+        cands.join(broadcast(va), Seq("vec_id_a")).join(broadcast(vb), Seq("vec_id_b"))
+      else
+        cands.join(va, Seq("vec_id_a")).join(vb, Seq("vec_id_b"))
+    attached
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= nearDupThreshold)
       .select("vec_id_a", "vec_id_b", "cos").distinct()

@@ -798,6 +798,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(valFrac > 0.02 && valFrac < 0.3, s"val fraction off: $valFrac")
   }
 
+  test("materialized-cluster overloads: bit-identical to inline, propagation paid once") {
+    // the composed-pipeline shape: derive the dup clusters ONCE,
+    // materialize to parquet (a real round-trip, not a cached plan),
+    // and feed BOTH consumers from the same table — each overload
+    // must equal its inline twin row-for-row
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters")
+      .toFile.getAbsolutePath + "/clusters"
+    operators.DedupOps.dupClusters(spark, sf).write.parquet(dir)
+    val clusters = spark.read.parquet(dir)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    assert(rowsOf(operators.DedupOps.dupClusterBest(spark, sf, clusters)) ===
+      rowsOf(operators.DedupOps.dupClusterBest(spark, sf)))
+    assert(rowsOf(operators.DedupOps.docSplitLeakproof(spark, sf, clusters)) ===
+      rowsOf(operators.DedupOps.docSplitLeakproof(spark, sf)))
+
+    // dupClustersOf over a custom (unioned) pair set: labels must be
+    // the closure of exactly those edges — here a 2-edge chain plus
+    // an isolated pair from synthetic ids far outside the corpus
+    import spark.implicits._
+    val custom = Seq((900001L, 900002L), (900002L, 900003L), (900010L, 900011L))
+      .toDF("doc_a", "doc_b")
+    val lbl = operators.DedupOps.dupClustersOf(custom).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl === Map(900001L -> 900001L, 900002L -> 900001L,
+      900003L -> 900001L, 900010L -> 900010L, 900011L -> 900010L))
+  }
+
   test("doc_shard_plan: even dealing per source, token-mass spread within the LPT bound") {
     val rows = operators.TextOps.docShardPlan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -825,10 +855,18 @@ class QueriesSpec extends AnyFunSuite {
     val approx = operators.TextOps.docQualityAdaptive(spark, sf, approx = true)
       .collect().map(r => (r.getLong(0), r.getBoolean(3)))
     assert(approx.nonEmpty && approx.length === exact.size)
+    // the boundary-agreement claim is scoped to strata of at least
+    // qualityMinStratum docs — below it both modes keep-all instead
+    // (the tiny-strata test below pins that); this corpus has no tiny
+    // strata, so the scope filter keeps every doc here
+    val srcCounts = exact.values.groupBy(_._1).view.mapValues(_.size).toMap
+    val bigSrc = srcCounts.filter(_._2 >= operators.TextOps.qualityMinStratum).keySet
+    assert(bigSrc == srcCounts.keySet, "corpus grew a tiny stratum — re-check scope")
     // the exact rule's boundary value per source: smallest KEPT quality
     val minKept = exact.values.toSeq.filter(_._3).groupBy(_._1)
       .view.mapValues(_.map(_._2).min).toMap
-    val disagree = approx.filter { case (id, k) => exact(id)._3 != k }
+    val disagree = approx.filter { case (id, k) =>
+      exact(id)._3 != k && bigSrc(exact(id)._1) }
     disagree.foreach { case (id, _) =>
       val (src, q, _) = exact(id)
       assert(math.abs(q - minKept(src)) <= 0.02,
@@ -837,6 +875,36 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(disagree.length.toDouble / approx.length <= 0.05,
       s"approx/exact keep disagreement too high: ${disagree.length}/${approx.length}")
+  }
+
+  test("doc_quality_adaptive: tiny strata keep whole in both modes") {
+    // a singleton source's doc has percent_rank 0 (exact would drop
+    // its only doc) while its quality equals its own approx
+    // percentile (approx would keep it) — the guard makes both modes
+    // keep strata below qualityMinStratum whole instead of
+    // disagreeing arbitrarily on them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tinystrata")
+      .toFile.getAbsolutePath
+    val docs =
+      Seq((1L, "solo", "one lonely document about the quick fox")) ++
+        (0 until 2).map(i => (10L + i, "duo", s"pair doc $i with the usual words here")) ++
+        (0 until 20).map(i =>
+          (100L + i, "big", s"document $i " + ("the quick brown fox " * (i + 1)).trim))
+    docs.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    for (approxMode <- Seq(false, true)) {
+      val out = operators.TextOps.docQualityAdaptive(spark, dir, approx = approxMode)
+        .select("doc_id", "source", "keep").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      val tiny = out.filter(r => r._2 == "solo" || r._2 == "duo")
+      assert(tiny.length === 3 && tiny.forall(_._3),
+        s"approx=$approxMode dropped docs from a tiny stratum: " +
+          tiny.filterNot(_._3).mkString(", "))
+      // the big stratum still filters: some doc must be dropped
+      assert(out.exists(r => r._2 == "big" && !r._3),
+        s"approx=$approxMode kept everything in the big stratum — guard overreached")
+    }
   }
 
   test("lshAutoTables: regime-derived table counts at the measured scales") {
@@ -864,6 +932,34 @@ class QueriesSpec extends AnyFunSuite {
     }
     val recall = lsh.length.toDouble / exact.size
     assert(recall >= 0.5, s"near-dup LSH recall too low: $recall")
+  }
+
+  test("dedup_embedding_lsh: broadcast envelope enforced — oversized corpus " +
+    "routes to the shuffle verify with identical results") {
+    // broadcastMax = 0 forces every corpus over the line, exercising
+    // the fallback plan a 10⁷-vector corpus would take. The tiny test
+    // corpus would auto-broadcast regardless of the hint and mask the
+    // routing, so disable threshold broadcasts (at real oversized
+    // scale the threshold never triggers) — the in-envelope path's
+    // EXPLICIT hint survives a -1 threshold, which is exactly the
+    // hazard the guard removes.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k =>
+        k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      val guarded = operators.VectorOps.embeddingNearDupLsh(spark, sf, broadcastMax = 0L)
+      val guardedRows = guarded.collect().map(_.mkString("|")).toSet
+      assert(!guarded.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "oversized-corpus path still broadcasts the corpus vectors")
+      val inEnvelope = operators.VectorOps.embeddingNearDupLsh(spark, sf)
+      val inEnvelopeRows = inEnvelope.collect().map(_.mkString("|")).toSet
+      assert(inEnvelope.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "in-envelope path lost its broadcast verify plan")
+      assert(guardedRows === inEnvelopeRows, "fallback plan changed the pair set")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("ann_pq: exact re-ranked cosines, useful recall against brute force") {
