@@ -665,47 +665,66 @@ object DedupOps {
     * sink table read back). Spec-pinned: new-vocabulary near-dups
     * pair only after the rebuild.
     *
-    * Overwrites in place; `bands/_SUCCESS` stays the completion
-    * marker (ids lands before bands) — and it is DELETED FIRST, so a
-    * crash anywhere mid-rebuild leaves an index that FAILS the
-    * completion check instead of a mixed-generation one (old bands +
-    * old marker over new sets/universe would serve stale band keys
-    * against the new verify sets: silently missing pairs, no error).
-    * Single-writer contract, and `corpusDocs` must not be a plan
-    * that READS this index's paths — the [[incrementalIndexUpdate]]
-    * self-read hazard. */
+    * SNAPSHOT-ISOLATED against live serving ([[Snapshot.stageReplace]]
+    * — the round-9 compaction machinery applied to whole-store
+    * replacement): every table's new generation is staged as
+    * invisible tier files while the old index keeps serving through
+    * the (arbitrarily long) corpus passes, then the swap window is
+    * five fast manifest commits bracketed by the completion-marker
+    * protocol — `bands/_SUCCESS` is deleted first and restored by the
+    * LAST table's commit, so a crash anywhere inside the window
+    * leaves an index that FAILS the completion check instead of a
+    * mixed-generation one (old bands + old marker over new
+    * sets/universe would serve stale band keys against the new
+    * verify sets: silently missing pairs, no error). A reader that
+    * pinned its snapshot BEFORE the swap ([[Snapshot.read]] resolves
+    * at construction) finishes bit-identically on the old generation
+    * — retired files outlive the grace window; a reader constructed
+    * AFTER it sees the new index; a construction racing the
+    * millisecond swap window fails the completion check loudly
+    * rather than mixing. Because the old tables stay on disk until
+    * commit, `corpusDocs` MAY now read this index's own stores (the
+    * sink-table-read-back composition): its plans execute during
+    * staging, against the old generation. Single-writer contract
+    * unchanged. */
   def rebuildIndex(spark: SparkSession, corpusDocs: DataFrame,
-                   indexDir: String): Unit = {
-    // invalidate the completion marker BEFORE touching any table
-    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/bands/_SUCCESS")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(marker, false)
+                   indexDir: String,
+                   graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
     // ONE corpus pass: materialize the per-doc sets, then derive the
-    // universe and the band index FROM THE WRITTEN PARQUET — each
+    // universe and the band index FROM THE STAGED PARQUET — each
     // lazy re-use of the docSets frame would otherwise re-run the
     // whole corpus scan + shingle + df-cap aggregation per output
     // (3× the build cost this index exists to amortize)
-    docSetsOf(cappedShinglesOf(corpusDocs))
-      .write.mode("overwrite").parquet(s"$indexDir/sets")
-    val sets = spark.read.parquet(s"$indexDir/sets")
+    val rSets = Snapshot.stageReplace(spark, s"$indexDir/sets",
+      docSetsOf(cappedShinglesOf(corpusDocs)), graceMs = graceMs)
+    val sets = rSets.staged
     // every kept (shingle, df) appears in some doc's array, so the
     // exploded distinct IS the capped universe
-    sets.select(explode(col("arr")).as("e"))
-      .select(col("e.s").as("s"), col("e.df").as("df")).distinct()
-      .write.mode("overwrite").parquet(s"$indexDir/universe")
+    val rUniverse = Snapshot.stageReplace(spark, s"$indexDir/universe",
+      sets.select(explode(col("arr")).as("e"))
+        .select(col("e.s").as("s"), col("e.df").as("df")).distinct(),
+      graceMs = graceMs)
     // drift baseline for minhashDriftReport — derived from the
-    // freshly-written sets (kept instances) plus one narrow
+    // freshly-staged sets (kept instances) plus one narrow
     // shingle-count pass over the corpus (total instances): no join,
     // no second df aggregate
-    writeVocabStats(spark, corpusDocs, indexDir)
-    // ids before bands so bands/_SUCCESS stays the LAST write — the
-    // build-complete marker convention callers already check.
-    // Membership covers EVERY corpus doc (the update's rule): a doc
+    val rVocab = Snapshot.stageReplace(spark, s"$indexDir/vocabstats",
+      vocabStatsOf(corpusDocs, sets), graceMs = graceMs)
+    // membership covers EVERY corpus doc (the update's rule): a doc
     // with zero universe-overlapping shingles has no sets row but is
-    // still indexed — the sink must not re-fold it forever.
-    corpusDocs.select(col("doc_id"), keyBucket(col("doc_id")).as("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$indexDir/ids")
-    minhashBands(sets).write.mode("overwrite").parquet(s"$indexDir/bands")
+    // still indexed — the sink must not re-fold it forever
+    val rIds = Snapshot.stageReplace(spark, s"$indexDir/ids",
+      corpusDocs.select(col("doc_id"), keyBucket(col("doc_id")).as("kb")),
+      partitionCols = Seq("kb"), graceMs = graceMs)
+    val rBands = Snapshot.stageReplace(spark, s"$indexDir/bands",
+      minhashBands(sets), graceMs = graceMs)
+    // the swap: marker out, five commits, marker back (bands LAST —
+    // its commit restores bands/_SUCCESS, the completion marker)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/bands/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    rSets.commit(); rUniverse.commit(); rVocab.commit(); rIds.commit()
+    rBands.commit()
   }
 
   /** Whether an index carries the [[minhashDriftReport]] baseline —
@@ -721,21 +740,23 @@ object DedupOps {
     * compares arrivals against. Kept instances come from the written
     * `sets` table's per-doc counts; total instances are one narrow
     * no-join pass over the corpus. */
-  private def writeVocabStats(spark: SparkSession, corpusDocs: DataFrame,
-                              indexDir: String): Unit = {
+  private def vocabStatsOf(corpusDocs: DataFrame, sets: DataFrame): DataFrame = {
     val tot = corpusDocs.agg(
       count(lit(1)).as("n_build"),
       coalesce(sum(size(distinctShingles3(col("text")))), lit(0L))
         .cast("long").as("_inst_total"))
-    val kept = Snapshot.read(spark, s"$indexDir/sets")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("_inst_kept"))
+    val kept = sets.agg(coalesce(sum(col("n")), lit(0L)).as("_inst_kept"))
     tot.crossJoin(broadcast(kept))
       .select(col("n_build"),
         when(col("_inst_total") > 0,
           lit(1.0) - col("_inst_kept") / col("_inst_total"))
           .otherwise(lit(0.0)).as("frac_out_build"))
-      .write.mode("overwrite").parquet(s"$indexDir/vocabstats")
   }
+
+  private def writeVocabStats(spark: SparkSession, corpusDocs: DataFrame,
+                              indexDir: String): Unit =
+    vocabStatsOf(corpusDocs, Snapshot.read(spark, s"$indexDir/sets"))
+      .write.mode("overwrite").parquet(s"$indexDir/vocabstats")
 
   /** WHEN to rebuild the minhash index — the scheduling half of the
     * frozen-UNIVERSE drift contract, the twin of
@@ -787,8 +808,8 @@ object DedupOps {
         Tables(spark, dir, "documents").select("doc_id", "text")
           .join(ids, Seq("doc_id"), "left_semi"), indexDir)
     }
-    val stats = spark.read.parquet(s"$indexDir/vocabstats")
-    val universe = spark.read.parquet(s"$indexDir/universe")
+    val stats = Snapshot.read(spark, s"$indexDir/vocabstats")
+    val universe = Snapshot.read(spark, s"$indexDir/universe")
       .select(col("s"), lit(1).as("_in_u"))
     val fracDf = batchDocs
       .select(explode(distinctShingles3(col("text"))).as("s"))
@@ -900,7 +921,7 @@ object DedupOps {
 
   private def probeCandidates(spark: SparkSession, batchDocs: DataFrame,
                               idx: String): (DataFrame, DataFrame) = {
-    val universe = spark.read.parquet(s"$idx/universe")
+    val universe = Snapshot.read(spark, s"$idx/universe")
     val bands = Snapshot.read(spark, s"$idx/bands")
     val batchSets = batchSetsAgainst(batchDocs, universe)
     val cands = minhashBands(batchSets)
@@ -926,6 +947,12 @@ object DedupOps {
     * whichever copy a partition race happens to keep. */
   def probeIndex(spark: SparkSession, batchDocs: DataFrame,
                  idx: String): DataFrame = {
+    // the completion-marker check is what makes a crash inside a
+    // rebuild's swap window LOUD: serving sets/universe/bands from
+    // different generations would silently miss pairs
+    require(VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"),
+      s"$idx is not a complete minhash index (crashed mid-rebuild? " +
+        "re-run rebuildIndex)")
     // candidate pairs are batch-bounded and referenced three times
     // below (id extraction twice + the verify join); localCheckpoint
     // materializes them once instead of re-running the band probe per
@@ -984,7 +1011,10 @@ object DedupOps {
     * append whose input scans its own output path corrupts silently. */
   def incrementalIndexUpdate(spark: SparkSession, batchDocs: DataFrame,
                              idx: String): Unit = {
-    val universe = spark.read.parquet(s"$idx/universe")
+    require(VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"),
+      s"$idx is not a complete minhash index (crashed mid-rebuild? " +
+        "re-run rebuildIndex)")
+    val universe = Snapshot.read(spark, s"$idx/universe")
     val bs = batchSetsAgainst(batchDocs, universe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -44,7 +44,10 @@ object Maintenance {
     val bytes = parquetBytes(srcDir)
     require(bytes > 0, s"no parquet data under $srcDir")
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val src = spark.read.parquet(srcDir)
+    // snapshot-resolved: compacting a manifest-managed store into a
+    // fresh dir must copy the LIVE rows only (a raw dir read would
+    // also copy retired files awaiting GC); plain dirs read unchanged
+    val src = Snapshot.read(spark, srcDir)
     val out = if (shuffle) src.repartition(parts) else src.coalesce(parts)
     out.write.mode("overwrite").parquet(dstDir)
     fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
@@ -144,6 +147,15 @@ object Maintenance {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    // a manifest-managed store (every index the staged builders write,
+    // any store the snapshot compactor has touched) must be maintained
+    // through [[Snapshot.compactTiered]]: this compactor's tier output
+    // would look like an UNCOMMITTED tier file to snapshot resolution
+    // (rows silently vanish) and its source deletions would fail the
+    // manifest's lost-live-file check — refuse loudly instead
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_manifests")),
+      s"$dir is a snapshot-managed store — use Snapshot.compactTiered " +
+        "(in-place compaction would corrupt manifest resolution)")
     // sweep temp dirs a crashed previous call left behind
     fs.listStatus(root).foreach { s =>
       if (s.isDirectory && s.getPath.getName.startsWith("_compact_tmp"))
@@ -185,6 +197,11 @@ object Maintenance {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    // snapshot-managed trees carry their manifest at the ROOT — the
+    // per-leaf compactTiered guard would miss it
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_manifests")),
+      s"$dir is a snapshot-managed store — use " +
+        "Snapshot.compactTieredPartitioned")
     def leafDirs(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val parts = fs.listStatus(d)
         .filter(s => s.isDirectory && s.getPath.getName.contains("="))

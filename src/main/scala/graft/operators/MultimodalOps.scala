@@ -130,7 +130,15 @@ object MultimodalOps {
     hex2(pmod(floor(c / 65536).cast("long"), lit(256L))),
     hex2(pmod(floor(c / 16777216).cast("long"), lit(256L))))
 
-  /** The mixed-format gate payload column (over `documents`). */
+  private def be16h(c: Column) = lpad(hex(c), 4, "0")
+
+  /** The mixed-format gate payload column (over `documents`). Two
+    * JPEG variants: tag 4 is a BARE SOI+APP0-marker prefix (dispatch
+    * fires, the segment walk runs into text bytes and finds no SOF —
+    * dims stay null on every path), tag 5 is a REAL JFIF header —
+    * full 16-byte APP0 segment followed by an SOF0 frame header with
+    * BE16 dims and 3 components — so the [[decodeMedia]] segment
+    * walk has an actual variable-offset SOF to find. */
   def taggedPayload: Column = {
     val id = col("doc_id")
     val w = lit(16L) + pmod(id, lit(1000L))
@@ -139,7 +147,7 @@ object MultimodalOps {
       .when(pmod(id, lit(3L)) === 1, lit(2L)).otherwise(lit(6L))
     val wch = lit(1L) + pmod(id, lit(2L))
     val rate = lit(8000L) + pmod(id, lit(5L)) * 8000L
-    val tag = pmod(id, lit(6L))
+    val tag = pmod(id, lit(7L))
     val headerHex =
       when(tag === 0, concat( // PNG signature + IHDR(len 13): w/h BE32, depth 8, color type
         lit("89504E470D0A1A0A0000000D49484452"),
@@ -153,7 +161,11 @@ object MultimodalOps {
         lit("52494646" + "00000000" + "57415645" + "666D7420" +
           "10000000" + "0100"),
         le16h(wch), le32h(rate)))
-      .when(tag === 4, lit("FFD8FFE0")) // JPEG SOI + APP0 marker
+      .when(tag === 4, lit("FFD8FFE0")) // JPEG SOI + APP0 marker, no SOF
+      .when(tag === 5, concat( // JPEG SOI + full APP0(JFIF) + SOF0: h/w BE16, 3 comps
+        lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
+          "0001" + "0001" + "00" + "00" + "FFC00011" + "08"),
+        be16h(h), be16h(w), lit("03" + "012200" + "021101" + "031101")))
       .otherwise(lit(""))
     concat(unhex(headerHex), col("text").cast("binary"))
   }
@@ -169,13 +181,13 @@ object MultimodalOps {
     * text bytes, dims derived from doc_id exactly as [[taggedPayload]]
     * does (ASCII corpus ⇒ ord(char) = byte). */
   private val mmPayloadCte: String =
-    """WITH base AS (
+    """WITH RECURSIVE base AS (
       | SELECT doc_id,
       |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb,
       |  16 + doc_id % 1000 AS w, 16 + (doc_id * 7) % 1000 AS h,
       |  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct,
       |  1 + doc_id % 2 AS wch, 8000 + (doc_id % 5) * 8000 AS rate,
-      |  doc_id % 6 AS tag
+      |  doc_id % 7 AS tag
       | FROM documents),
       |hdr AS (
       | SELECT doc_id, tb, CASE tag
@@ -190,6 +202,10 @@ object MultimodalOps {
       |   16,0,0,0, 1,0, wch%256, wch//256,
       |   rate%256, rate//256%256, rate//65536%256, rate//16777216%256]
       |  WHEN 4 THEN [255,216,255,224]
+      |  WHEN 5 THEN [255,216, 255,224, 0,16, 74,70,73,70,0, 1,1, 0,
+      |   0,1, 0,1, 0, 0,
+      |   255,192, 0,17, 8, h//256%256, h%256, w//256%256, w%256,
+      |   3, 1,34,0, 2,17,1, 3,17,1]
       |  ELSE CAST([] AS BIGINT[]) END AS hb
       | FROM base),
       |p AS (SELECT doc_id, list_concat(hb, tb) AS b FROM hdr),
@@ -204,21 +220,68 @@ object MultimodalOps {
       |   AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69) AS is_wav
       | FROM p)""".stripMargin
 
-  private val mmDecodeSelect: String =
-    """ CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
+  /** DuckDB twin of [[decodeMedia]]'s bounded JPEG segment walk, as a
+    * recursive CTE over (doc_id, pos): advance past APP/comment
+    * segments by their BE16 length (standalone markers by 2), stop at
+    * SOS/EOI/bounds/iteration-cap, and `jdim` reads dims off the
+    * first SOFn position visited — operation-for-operation the JVM
+    * walk, so the oracle gates it byte-for-byte. */
+  private val mmJpegWalkCtes: String =
+    """jseg(doc_id, pos, it) AS (
+      | SELECT doc_id, 3, 0 FROM d WHERE is_jpeg
+      | UNION ALL
+      | SELECT s.doc_id,
+      |  CASE WHEN d.b[s.pos+1] = 216 OR d.b[s.pos+1] = 1
+      |        OR (d.b[s.pos+1] BETWEEN 208 AND 215)
+      |   THEN s.pos + 2
+      |   ELSE s.pos + 2 + d.b[s.pos+2]*256 + d.b[s.pos+3] END,
+      |  s.it + 1
+      | FROM jseg s JOIN d USING (doc_id)
+      | WHERE s.it < 64 AND s.pos + 3 <= d.n AND d.b[s.pos] = 255
+      |  AND d.b[s.pos+1] NOT IN (217, 218)
+      |  AND NOT (d.b[s.pos+1] BETWEEN 192 AND 207
+      |           AND d.b[s.pos+1] NOT IN (196, 200, 204))
+      |  AND (d.b[s.pos+1] = 216 OR d.b[s.pos+1] = 1
+      |       OR (d.b[s.pos+1] BETWEEN 208 AND 215)
+      |       OR d.b[s.pos+2]*256 + d.b[s.pos+3] >= 2)),
+      |jsof AS (
+      | SELECT s.doc_id, min(s.pos) AS pos
+      | FROM jseg s JOIN d USING (doc_id)
+      | WHERE s.it < 64 AND s.pos + 3 <= d.n AND s.pos + 9 <= d.n
+      |  AND d.b[s.pos] = 255
+      |  AND d.b[s.pos+1] BETWEEN 192 AND 207
+      |  AND d.b[s.pos+1] NOT IN (196, 200, 204)
+      | GROUP BY s.doc_id),
+      |jdim AS (
+      | SELECT j.doc_id,
+      |  CAST(d.b[j.pos+7]*256 + d.b[j.pos+8] AS BIGINT) AS jw,
+      |  CAST(d.b[j.pos+5]*256 + d.b[j.pos+6] AS BIGINT) AS jh,
+      |  CAST(d.b[j.pos+9] AS BIGINT) AS jc
+      | FROM jsof j JOIN d USING (doc_id))""".stripMargin
+
+  /** The field select, parameterized on whether the path carries the
+    * JPEG segment walk: the batched JVM path ([[decodeMedia]]) walks
+    * SOF segments for dims, the pure-expression path dispatches JPEG
+    * by magic only (variable-offset scans are not a fixed-offset
+    * substring read) — each oracle mirrors its own path. */
+  private def mmSelect(jpegDims: Boolean): String = {
+    val jw = if (jpegDims) " WHEN is_jpeg THEN jw" else ""
+    val jh = if (jpegDims) " WHEN is_jpeg THEN jh" else ""
+    val jc = if (jpegDims) " WHEN is_jpeg THEN jc" else ""
+    s""" CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
       |  WHEN is_gif THEN 'gif' WHEN is_bmp THEN 'bmp'
       |  WHEN is_wav THEN 'wav' ELSE 'raw' END AS format,
-      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]
+      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]$jw
       |  WHEN is_gif THEN b[7] + b[8]*256
       |  WHEN is_bmp THEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216
       |  END AS BIGINT) AS width,
-      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]
+      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]$jh
       |  WHEN is_gif THEN b[9] + b[10]*256
       |  WHEN is_bmp THEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216
       |  END AS BIGINT) AS height,
       | CAST(CASE WHEN is_png THEN
       |   CASE b[26] WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
-      |    WHEN 4 THEN 2 WHEN 6 THEN 4 END
+      |    WHEN 4 THEN 2 WHEN 6 THEN 4 END$jc
       |  WHEN is_bmp THEN (b[29] + b[30]*256) // 8
       |  WHEN is_wav THEN b[23] + b[24]*256
       |  END AS BIGINT) AS channels,
@@ -226,17 +289,57 @@ object MultimodalOps {
       |   b[25] + b[26]*256 + b[27]*65536 + b[28]*16777216
       |  END AS BIGINT) AS sample_rate,
       | CAST(n AS BIGINT) AS byte_len""".stripMargin
+  }
 
   val mediaDecodeSql: String =
-    mmPayloadCte + "\nSELECT doc_id,\n" + mmDecodeSelect + "\nFROM d"
+    mmPayloadCte + "\nSELECT doc_id,\n" + mmSelect(jpegDims = false) + "\nFROM d"
 
   // ---- header codec, batched JVM path ---------------------------------
+
+  /** Bounded JPEG segment walk for frame dimensions — the one
+    * container whose dims are NOT at a fixed offset: after SOI each
+    * segment is `FF <marker> <BE16 length> <payload>`; APP/comment
+    * segments are skipped by their declared length (standalone
+    * markers — TEM, RSTn, a stray SOI — by 2 bytes), and the first
+    * SOFn frame header (C0-CF minus the DHT/JPG/DAC holes C4/C8/CC)
+    * carries precision(1) + height(BE16) + width(BE16) +
+    * component-count(1). The walk is BOUNDED: 64 segments max, every
+    * read bounds-checked, stop at SOS (entropy-coded data follows —
+    * no SOF can legally appear after it) or EOI. Returns (width,
+    * height, components); all-None when no SOF is found — a
+    * truncated or dispatch-only prefix degrades, never throws. */
+  private[graft] def jpegSofDims(p: Array[Byte]): (Option[Long], Option[Long], Option[Long]) = {
+    val n = p.length
+    def u(i: Int) = p(i) & 0xFF
+    def be16(o: Int) = ((u(o) << 8) | u(o + 1)).toLong
+    var pos = 2
+    var it = 0
+    while (it < 64 && pos + 3 < n && u(pos) == 0xFF) {
+      val m = u(pos + 1)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        return if (pos + 9 < n)
+          (Some(be16(pos + 7)), Some(be16(pos + 5)), Some(u(pos + 9).toLong))
+        else (None, None, None)
+      }
+      if (m == 0xD9 || m == 0xDA) return (None, None, None)
+      if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2
+      else {
+        val len = be16(pos + 2).toInt
+        if (len < 2) return (None, None, None)
+        pos += 2 + len
+      }
+      it += 1
+    }
+    (None, None, None)
+  }
 
   /** The same codec as [[mediaFields]], as plain JVM byte parsing —
     * the body a vectorized native decoder replaces, running inside
     * fixed-size per-partition batches. Also emits the 16-bin byte
     * histogram feature. Spec-pinned field-for-field equal to the
-    * expression path. */
+    * expression path — EXCEPT JPEG dims, which only this path
+    * produces (the [[jpegSofDims]] segment walk; the expression path
+    * stays dispatch-only by contract). */
   def decodeMedia(docId: Long, p: Array[Byte]): MmFeature = {
     val n = p.length
     def u(i: Int) = p(i) & 0xFF // 0-based
@@ -257,7 +360,10 @@ object MultimodalOps {
           case 4 => Some(2L); case 6 => Some(4L); case _ => None
         }
         ("png", Some(be32(16)), Some(be32(20)), ch, None)
-      } else if (isJpeg) ("jpeg", None, None, None, None)
+      } else if (isJpeg) {
+        val (jw, jh, jc) = jpegSofDims(p)
+        ("jpeg", jw, jh, jc, None)
+      }
       else if (isGif) ("gif", Some(le16(6)), Some(le16(8)), None, None)
       else if (isBmp) ("bmp", Some(le32(18)), Some(le32(22)), Some(le16(28) / 8), None)
       else if (isWav) ("wav", None, None, Some(le16(22)), Some(le32(24)))
@@ -302,7 +408,9 @@ object MultimodalOps {
     val hist = (0 until 16)
       .map(i => s"CAST(len(list_filter(b, x -> x // 16 = $i)) AS BIGINT) AS hist_$i")
       .mkString(",\n ")
-    mmPayloadCte + "\nSELECT doc_id,\n" + mmDecodeSelect + ",\n " + hist + "\nFROM d"
+    mmPayloadCte + ",\n" + mmJpegWalkCtes + "\nSELECT doc_id,\n" +
+      mmSelect(jpegDims = true) + ",\n " + hist +
+      "\nFROM d LEFT JOIN jdim USING (doc_id)"
   }
 
   /** Frame sampling over an opaque media payload — the video-pipeline

@@ -354,13 +354,145 @@ object Snapshot {
     // deletes re-resolves against the OLD manifest, whose retired
     // entries simply point at already-gone files (delete is a no-op
     // next time). The reverse order would let a crash strand deleted
-    // names as "unknown appends" — silent row duplication.
-    val (expired, kept) = newRetired.partition { case (ts, _) => now - ts >= graceMs }
+    // names as "unknown appends" — silent row duplication. Only
+    // entries retired by a PREVIOUS commit are eligible: a file
+    // retired in THIS call is still LIVE in the old manifest, so
+    // deleting it pre-commit would leave a crashed store failing the
+    // lost-live-file check — even at graceMs = 0, this call's
+    // retirees wait for the next commit to be collected.
+    val (expired, kept) = manifest.retired.partition { case (ts, _) => now - ts >= graceMs }
     expired.foreach { case (_, n) => fs.delete(new Path(root, n), false) }
+    val keptAll = kept ++ newRetired.drop(manifest.retired.length)
 
     if (mergedCount > 0 || expired.nonEmpty)
       writeManifest(fs, root,
-        Manifest(manifest.gen + 1, newLive.sorted, kept))
+        Manifest(manifest.gen + 1, newLive.sorted, keptAll))
     mergedCount
+  }
+
+  /** Staged WHOLE-STORE replacement — the rebuild primitive. A
+    * periodic index rebuild must replace every row of a store that a
+    * separate process may be SERVING mid-rebuild; `mode("overwrite")`
+    * deletes the very files a pinned reader is scanning. This stages
+    * the new generation INVISIBLY instead:
+    *
+    *  1. [[stageReplace]] writes `df` to a hidden temp dir, then moves
+    *     the part files into the store under `tier-*` names — which
+    *     the resolution rule treats as uncommitted until a manifest
+    *     admits them, so readers keep resolving the OLD live set while
+    *     the (arbitrarily slow) rebuild write runs. The returned
+    *     handle exposes the staged rows ([[StagedReplace.staged]]) so
+    *     downstream tables of a multi-table rebuild derive from the
+    *     new upstream data before anything commits.
+    *  2. [[StagedReplace.commit]] atomically publishes a generation
+    *     whose live set is EXACTLY the staged files; every previously
+    *     live file (including appends) is retired and outlives
+    *     `graceMs`, so an in-flight reader that pinned its snapshot
+    *     before the commit finishes its scan on the old generation.
+    *
+    * Crash contract: a crash before commit leaves orphaned tier files
+    * (invisible; swept by the next stage or compaction) and the old
+    * generation fully serving. Multi-table stores (an index) get
+    * cross-table atomicity from the caller's completion-marker
+    * protocol: delete the marker table's `_SUCCESS` after staging
+    * everything, commit every table, and commit the marker table LAST
+    * (commit restores `_SUCCESS`) — a crash anywhere inside that
+    * window leaves an index that FAILS the completion check rather
+    * than serving mixed generations. Single maintenance writer per
+    * store, like the compactor. */
+  def stageReplace(spark: SparkSession, dir: String, df: DataFrame,
+                   partitionCols: Seq[String] = Nil,
+                   graceMs: Long = DefaultGraceMs): StagedReplace = {
+    val (fs, root) = fsOf(spark, dir)
+    fs.mkdirs(root)
+    // sweep temp dirs and never-committed tier files a crashed
+    // previous stage left behind
+    fs.listStatus(root).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("_replace_tmp"))
+        fs.delete(s.getPath, true)
+    }
+    val onDisk = listData(fs, root)
+    // bootstrap the manifest BEFORE any tier file lands (the
+    // compactCore rule: from here on, an unknown tier file always
+    // means a crashed commit)
+    val manifest = latestManifest(fs, root).getOrElse {
+      val m = Manifest(0L, onDisk.map(_._1).sorted, Vector.empty)
+      writeManifest(fs, root, m)
+      m
+    }
+    val known = manifest.live.toSet ++ manifest.retired.map(_._2)
+    onDisk.foreach { case (n, _) =>
+      if (isTier(n) && !known(n)) fs.delete(new Path(root, n), false)
+    }
+    val tmp = new Path(root, "_replace_tmp-" + UUID.randomUUID().toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val tag = UUID.randomUUID().toString
+    val staged = Vector.newBuilder[String]
+    var i = 0
+    listData(fs, tmp).foreach { case (rel, _) =>
+      val leaf = parentRel(rel)
+      if (leaf.nonEmpty) fs.mkdirs(new Path(root, leaf))
+      val dstRel = (if (leaf.isEmpty) "" else leaf + "/") + s"tier-$tag-$i.parquet"
+      if (!fs.rename(new Path(tmp, rel), new Path(root, dstRel)))
+        throw new IllegalStateException(s"stage rename $rel -> $root/$dstRel failed")
+      staged += dstRel
+      i += 1
+    }
+    fs.delete(tmp, true)
+    new StagedReplace(spark, dir, staged.result(), graceMs)
+  }
+
+  /** Handle over a staged-but-uncommitted replacement — see
+    * [[stageReplace]]. */
+  final class StagedReplace private[Snapshot] (
+      spark: SparkSession, dir: String,
+      private[graft] val stagedRel: Vector[String], graceMs: Long) {
+
+    /** The staged rows (readable BEFORE commit — invisible to every
+      * other reader): rebuilds derive downstream tables from staged
+      * upstream data. `basePath` keeps Hive partition columns. */
+    def staged: DataFrame = {
+      val (_, root) = fsOf(spark, dir)
+      spark.read.option("basePath", root.toString)
+        .parquet(stagedRel.map(n => new Path(root, n).toString): _*)
+    }
+
+    /** Atomic publish: new generation live = the staged set; all
+      * previously-live files retire (GC after grace). Restores the
+      * store's `_SUCCESS` marker as its LAST step — the caller's
+      * completion-marker protocol hangs on that ordering. */
+    def commit(): Unit = {
+      val (fs, root) = fsOf(spark, dir)
+      val manifest = latestManifest(fs, root).getOrElse(
+        throw new IllegalStateException(
+          s"staged store $dir lost its manifest before commit"))
+      val onDiskSet = listData(fs, root).map(_._1).toSet
+      val stagedSet = stagedRel.toSet
+      val missing = stagedRel.filterNot(onDiskSet)
+      require(missing.isEmpty,
+        s"staged files vanished before commit in $dir: " +
+          missing.take(5).mkString(", "))
+      val missingLive = manifest.live.filterNot(onDiskSet)
+      require(missingLive.isEmpty,
+        s"snapshot store $dir lost live files (externally deleted?): " +
+          missingLive.take(5).mkString(", "))
+      val known = manifest.live.toSet ++ manifest.retired.map(_._2)
+      val appends = onDiskSet.toVector
+        .filter(n => !known(n) && !stagedSet(n) && !isTier(n))
+      val now = System.currentTimeMillis()
+      // GC: only PREVIOUSLY-retired entries are eligible (this
+      // commit's retirees are live in the old manifest — deleting
+      // them pre-commit would let a crash fail the lost-live check)
+      val (expired, kept) = manifest.retired
+        .partition { case (ts, _) => now - ts >= graceMs }
+      expired.foreach { case (_, n) => fs.delete(new Path(root, n), false) }
+      val retiring = (manifest.live ++ appends).filterNot(stagedSet)
+      writeManifest(fs, root, Manifest(manifest.gen + 1,
+        stagedRel.sorted, kept ++ retiring.map(n => (now, n))))
+      val succ = fs.create(new Path(root, "_SUCCESS"), true)
+      succ.close()
+    }
   }
 }

@@ -725,21 +725,50 @@ object VectorOps {
     * so fusing Lloyd iterations into every query plan (as the one-shot
     * [[annIvf]] gate entry does) pays the ~17-shuffle build on each
     * call. Parquet round-trips doubles exactly, so the split path is
-    * bit-identical to the fused one (spec-pinned). */
+    * bit-identical to the fused one (spec-pinned).
+    *
+    * ALSO the periodic FULL REBUILD the drift report schedules — and,
+    * like [[DedupOps.rebuildIndex]], SNAPSHOT-ISOLATED against live
+    * serving via [[Snapshot.stageReplace]]: every table stages
+    * invisibly while the old index serves through the Lloyd passes,
+    * then the swap is four fast manifest commits under the
+    * completion-marker protocol (`invlist/_SUCCESS` — what
+    * [[annIvfQuery]]'s build-if-missing probe checks — deleted first,
+    * restored by invlist's LAST commit). A pre-swap [[annIvfQuery]]
+    * construction finishes bit-identically on its pinned old
+    * generation; a crash mid-swap fails the completion check, never
+    * serving new lists against old centroids. The final assignment
+    * reads the STAGED centroids (bit-identical — parquet round-trips
+    * doubles exactly), which also spares the invlist write re-running
+    * the Lloyd subtree the centroid write just materialized. */
   def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String,
-                    k: Int = 0): Unit = {
+                    k: Int = 0,
+                    graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
     val n = corpusN(spark, dir)
     val (kk, _) = ivfKnobsFor(n, k, ivfProbes)
-    val (cents, invlist) = ivfIndex(spark, dir, kk, n)
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    invlist.write.mode("overwrite").parquet(s"$indexDir/invlist")
-    writeIvfIds(spark, indexDir)
-    // drift baseline for ivfDriftReport — read the materialized
-    // centroids back so the stats pass can't see a re-planned Lloyd
-    writeIvfDistStats(spark,
-      vecs(spark, dir).filter(col("vec_id") >= nQueries)
-        .select(col("vec_id"), col("vd")),
-      spark.read.parquet(s"$indexDir/centroids"), indexDir)
+    val (cents, _) = ivfIndex(spark, dir, kk, n)
+    val rCents = Snapshot.stageReplace(spark, s"$indexDir/centroids",
+      cents, graceMs = graceMs)
+    val cRead = rCents.staged
+    val corpus = vecs(spark, dir).filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("vd"))
+    val rInv = Snapshot.stageReplace(spark, s"$indexDir/invlist",
+      assignMulti(corpus, cRead)
+        .select(col("vec_id").as("neighbor_id"), col("cid")),
+      graceMs = graceMs)
+    val rIds = Snapshot.stageReplace(spark, s"$indexDir/ids",
+      rInv.staged.select(col("neighbor_id").as("vec_id")).distinct()
+        .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
+      partitionCols = Seq("kb"), graceMs = graceMs)
+    // drift baseline for ivfDriftReport — from the staged centroids,
+    // so the stats pass can't see a re-planned Lloyd
+    val rDist = Snapshot.stageReplace(spark, s"$indexDir/diststats",
+      distStatsOf(corpus, cRead), graceMs = graceMs)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/invlist/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    rCents.commit(); rIds.commit(); rDist.commit()
+    rInv.commit()
   }
 
   /** (Re)derive a vector index's `ids` membership store from its list
@@ -828,11 +857,14 @@ object VectorOps {
     * at accuracy 10⁴: the baseline is a monitoring threshold, not a
     * result surface, and the sketch is deterministic for fixed input
     * and parameters. */
-  private def writeIvfDistStats(spark: SparkSession, points: DataFrame,
-                                cents: DataFrame, indexDir: String): Unit =
+  private def distStatsOf(points: DataFrame, cents: DataFrame): DataFrame =
     assignD2(points, cents)
       .agg(count(lit(1)).as("n_build"),
         percentile_approx(col("d2"), lit(0.95), lit(10000)).as("p95_d2"))
+
+  private def writeIvfDistStats(spark: SparkSession, points: DataFrame,
+                                cents: DataFrame, indexDir: String): Unit =
+    distStatsOf(points, cents)
       .write.mode("overwrite").parquet(s"$indexDir/diststats")
 
   /** WHEN to rebuild — the scheduling half of the frozen-quantizer
@@ -876,7 +908,7 @@ object VectorOps {
   def ivfDriftReport(spark: SparkSession, dir: String, indexDir: String,
                      batch: DataFrame, driftFrac: Double = 0.10,
                      memberCount: Long = -1L): DataFrame = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Snapshot.read(spark, s"$indexDir/centroids")
     // a pre-append index may not carry the ids membership store yet —
     // the same one-time derivation the append guard performs, against
     // whichever list table this layout has
@@ -894,7 +926,7 @@ object VectorOps {
         .join(ids, Seq("vec_id"), "left_semi")
       writeIvfDistStats(spark, pts, cents, indexDir)
     }
-    val stats = spark.read.parquet(s"$indexDir/diststats")
+    val stats = Snapshot.read(spark, s"$indexDir/diststats")
     // k_built is the SERVING list count (what the index actually has —
     // Lloyd can land under the sizing-rule k when clusters empty);
     // the size rule compares it against ⌈√n⌉ of the post-append
@@ -981,7 +1013,10 @@ object VectorOps {
     * layout); [[Maintenance.compactTable]] over `invlist` compacts
     * the per-append small files with bit-identical search results. */
   def ivfAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Long = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    require(hExists(spark, s"$indexDir/invlist/_SUCCESS"),
+      s"$indexDir is not a complete IVF index (crashed mid-rebuild? " +
+        "re-run ivfBuildIndex)")
+    val cents = Snapshot.read(spark, s"$indexDir/centroids")
     val pts = notIndexed(
       batch.select(col("vec_id"), col("embedding").as("vd"))
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
@@ -1043,7 +1078,7 @@ object VectorOps {
     if (!hExists(spark, s"$idx/invlist/_SUCCESS"))
       ivfBuildIndex(spark, dir, idx, kk)
     ivfSearch(spark, dir,
-      spark.read.parquet(s"$idx/centroids"),
+      Snapshot.read(spark, s"$idx/centroids"),
       Snapshot.read(spark, s"$idx/invlist"), pp)
   }
 
@@ -1228,29 +1263,49 @@ object VectorOps {
     * `codes` (neighbor_id, cid, s, code) — built once ([[ivfpqBuildIndex]]),
     * served many times ([[annIvfPqQuery]]). */
   def ivfpqBuildIndex(spark: SparkSession, dir: String, indexDir: String,
-                      k: Int = 0): Unit = {
+                      k: Int = 0,
+                      graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
     val n = corpusN(spark, dir)
     val (kResolved, _) = ivfKnobsFor(n, k, ivfProbes)
-    val (cents, invlist) = ivfIndex(spark, dir, kResolved, n)
+    val (cents, _) = ivfIndex(spark, dir, kResolved, n)
     val corpus = vecs(spark, dir)
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
       .filter(col("vec_id") >= nQueries)
     val (cb, pqCodes) = pqEncode(corpus, pqKFor(n), n)
-    val codes = pqCodes
-      .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
-      .join(invlist, Seq("neighbor_id"))
 
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
-    writeIvfIds(spark, indexDir, "codes")
+    // snapshot-isolated build/rebuild — the [[ivfBuildIndex]] shape:
+    // stage everything (downstream tables from staged upstream data),
+    // then swap under the completion-marker protocol with
+    // codes/_SUCCESS (the [[annIvfPqQuery]] build-if-missing probe)
+    // restored by the LAST commit
+    val rCents = Snapshot.stageReplace(spark, s"$indexDir/centroids",
+      cents, graceMs = graceMs)
+    val cRead = rCents.staged
+    val invlist = assignMulti(
+      corpus.select(col("vec_id"), col("vd")), cRead)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val rCb = Snapshot.stageReplace(spark, s"$indexDir/codebook",
+      cb, graceMs = graceMs)
+    val rCodes = Snapshot.stageReplace(spark, s"$indexDir/codes",
+      pqCodes
+        .select(col("vec_id").as("neighbor_id"), col("s"), col("cid").as("code"))
+        .join(invlist, Seq("neighbor_id")),
+      graceMs = graceMs)
+    val rIds = Snapshot.stageReplace(spark, s"$indexDir/ids",
+      rCodes.staged.select(col("neighbor_id").as("vec_id")).distinct()
+        .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
+      partitionCols = Seq("kb"), graceMs = graceMs)
     // drift baseline: the coarse quantizer is the drift surface the
     // report measures (codebook drift follows it), so the IVF-PQ
     // index carries the same diststats an IVF index does
-    writeIvfDistStats(spark,
-      vecs(spark, dir).filter(col("vec_id") >= nQueries)
-        .select(col("vec_id"), col("vd")),
-      spark.read.parquet(s"$indexDir/centroids"), indexDir)
+    val rDist = Snapshot.stageReplace(spark, s"$indexDir/diststats",
+      distStatsOf(corpus.select(col("vec_id"), col("vd")), cRead),
+      graceMs = graceMs)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/codes/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    rCents.commit(); rCb.commit(); rIds.commit(); rDist.commit()
+    rCodes.commit()
   }
 
   /** [[ivfAppend]] for the composed IVF-PQ index: new vectors are
@@ -1261,8 +1316,11 @@ object VectorOps {
     * search), same drift contract (periodic [[ivfpqBuildIndex]]
     * re-trains books and quantizer; compaction over `codes`). */
   def ivfpqAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    val cb = spark.read.parquet(s"$indexDir/codebook")
+    require(hExists(spark, s"$indexDir/codes/_SUCCESS"),
+      s"$indexDir is not a complete IVF-PQ index (crashed mid-rebuild? " +
+        "re-run ivfpqBuildIndex)")
+    val cents = Snapshot.read(spark, s"$indexDir/centroids")
+    val cb = Snapshot.read(spark, s"$indexDir/codebook")
     val pts = notIndexed(
       batch
         .select(col("vec_id"), col("embedding").as("vd"), vecNorm(col("embedding")).as("norm"))
@@ -1315,8 +1373,8 @@ object VectorOps {
           graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
     if (!hExists(spark, s"$idx/codes/_SUCCESS"))
       ivfpqBuildIndex(spark, dir, idx, kk)
-    val cents = spark.read.parquet(s"$idx/centroids")
-    val cb = spark.read.parquet(s"$idx/codebook")
+    val cents = Snapshot.read(spark, s"$idx/centroids")
+    val cb = Snapshot.read(spark, s"$idx/codebook")
     val codes = Snapshot.read(spark, s"$idx/codes")
 
     val v = vecs(spark, dir)

@@ -573,7 +573,8 @@ object Pipelines {
     // re-trains positions, never the dimension) — so resolve it ONCE
     // at sink construction instead of a per-trigger parquet read +
     // driver head on the hot path
-    val dim = messages.sparkSession.read.parquet(s"$indexDir/centroids")
+    val dim = graft.operators.Snapshot
+      .read(messages.sparkSession, s"$indexDir/centroids")
       .select(size(col("cv"))).head.getInt(0)
     // running membership total for the drift report's size signal:
     // seeded from the store once (first drift trigger), advanced by

@@ -153,14 +153,21 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val before = pairs()
     assert(before.nonEmpty)
-    def files(t: String) = parquetFiles(s"$idx/$t").length
-    val (b0, s0) = (files("bands"), files("sets"))
-    assert(operators.Maintenance.compactTiered(spark, s"$idx/bands", 4) > 0)
-    assert(operators.Maintenance.compactTiered(spark, s"$idx/sets", 4) > 0)
-    operators.Maintenance.compactTieredPartitioned(spark, s"$idx/ids", 2)
-    assert(files("bands") < b0 && files("sets") < s0)
+    // the staged builders write manifest-managed stores from birth, so
+    // the legacy in-place compactor must REFUSE them (its tier output
+    // would be invisible to snapshot resolution — rows vanish) ...
+    intercept[IllegalArgumentException] {
+      operators.Maintenance.compactTiered(spark, s"$idx/bands", 4)
+    }
+    // ... and the snapshot compactor is the maintenance path
+    def live(t: String) = operators.Snapshot.files(spark, s"$idx/$t").length
+    val (b0, s0) = (live("bands"), live("sets"))
+    assert(operators.Snapshot.compactTiered(spark, s"$idx/bands", 4, graceMs = 0) > 0)
+    assert(operators.Snapshot.compactTiered(spark, s"$idx/sets", 4, graceMs = 0) > 0)
+    operators.Snapshot.compactTieredPartitioned(spark, s"$idx/ids", 2, graceMs = 0)
+    assert(live("bands") < b0 && live("sets") < s0)
     assert(pairs() === before,
-      "in-place tiered compaction must not change a single probe result")
+      "tiered compaction must not change a single probe result")
     val buckets = (0 until operators.DedupOps.keyBuckets).toSeq
     val members = operators.DedupOps.indexedIds(spark, idx, buckets)
       .collect().map(_.getLong(0)).toSet
@@ -331,6 +338,104 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq === pinnedLists)
     // and the next serving resolution returns the same neighbors
     assert(serve() === before)
+  }
+
+  test("ivfBuildIndex REBUILD is snapshot-isolated: in-flight serving finishes " +
+    "on the old generation, the next read serves the new one") {
+    // the round-9 gap: compaction was snapshot-isolated but the
+    // periodic FULL REBUILD still overwrote index dirs in place,
+    // deleting the files a pinned reader was mid-way through scanning
+    val idx = tmp("graft-ivfrebuild")
+    operators.VectorOps.ivfBuildIndex(spark, sf, idx, k = 4)
+    def serve() = operators.VectorOps.annIvfQuery(spark, sf, idx)
+      .collect().map(_.toString).sorted.toSeq
+    val before = serve()
+    assert(before.nonEmpty)
+    // a serving process constructs its query BEFORE the rebuild — the
+    // Snapshot reads resolve (pin) the file set at construction
+    val inFlight = operators.VectorOps.annIvfQuery(spark, sf, idx)
+    val pinned = operators.Snapshot.files(spark, idx + "/invlist")
+    // the drift-scheduled FULL REBUILD (different quantizer size —
+    // every table's content changes) runs LIVE, mid-scan
+    operators.VectorOps.ivfBuildIndex(spark, sf, idx, k = 16)
+    // the in-flight construction completes BIT-IDENTICALLY on its
+    // pinned old generation (retired files outlive the grace window)
+    assert(inFlight.collect().map(_.toString).sorted.toSeq === before)
+    def onDisk(p: String) = new java.io.File(new java.net.URI(p).getPath).exists()
+    assert(pinned.forall(onDisk),
+      "old-generation files must survive the rebuild for the grace window")
+    // the next construction resolves the NEW generation: a disjoint
+    // file set, the restored completion marker, and a live serving path
+    val after = operators.Snapshot.files(spark, idx + "/invlist")
+    assert(after.toSet.intersect(pinned.toSet).isEmpty,
+      "new generation must not share invlist files with the old one")
+    assert(operators.VectorOps.hExists(spark, idx + "/invlist/_SUCCESS"))
+    assert(serve().nonEmpty)
+  }
+
+  test("minhash probeIndex serves across a live rebuildIndex") {
+    val idx = tmp("graft-mhrebuild")
+    val corpus90 = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7).select("doc_id", "text")
+    operators.DedupOps.rebuildIndex(spark, corpus90, idx)
+    val batch = Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id", "text")
+    def probe() = operators.DedupOps.probeIndex(spark, batch, idx)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    // pinned construction (probeIndex resolves + checkpoints its
+    // candidate probe at construction), then the rebuild over the
+    // GROWN corpus — original + arrivals — runs live. Note corpusDocs
+    // reading the corpus is fine DURING a rebuild: staging never
+    // deletes the old generation (the scaladoc's composition note).
+    val inFlight = operators.DedupOps.probeIndex(spark, batch, idx)
+    operators.DedupOps.rebuildIndex(spark,
+      Tables(spark, sf, "documents").select("doc_id", "text"), idx)
+    assert(inFlight.collect().map(_.toString).sorted.toSeq === before,
+      "in-flight probe must finish on its pinned old generation")
+    // next probe serves the new generation (batch docs now indexed —
+    // at least the old pairs still verify)
+    assert(probe().nonEmpty)
+    assert(operators.VectorOps.hExists(spark, idx + "/bands/_SUCCESS"))
+  }
+
+  test("crash mid-swap: the index fails the completion check loudly — " +
+    "never serves mixed generations") {
+    val idx = tmp("graft-mhcrash")
+    val corpus = Tables(spark, sf, "documents").select("doc_id", "text")
+    operators.DedupOps.rebuildIndex(spark, corpus, idx)
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val oldBands = operators.Snapshot.read(spark, idx + "/bands").count()
+    assert(oldBands > 0)
+    // reproduce the swap's worst crash point byte-for-byte: new
+    // generations staged, marker deleted, SOME tables committed,
+    // bands (the marker table) NOT
+    val rU = operators.Snapshot.stageReplace(spark, idx + "/universe",
+      operators.Snapshot.read(spark, idx + "/universe").limit(1))
+    val rB = operators.Snapshot.stageReplace(spark, idx + "/bands",
+      operators.Snapshot.read(spark, idx + "/bands").limit(1))
+    val marker = new org.apache.hadoop.fs.Path(idx + "/bands/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    rU.commit()
+    // -- crash: rB never commits --
+    assert(rB.stagedRel.nonEmpty) // the orphaned tier files exist...
+    assert(operators.Snapshot.read(spark, idx + "/bands").count() === oldBands,
+      "uncommitted staged bands must stay invisible — old generation serves")
+    // ...but every serving/maintenance entry point fails the
+    // completion check instead of mixing generations
+    intercept[IllegalArgumentException] {
+      operators.DedupOps.probeIndex(spark, batch, idx).collect()
+    }
+    intercept[IllegalArgumentException] {
+      operators.DedupOps.incrementalIndexUpdate(spark, batch, idx)
+    }
+    // recovery = re-run the rebuild: sweeps the orphans, restores a
+    // complete, consistent index
+    operators.DedupOps.rebuildIndex(spark, corpus, idx)
+    assert(operators.VectorOps.hExists(spark, idx + "/bands/_SUCCESS"))
+    assert(operators.DedupOps.probeIndex(spark, batch, idx).collect().nonEmpty)
   }
 
   test("snapshot compaction: pinned readers survive a live merge, GC only after grace") {

@@ -32,6 +32,15 @@ class MultimodalSpec extends AnyFunSuite {
     2, 0, // channels 2 LE
     0x44, 0xAC, 0, 0) // sample rate 44100 LE
   private val jpegFrame = bytes(0xFF, 0xD8, 0xFF, 0xE0)
+  // a real JFIF file prefix: SOI, full APP0 segment, then a baseline
+  // SOF0 frame header — dims live HERE, at a variable offset
+  private val jpegJfif1024x768 = bytes(
+    0xFF, 0xD8, // SOI
+    0xFF, 0xE0, 0, 16, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0, // APP0
+    0xFF, 0xC0, 0, 17, 8, // SOF0, len 17, precision 8
+    0x03, 0x00, // height 768 BE
+    0x04, 0x00, // width 1024 BE
+    3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) // 3 components
   private val rawText = "just some text".getBytes("UTF-8")
 
   test("decodeMedia parses real container headers: dispatch + fields") {
@@ -48,6 +57,14 @@ class MultimodalSpec extends AnyFunSuite {
       wav.sample_rate === Some(44100L))
     val jpg = MultimodalOps.decodeMedia(5L, jpegFrame)
     assert(jpg.format === "jpeg" && jpg.width.isEmpty)
+    // the SOF segment walk: dims found at their variable offset,
+    // behind a skipped APP0 segment
+    val jfif = MultimodalOps.decodeMedia(8L, jpegJfif1024x768)
+    assert(jfif.format === "jpeg" && jfif.width === Some(1024L) &&
+      jfif.height === Some(768L) && jfif.channels === Some(3L))
+    // a truncated SOF (cut before the component count) degrades to
+    // no-dims, never an out-of-bounds read
+    assert(MultimodalOps.decodeMedia(9L, jpegJfif1024x768.take(29)).width.isEmpty)
     val raw = MultimodalOps.decodeMedia(6L, rawText)
     assert(raw.format === "raw" && raw.width.isEmpty && raw.channels.isEmpty)
     // a TRUNCATED header must not classify: 8 magic bytes alone are
@@ -89,9 +106,29 @@ class MultimodalSpec extends AnyFunSuite {
     feats.foreach { f =>
       val (fmt, w, h, ch, sr, n) = expr(f.doc_id)
       assert(fmt === f.format && n === f.byte_len, s"doc ${f.doc_id}")
-      assert(w === f.width && h === f.height, s"doc ${f.doc_id} dims")
-      assert(ch === f.channels && sr === f.sample_rate, s"doc ${f.doc_id} ch/rate")
+      if (f.format == "jpeg") {
+        // the declared asymmetry: the expression path dispatches JPEG
+        // by magic only (dims live in variable-offset SOF segments),
+        // the JVM path walks them — SOF-bearing payloads (tag 5)
+        // carry dims on the JVM side only
+        assert(w.isEmpty && h.isEmpty && ch.isEmpty, s"doc ${f.doc_id} expr jpeg")
+        if (f.doc_id % 7 == 5)
+          assert(f.width.nonEmpty && f.height.nonEmpty && f.channels === Some(3L),
+            s"doc ${f.doc_id} must carry SOF dims")
+        else
+          assert(f.width.isEmpty && f.height.isEmpty, s"doc ${f.doc_id} bare jpeg")
+      } else {
+        assert(w === f.width && h === f.height, s"doc ${f.doc_id} dims")
+        assert(ch === f.channels, s"doc ${f.doc_id} ch")
+      }
+      assert(sr === f.sample_rate, s"doc ${f.doc_id} rate")
       assert(f.hist.sum === f.byte_len, s"doc ${f.doc_id} hist mass")
+    }
+    // the SOF dims themselves are exact: width/height derive from
+    // doc_id the same way the payload constructor derives them
+    feats.filter(f => f.doc_id % 7 == 5).take(50).foreach { f =>
+      assert(f.width === Some(16L + f.doc_id % 1000) &&
+        f.height === Some(16L + (f.doc_id * 7) % 1000), s"doc ${f.doc_id} SOF dims")
     }
   }
 
