@@ -599,6 +599,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.forall(_.getAs[Double]("frac_beyond_univ") > 0.5))
   }
 
+  test("drift-rebuild cycle through the live sink: flag -> rebuild -> " +
+    "new vocabulary pairs -> drift clears") {
+    // the full lifecycle loop, driven end to end through the streaming
+    // sink: novel-vocabulary arrivals are BLIND to the frozen universe
+    // (they fold in with empty shingle sets — near-dups among them
+    // cannot pair), the drift log flags it, the operator runs the
+    // scheduled rebuild over corpus + arrivals, and the NEXT batches
+    // pair against the new vocabulary while the drift log goes clean.
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-drift-cycle-table")
+    val idx = tmpDir("graft-mhidx-drift-cycle")
+    val ckpt = tmpDir("graft-ckpt")
+    val sf = SparkSpec.sf
+    operators.DedupOps.incrementalIndexBuild(spark, sf, idx)
+
+    def novelDoc(last: String) =
+      ((1 to 39).map(j => s"qzvnovel$j") :+ last).mkString(" ")
+    // A and B share 35 of 41 word-3-grams (one word differs): Jaccard
+    // 0.85 — a true near-dup pair, invisible to the frozen universe
+    val (idA, idB, idC) = (50000001L, 50000002L, 50000003L)
+    val textA = novelDoc("qzvnovel40")
+    val textB = novelDoc("qzvnovel40x")
+    val textC = novelDoc("qzvnovel40y")
+
+    def publish(id: Long, text: String): Unit =
+      GraftQueueBroker.publish(broker, "docs", Seq(
+        GraftQueueBroker.textMsg(id, 1700000000000000L + id, "t/docs/0", text)))
+    def drain(): Unit = {
+      val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+        maxRecordsPerTrigger = Some(2))
+      val q = Pipelines.incrementalDedupSink(msgs, idx, table, driftEvery = 1)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def tablePairs(): Set[(Long, Long)] =
+      // phase 1 legitimately writes ZERO pairs — the table dir then has
+      // no readable footer yet
+      try spark.read.parquet(table + "/data")
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+
+    // phase 1: the novel near-dup pair arrives — folded but NOT paired
+    // (the measured blind spot), and the drift report flags it
+    publish(idA, textA); publish(idB, textB)
+    drain()
+    val log1 = Pipelines.driftLog(spark, idx).collect()
+    assert(log1.exists(_.getAs[Boolean]("drifted")),
+      "novel-vocabulary trigger must flag the rebuild")
+    assert(!tablePairs().contains((idA, idB)),
+      "pre-rebuild, the frozen universe cannot see the novel pair")
+
+    // phase 2: the operator answers the flag — full rebuild over
+    // corpus + accepted arrivals (the drift report's contract)
+    import spark.implicits._
+    val arrivals = Seq((idA, textA), (idB, textB)).toDF("doc_id", "text")
+    operators.DedupOps.rebuildIndex(spark,
+      Tables(spark, sf, "documents").select("doc_id", "text").union(arrivals), idx)
+
+    // phase 3: a third near-dup arrives post-rebuild on the SAME
+    // checkpoint — it pairs against the re-vocabularied index, and its
+    // drift report is clean
+    publish(idC, textC)
+    drain()
+    val pairs = tablePairs()
+    assert(pairs.contains((idA, idC)) && pairs.contains((idB, idC)),
+      s"post-rebuild arrivals must pair on the new vocabulary, got $pairs")
+    val log2 = Pipelines.driftLog(spark, idx).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(!log2.last.getAs[Boolean]("drifted"),
+      "post-rebuild in-vocabulary trigger must record clean — the drift cleared")
+    assert(log2.exists(_.getAs[Boolean]("drifted")),
+      "the flagged pre-rebuild report remains in the log history")
+  }
+
   test("streaming dedup pairs two brand-new docs across triggers (update-before-probe)") {
     import org.apache.spark.sql.functions.col
     val sf = SparkSpec.sf
