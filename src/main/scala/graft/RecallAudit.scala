@@ -31,6 +31,12 @@ object RecallAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val outFile = args.lift(1).getOrElse("recall-audit.json")
+    // optional comma-separated subset (e.g. "ann_pq,ann_ivfpq_query")
+    // — knob iteration re-measures one family without paying the
+    // full audit (the Bench subset convention); recorded artifacts
+    // remain full runs
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def want(n: String) = only.forall(_.contains(n))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,57 +60,67 @@ object RecallAudit {
     def recall(got: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
       if (exact.isEmpty) 1.0 else got.count(exact).toDouble / exact.size
 
-    val bf = timed("ann_bruteforce") {
-      topkPairs(operators.VectorOps.annBruteForce(spark, sfDir)) }
-    val annLsh = recall(timed("ann_lsh") {
-      topkPairs(operators.VectorOps.annLsh(spark, sfDir)) }, bf)
-    val annIvf = recall(timed("ann_ivf") {
-      topkPairs(operators.VectorOps.annIvf(spark, sfDir)) }, bf)
-    val annPq = recall(timed("ann_pq") {
-      topkPairs(operators.VectorOps.annPq(spark, sfDir)) }, bf)
-    val annIvfPq = recall(timed("ann_ivfpq_query") {
-      topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)) }, bf)
+    var entries = Vector.empty[(String, Double)]
+    var sizes = Vector.empty[(String, Long)]
+    val annWanted = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq_query").filter(want)
+    if (annWanted.nonEmpty) {
+      val bf = timed("ann_bruteforce") {
+        topkPairs(operators.VectorOps.annBruteForce(spark, sfDir)) }
+      sizes :+= ("ann_bruteforce", bf.size.toLong)
+      if (want("ann_lsh")) entries :+= ("ann_lsh", recall(timed("ann_lsh") {
+        topkPairs(operators.VectorOps.annLsh(spark, sfDir)) }, bf))
+      if (want("ann_ivf")) entries :+= ("ann_ivf", recall(timed("ann_ivf") {
+        topkPairs(operators.VectorOps.annIvf(spark, sfDir)) }, bf))
+      if (want("ann_pq")) entries :+= ("ann_pq", recall(timed("ann_pq") {
+        topkPairs(operators.VectorOps.annPq(spark, sfDir)) }, bf))
+      if (want("ann_ivfpq_query")) entries :+= ("ann_ivfpq_query",
+        recall(timed("ann_ivfpq_query") {
+          topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)) }, bf))
+    }
 
     // near-dup recall overall AND on high-margin pairs: the LSH mode's
     // declared regime is semantic dups with angular margin — the
     // zero-margin 0.4-threshold tail is the exact mode's job, so the
     // cos ≥ 0.7 / ≥ 0.9 slices are the operative numbers
-    val exactEmbRows = timed("embedding_near_dup_exact") {
-      operators.VectorOps.embeddingNearDup(spark, sfDir)
-        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))) }
-    val exactEmb = exactEmbRows.map(_._1).toSet
-    val got = timed("dedup_embedding_lsh") {
-      idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir)) }
-    val embLsh = recall(got, exactEmb)
-    def marginRecall(minCos: Double): Double =
-      recall(got, exactEmbRows.filter(_._2 >= minCos).map(_._1).toSet)
-    val embLsh07 = marginRecall(0.7)
-    val embLsh09 = marginRecall(0.9)
+    if (want("dedup_embedding_lsh")) {
+      val exactEmbRows = timed("embedding_near_dup_exact") {
+        operators.VectorOps.embeddingNearDup(spark, sfDir)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))) }
+      val exactEmb = exactEmbRows.map(_._1).toSet
+      val got = timed("dedup_embedding_lsh") {
+        idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir)) }
+      def marginRecall(minCos: Double): Double =
+        recall(got, exactEmbRows.filter(_._2 >= minCos).map(_._1).toSet)
+      entries ++= Seq(
+        ("dedup_embedding_lsh", recall(got, exactEmb)),
+        ("dedup_embedding_lsh_cos07", marginRecall(0.7)),
+        ("dedup_embedding_lsh_cos09", marginRecall(0.9)))
+      sizes :+= ("embedding_pairs", exactEmb.size.toLong)
+    }
 
-    val exactJac = timed("dedup_ngram_jaccard") {
-      idPairs(operators.DedupOps.ngramJaccard(spark, sfDir)) }
-    val pureLsh = recall(timed("dedup_minhash_pure_lsh") {
-      idPairs(operators.DedupOps.minhashLsh(spark, sfDir, exactRecallUnion = false)) },
-      exactJac)
-    // simhash hunts hamming-close signatures, not a Jaccard threshold —
-    // its spec gates STRONG-pair recall; report recall vs the exact
-    // J ≥ threshold pair set for the same cross-scale visibility
-    val simhash = recall(timed("dedup_simhash") {
-      idPairs(operators.DedupOps.simhash(spark, sfDir)) }, exactJac)
+    if (want("dedup_minhash_pure_lsh") || want("dedup_simhash_vs_exact")) {
+      val exactJac = timed("dedup_ngram_jaccard") {
+        idPairs(operators.DedupOps.ngramJaccard(spark, sfDir)) }
+      sizes :+= ("jaccard_pairs", exactJac.size.toLong)
+      if (want("dedup_minhash_pure_lsh"))
+        entries :+= ("dedup_minhash_pure_lsh", recall(timed("dedup_minhash_pure_lsh") {
+          idPairs(operators.DedupOps.minhashLsh(spark, sfDir, exactRecallUnion = false)) },
+          exactJac))
+      // simhash hunts hamming-close signatures, not a Jaccard threshold —
+      // its spec gates STRONG-pair recall; report recall vs the exact
+      // J ≥ threshold pair set for the same cross-scale visibility
+      if (want("dedup_simhash_vs_exact"))
+        entries :+= ("dedup_simhash_vs_exact", recall(timed("dedup_simhash") {
+          idPairs(operators.DedupOps.simhash(spark, sfDir)) }, exactJac))
+    }
 
     def f(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val line =
       s"""{"metric":"recall","sf":"$sfDir",""" +
-        s""""ann_lsh":${f(annLsh)},"ann_ivf":${f(annIvf)},""" +
-        s""""ann_pq":${f(annPq)},"ann_ivfpq_query":${f(annIvfPq)},""" +
-        s""""dedup_embedding_lsh":${f(embLsh)},""" +
-        s""""dedup_embedding_lsh_cos07":${f(embLsh07)},""" +
-        s""""dedup_embedding_lsh_cos09":${f(embLsh09)},""" +
-        s""""dedup_minhash_pure_lsh":${f(pureLsh)},""" +
-        s""""dedup_simhash_vs_exact":${f(simhash)},""" +
-        s""""exact_sizes":{"ann_bruteforce":${bf.size},""" +
-        s""""embedding_pairs":${exactEmb.size},"jaccard_pairs":${exactJac.size}},""" +
+        entries.map { case (n, v) => s""""$n":${f(v)}""" }.mkString(",") +
+        s""","exact_sizes":{""" +
+        sizes.map { case (n, v) => s""""$n":$v""" }.mkString(",") + "}," +
         s""""wall_sec":{""" +
         walls.map { case (n, s) => s""""$n":${f(s)}""" }.mkString(",") + "}}"
     println(line)

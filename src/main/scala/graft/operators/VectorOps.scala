@@ -546,8 +546,14 @@ object VectorOps {
     * k/4 rule measured 0.42 / 0.54 / 0.72. On clustered corpora
     * (strong semantic dups) a smaller c suffices; this default buys
     * the ≥0.9 floor on the hardest regime while still scanning a
-    * VANISHING corpus fraction as n grows. */
-  val ivfProbeC = 4
+    * VANISHING corpus fraction as n grows (probes/k = c/√k →
+    * O(n^-1/4)). c history: 4 measured sf10 recall 0.92 (ann_ivf) /
+    * 0.90 (ann_ivfpq_query, AT the floor) — coarse-probe misses, not
+    * ADC resolution, were the binding loss (a full-corpus ADC scan at
+    * the same rerank pool measured 0.98); 6 restores margin at 100×
+    * while probing 29% of lists there and vanishing fractions
+    * beyond. */
+  val ivfProbeC = 6
 
   /** Lloyd iterations for the coarse quantizer (training-slice cost
     * only — the slice is capped at [[quantizerTrainCap]]). Two is the
@@ -1146,11 +1152,17 @@ object VectorOps {
     * is 200 because the tiny-corpus end is where the ADC ranking is
     * least trustworthy (sf0.01's rerank-50 pool measured 0.84 against
     * 1.00 at 200; 200 exact scorings per query is noise). The cap
-    * bounds per-query re-rank cost at serving scale — past it, recall
-    * headroom comes from code resolution (the [[pqKFor]] ramp toward
-    * 8-bit books), not a bigger pool. */
+    * bounds per-query re-rank cost at serving scale. Cap history: the
+    * original 1000 left ann_ivfpq_query at sf10 recall 0.90 — AT the
+    * spec floor with zero margin (the 8-bit books stop ramping past
+    * n = 2048, so at 100× the fixed-resolution ADC ranking needs a
+    * deeper exact pass to recover the same true-neighbor mass);
+    * 2000 re-measured 0.94/1.00/1.00 at sf10/sf1/sf0.1 with the
+    * serving wall flat (the re-rank is a candidate-sized broadcast
+    * join — 2k exact cosines per query is noise next to the probed
+    * list scan). */
   val pqRerank = 200
-  val pqRerankCap = 1000
+  val pqRerankCap = 2000
 
   private def rerankFor(n: Long): Int =
     math.max(pqRerank.toLong, math.min(pqRerankCap.toLong, n / 10L)).toInt
