@@ -320,14 +320,35 @@ object Snapshot {
       if (perLeaf) live.groupBy(parentRel).values.toSeq
       else Seq(live.filter(n => !n.contains('/')))
 
+    // Per-leaf threshold JITTER (partitioned stores only): a sink
+    // appending one file to EVERY kb leaf per trigger marches all 64
+    // leaves across the merge threshold on the SAME trigger, so the
+    // sweep runs 64 sequential one-leaf merge jobs inside one trigger
+    // — measured as 27-35s wave triggers in the sf10 vector sink
+    // curve against a ~3s baseline. A deterministic leaf-hash offset
+    // in [0, maxFiles/2) desynchronizes the crossings, smearing each
+    // wave over ~maxFiles/2 triggers (~2 leaves per trigger at 64
+    // leaves / 8 offsets); the per-leaf file-count bound grows to
+    // maxFiles + maxFiles/2 — same order, documented. Merge SIZE
+    // still targets maxFiles/2 (hysteresis unchanged).
+    def jitterOf(g: Vector[String]): Int =
+      if (!perLeaf) 0
+      else math.floorMod(parentRel(g.head).hashCode, math.max(1, maxFiles / 2))
+
     var mergedCount = 0
     var newLive = live
     var newRetired = manifest.retired
-    groups.foreach { g =>
-      if (g.length > maxFiles) {
+    // Global per-call budget (most-overgrown leaves first): even a
+    // store resuming after maintenance was off drains over a few
+    // calls instead of stalling one trigger on everything — the
+    // per-group maxMergeFiles cap generalized across groups.
+    var budget = maxMergeFiles
+    groups.sortBy(-_.length).foreach { g =>
+      if (g.length > maxFiles + jitterOf(g) && budget >= 2) {
         val sel = g.map(n => (sizes(n), n)).sorted
-          .take(math.min(g.length - maxFiles / 2 + 1, maxMergeFiles))
+          .take(math.min(math.min(g.length - maxFiles / 2 + 1, maxMergeFiles), budget))
           .map(_._2)
+        budget -= sel.length
         val tmp = new Path(root, "_compact_tmp-" + UUID.randomUUID().toString)
         spark.read.parquet(sel.map(n => new Path(root, n).toString): _*)
           .coalesce(1)
