@@ -438,6 +438,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(operators.DedupOps.probeIndex(spark, batch, idx).collect().nonEmpty)
   }
 
+  test("synchronized leaf crossings smear over calls: per-call merge work is budgeted") {
+    // the sf10 vector-sink finding: a sink appending one file to every
+    // kb leaf per trigger marches ALL leaves across the threshold on
+    // the same trigger — one trigger then pays every leaf's merge job.
+    // The per-leaf threshold jitter + global budget must spread that
+    // work over several calls while still converging.
+    val dir = tmp("graft-snap-smear")
+    val base = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        operators.DedupOps.keyBucket(col("id")).as("kb"))
+    (0 until 9).foreach { _ =>
+      // one file per leaf per append — the sink's appendParts shape
+      base.coalesce(1).write.mode("append").partitionBy("kb").parquet(dir)
+    }
+    def rows() = operators.Snapshot.read(spark, dir).count()
+    val total = rows()
+    // every leaf is over threshold (9 files vs maxFilesPerLeaf 4);
+    // a small budget must NOT merge them all in one call...
+    val first = operators.Snapshot.compactTieredPartitioned(spark, dir,
+      maxFilesPerLeaf = 4, maxMergeFiles = 24, graceMs = 0)
+    assert(first > 0 && first <= 24,
+      s"per-call merge work must respect the budget, merged $first")
+    assert(rows() === total)
+    // ...but repeated per-trigger calls drain the backlog to the
+    // jittered thresholds (maxFiles + maxFiles/2 worst case per leaf)
+    var guard = 0
+    while (operators.Snapshot.compactTieredPartitioned(spark, dir,
+        maxFilesPerLeaf = 4, maxMergeFiles = 24, graceMs = 0) > 0 && guard < 64)
+      guard += 1
+    assert(guard < 64, "budgeted compaction must converge")
+    val liveByLeaf = operators.Snapshot.files(spark, dir)
+      .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+    assert(liveByLeaf.values.forall(_.size <= 4 + 2),
+      "every leaf must converge under its jittered threshold")
+    assert(rows() === total)
+  }
+
   test("snapshot compaction: pinned readers survive a live merge, GC only after grace") {
     val dir = tmp("graft-snap")
     (0 until 18).foreach { i =>
