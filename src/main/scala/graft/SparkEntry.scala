@@ -90,6 +90,8 @@ object SparkEntry {
     "token_count"        -> TextOps.tokenCount _,
     "doc_pack_sequences" -> TextOps.docPackSequences _,
     "doc_shard_plan" -> TextOps.docShardPlan _,
+    "doc_chunk_windows" -> TextOps.docChunkWindows _,
+    "doc_term_commonness" -> TextOps.docTermCommonness _,
     "doc_quality_adaptive" -> ((s: SparkSession, d: String) =>
       TextOps.docQualityAdaptive(s, d)),
     "doc_quality_adaptive_approx" -> ((s: SparkSession, d: String) =>
@@ -234,6 +236,8 @@ object SparkEntry {
     "token_count"        -> TextOps.tokenCountSql,
     "doc_pack_sequences" -> TextOps.docPackSequencesSql,
     "doc_shard_plan" -> TextOps.docShardPlanSql,
+    "doc_chunk_windows" -> TextOps.docChunkWindowsSql,
+    "doc_term_commonness" -> TextOps.docTermCommonnessSql,
     "doc_quality_adaptive" -> TextOps.docQualityAdaptiveSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,

@@ -147,6 +147,122 @@ object TextOps {
        | start_off % $packSeqLen AS off_in_seq
        |FROM c""".stripMargin
 
+  /** Sliding-window CHUNKING — the retrieval/pretraining splitter
+    * [[docPackSequences]] is the concatenating dual of: long
+    * documents are cut into [[chunkTokens]]-token windows advancing
+    * by [[chunkStride]] (overlap = chunkTokens − chunkStride keeps
+    * boundary-straddling context retrievable — the standard RAG
+    * chunker shape), each chunk emitted as (doc_id, chunk_idx,
+    * start_tok, n_tok_chunk, md5 digest of the space-joined window).
+    * Window count is INTEGER-exact (1 + ⌈(n − chunk)/stride⌉ via
+    * div arithmetic — no doubles), the digest is md5 of a
+    * deterministic token slice, and the whole operator is one
+    * map-side projection + posexplode — ZERO shuffles, scan speed at
+    * any corpus size (the mm_frame_sample shape over tokens instead
+    * of bytes). */
+  val chunkTokens = 64
+  val chunkStride = 48
+
+  def docChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= chunkTokens, lit(1L))
+          .otherwise(lit(1L) + expr(
+            s"(n_tok - $chunkTokens + $chunkStride - 1) div $chunkStride")))
+      .select(col("doc_id"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * chunkStride)
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(chunkTokens.toLong), col("n_tok") - col("start_tok"))
+          .as("n_tok_chunk"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
+          .cast("binary")).as("chunk_digest"))
+
+  val docChunkWindowsSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       | FROM documents),
+       |n AS (
+       | SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok,
+       |  CASE WHEN len(tk) <= $chunkTokens THEN 1
+       |   ELSE 1 + (len(tk) - $chunkTokens + $chunkStride - 1) // $chunkStride
+       |  END AS n_chunks
+       | FROM t WHERE len(tk) > 0),
+       |c AS (
+       | SELECT doc_id, tk, n_tok,
+       |  unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS chunk_idx
+       | FROM n)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       | CAST(chunk_idx * $chunkStride AS BIGINT) AS start_tok,
+       | CAST(least($chunkTokens, n_tok - chunk_idx * $chunkStride) AS BIGINT)
+       |  AS n_tok_chunk,
+       | md5(array_to_string(
+       |  tk[CAST(chunk_idx * $chunkStride + 1 AS BIGINT) :
+       |     CAST(chunk_idx * $chunkStride + $chunkTokens AS BIGINT)], ' '))
+       |  AS chunk_digest
+       |FROM c""".stripMargin
+
+  /** Corpus-frequency QUALITY PROXY — the CCNet idea (rank documents
+    * by how typical their vocabulary is) reduced to exact integer
+    * arithmetic so it cross-engine gates: `commonness` is the mean
+    * DOCUMENT FREQUENCY share of the doc's token instances
+    * (Σ df(tok) as one long, divided ONCE by n_inst · n_docs — a
+    * single IEEE division of exact integers, no order-dependent
+    * float sums, no log()), and `hapax_frac` the corpus-unique
+    * instance fraction. High commonness = templated/boilerplate-ish
+    * text stitched from ubiquitous tokens; high hapax = garbage or
+    * OCR noise — both tails are what curation drops. `keep` flags
+    * commonness < [[commonnessKeepMax]] (sized to the test corpus's
+    * median; real corpora sit far lower and set their own policy).
+    * Scale shape = [[tfidfTopTerm]]'s: explode → vocabulary-sized df
+    * aggregate → instance join (AQE broadcasts a small vocab; a
+    * 10⁸-token one shuffles on the token key) → per-doc re-agg. */
+  val commonnessKeepMax = 0.778
+
+  def docTermCommonness(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val inst = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dfreq = inst.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    inst.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_inst"),
+        sum(col("df")).as("df_sum"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("n_inst"),
+        (col("df_sum").cast("double") / (col("n_inst") * col("n_docs")))
+          .as("commonness"),
+        (col("n_hapax").cast("double") / col("n_inst")).as("hapax_frac"))
+      .withColumn("keep", col("commonness") < commonnessKeepMax)
+  }
+
+  val docTermCommonnessSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       | FROM documents),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (
+       | SELECT tok, count(*) AS df
+       | FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok),
+       |s AS (
+       | SELECT doc_id, count(*) AS n_inst,
+       |  CAST(sum(df) AS BIGINT) AS df_sum,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       | FROM t JOIN df USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_inst,
+       | CAST(df_sum AS DOUBLE) / (n_inst * n_docs) AS commonness,
+       | CAST(n_hapax AS DOUBLE) / n_inst AS hapax_frac,
+       | (CAST(df_sum AS DOUBLE) / (n_inst * n_docs) < $commonnessKeepMax) AS keep
+       |FROM s, nd""".stripMargin
+
   private val stopwords = Seq("the", "a", "of", "and", "data", "value")
 
   /** SHARD assignment for the packed-batch writer — which of

@@ -848,6 +848,70 @@ class QueriesSpec extends AnyFunSuite {
       s"shard token spread ${sums.max - sums.min} exceeds the dealing bound $spreadBound")
   }
 
+  test("doc_chunk_windows: windows tile every token with the declared overlap") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import operators.TextOps.{chunkTokens, chunkStride}
+    val rows = operators.TextOps.docChunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nTok = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // stride arithmetic: chunk i starts at i*stride, every chunk is
+      // non-empty and capped at chunkTokens
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start === idx * chunkStride)
+        assert(len >= 1 && len <= chunkTokens)
+      }
+      // coverage: the last window reaches the final token, and no
+      // extra window starts past the end
+      val n = nTok(doc)
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen === n, s"doc $doc windows must reach token $n")
+      assert(lastStart < n)
+      // consecutive windows overlap by exactly chunkTokens - stride
+      // (until the tail shortens)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) if l1 == chunkTokens =>
+          assert(s1 + l1 - s2 === chunkTokens - chunkStride)
+        case _ =>
+      }
+    }
+  }
+
+  test("doc_term_commonness: exact bounds, hapax detection on a synthetic stratum") {
+    val rows = operators.TextOps.docTermCommonness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length === Tables(spark, sf, "documents").count())
+    rows.foreach { case (id, n, c, h, keep) =>
+      assert(n > 0 && c > 0.0 && c <= 1.0, s"doc $id commonness out of range: $c")
+      assert(h >= 0.0 && h <= 1.0)
+      assert(keep === (c < operators.TextOps.commonnessKeepMax), s"doc $id keep flag")
+    }
+    // both filter branches are live on the gate corpus (the threshold
+    // sits at the measured median)
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    // a synthetic corpus with a known unique token pins the hapax math:
+    // one doc carries a token no other doc has
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hapax")
+      .toFile.getAbsolutePath
+    Seq((1L, "alpha beta alpha"), (2L, "alpha beta gamma"), (3L, "alpha beta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val syn = operators.TextOps.docTermCommonness(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 2: tokens alpha(df 3) beta(df 3) gamma(df 1) over n_docs 3
+    // -> commonness (3+3+1)/(3*3), hapax 1/3
+    assert(syn(2L)._1 === 3L)
+    assert(syn(2L)._2 === 7.0 / 9.0)
+    assert(syn(2L)._3 === 1.0 / 3.0)
+    // doc 1: alpha counted per INSTANCE -> (3+3+3)/(3*3) = 1.0, no hapax
+    assert(syn(1L)._2 === 1.0 && syn(1L)._3 === 0.0)
+  }
+
   test("doc_quality_adaptive: approx thresholds flip only boundary docs") {
     val exact = operators.TextOps.docQualityAdaptive(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getBoolean(4)))
