@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_clusters"      -> DedupOps.dupClusters _,
     "dedup_cluster_best"  -> DedupOps.dupClusterBest _,
     "doc_split_leakproof" -> DedupOps.docSplitLeakproof _,
+    "doc_split_leakproof_wide" -> DedupOps.docSplitLeakproofWide _,
     "source_overlap"      -> DedupOps.sourceOverlap _,
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),

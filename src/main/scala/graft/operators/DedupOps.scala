@@ -534,12 +534,27 @@ object DedupOps {
   def docSplitLeakproof(spark: SparkSession, dir: String): DataFrame =
     docSplitLeakproof(spark, dir, dupClusters(spark, dir))
 
+  /** The WIDENED split: cluster edges are the UNION of the exact
+    * word-3-gram Jaccard pairs and the SimHash near-dup pairs, so
+    * the straddle-free guarantee covers BOTH similarity notions —
+    * the [[docSplitLeakproof]] scope note made concrete (a doc pair
+    * visible only to hamming-close signatures no longer leaks
+    * across the eval boundary). Costs one extra pair operator +
+    * the same propagation; the SimHash side has no DuckDB twin
+    * (xxhash64), so this entry gates rows-only with the straddle
+    * property spec-pinned over both pair sets. */
+  def docSplitLeakproofWide(spark: SparkSession, dir: String): DataFrame =
+    docSplitLeakproof(spark, dir, dupClustersOf(
+      ngramJaccard(spark, dir).select("doc_a", "doc_b")
+        .union(simhash(spark, dir).select("doc_a", "doc_b"))))
+
   /** Overload taking a MATERIALIZED cluster table — the
     * [[dupClusterBest]] rationale: pay [[dupClusters]]'s propagation
     * once per corpus, not once per consumer. Passing a cluster table
-    * built from a UNION of pair sets (ngram + embedding + simhash
-    * edges via [[dupClustersOf]]) also WIDENS the straddle-free
-    * guarantee to exactly that union — the scope note above. */
+    * built from a UNION of pair sets (ngram + simhash edges via
+    * [[dupClustersOf]], as [[docSplitLeakproofWide]] does) also
+    * WIDENS the straddle-free guarantee to exactly that union — the
+    * scope note above. */
   def docSplitLeakproof(spark: SparkSession, dir: String,
                         clusters: DataFrame): DataFrame = {
     val members = clusters.select(col("doc_id"), col("cluster_id"))

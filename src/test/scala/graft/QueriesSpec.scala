@@ -798,6 +798,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(valFrac > 0.02 && valFrac < 0.3, s"val fraction off: $valFrac")
   }
 
+  test("doc_split_leakproof_wide: neither ngram nor simhash pairs straddle") {
+    val split = operators.DedupOps.docSplitLeakproofWide(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.size.toLong === Tables(spark, sf, "documents").count())
+    // the widened guarantee: BOTH similarity notions' pairs stay
+    // within a side — including pairs only SimHash sees
+    val ngram = operators.DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sim = operators.DedupOps.simhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ngram.nonEmpty && sim.nonEmpty)
+    (ngram ++ sim).foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dup pair ($a,$b) straddles the wide split")
+    }
+    val valFrac = split.values.count(_ == "val").toDouble / split.size
+    assert(valFrac > 0.02 && valFrac < 0.3, s"val fraction off: $valFrac")
+  }
+
   test("materialized-cluster overloads: bit-identical to inline, propagation paid once") {
     // the composed-pipeline shape: derive the dup clusters ONCE,
     // materialize to parquet (a real round-trip, not a cached plan),
