@@ -61,11 +61,20 @@ object TrainingPipeline {
     * output on any corpus where no 64-bit gram collision lands in the
     * overlap (spec-pinned both standalone and composed here). The
     * exact twin pins `scaleMode = false` so every stage keeps its
-    * cross-engine oracle. */
+    * cross-engine oracle.
+    *
+    * `commonnessFilter = true` adds the [[TextOps.docTermCommonness]]
+    * stage (drop the templated high-commonness tail) as a left-semi
+    * join on its keep set — one more vocabulary-sized aggregate
+    * joined back on doc_id, the same composition class as the
+    * quality stage. Off by default so the established gate entries
+    * keep their oracles; the composition spec pins predicate-exact
+    * equality with the standalone operator. */
   def survivors(spark: SparkSession, dir: String,
                 exactDedup: Boolean = false,
                 scaleMode: Boolean = true,
-                withText: Boolean = false): DataFrame = {
+                withText: Boolean = false,
+                commonnessFilter: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -96,11 +105,17 @@ object TrainingPipeline {
     val outCols = Seq(col("doc_id"), col("source"), col("stratum"),
       col("n_tokens"), col("quality")) ++
       (if (withText) Seq(col("text")) else Nil)
-    d.filter(col("source") =!= TextOps.decontamBenchSource)
+    val base = d.filter(col("source") =!= TextOps.decontamBenchSource)
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(quality.filter(col("quality") >= qualityMin), Seq("doc_id"))
       .filter(TextOps.repetitionKeep(col("text")))
+    val filtered =
+      if (commonnessFilter)
+        base.join(TextOps.docTermCommonness(spark, dir)
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      else base
+    filtered
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)
       .filter(TextOps.sampleKeep(col("stratum"), col("h")))

@@ -671,6 +671,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("training_pipeline: optional commonness stage composes predicate-exactly") {
+    import org.apache.spark.sql.functions.col
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(operators.TrainingPipeline.survivors(spark, sf))
+    val kept = ids(operators.TextOps.docTermCommonness(spark, sf)
+      .filter(col("keep")))
+    val withStage = ids(operators.TrainingPipeline
+      .survivors(spark, sf, commonnessFilter = true))
+    assert(withStage === base.intersect(kept),
+      "the commonness stage must compose as exactly its own predicate")
+    assert(withStage.size < base.size,
+      "the stage must actually drop the high-commonness tail here")
+    assert(withStage.nonEmpty)
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString
