@@ -47,6 +47,7 @@ object SparkEntry {
     "q2_argmin"    -> Relational5.q2Argmin _,
     "q9_profit"    -> Relational5.q9Profit _,
     "q11_share"    -> Relational5.q11Share _,
+    "q16_suppcnt"  -> Relational5.q16SuppCnt _,
     "q20_excess"   -> Relational5.q20Excess _,
     "q_table_stats" -> ((s: SparkSession, d: String) =>
       Relational5.qTableStats(s, d)),
@@ -76,6 +77,13 @@ object SparkEntry {
     "q_approx_percentile" -> EventOps.approxPercentiles _,
     "q_asof_join"    -> TemporalJoins.asofJoin _,
     "q_range_join"   -> TemporalJoins.rangeJoin _,
+    // both-sides-intervals overlap join: bucketized equi-join on the
+    // max-interval-length grid, pair emitted once from the bucket of
+    // the later start — never an n² nested loop, no dedup shuffle
+    "q_interval_join" -> TemporalJoins.intervalJoin _,
+    // RANGE-frame window (trailing wall-clock hour per type): frame
+    // extent defined by the order VALUE, ties are peers
+    "q_range_frame"  -> EventOps.rangeFrame _,
     "q_funnel"       -> EventOps.funnel _,
     "q_retention"    -> EventOps.retention _,
     "q_anomaly"      -> EventOps.anomalies _,
@@ -209,6 +217,7 @@ object SparkEntry {
     "q2_argmin"    -> Relational5.q2ArgminSql,
     "q9_profit"    -> Relational5.q9ProfitSql,
     "q11_share"    -> Relational5.q11ShareSql,
+    "q16_suppcnt"  -> Relational5.q16SuppCntSql,
     "q20_excess"   -> Relational5.q20ExcessSql,
     "q_table_stats" -> Relational5.qTableStatsSql,
     "tumbling_agg"   -> EventOps.tumblingSql,
@@ -226,6 +235,8 @@ object SparkEntry {
     "q_json_props"   -> EventOps.jsonPropsSql,
     "q_asof_join"    -> TemporalJoins.asofJoinSql,
     "q_range_join"   -> TemporalJoins.rangeJoinSql,
+    "q_interval_join" -> TemporalJoins.intervalJoinSql,
+    "q_range_frame"  -> EventOps.rangeFrameSql,
     "q_funnel"       -> EventOps.funnelSql,
     "q_retention"    -> EventOps.retentionSql,
     "q_anomaly"      -> EventOps.anomaliesSql,

@@ -384,6 +384,47 @@ object EventOps {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       | w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Trailing window for [[rangeFrame]], in seconds. */
+  val trailWindowSec = 3600L
+
+  /** RANGE-frame windowed aggregate — the frame family [[cumulative]]
+    * (ROWS unbounded) and [[slidingAgg]] (bucketed expression windows)
+    * don't cover: per event row, the sum/count of the SAME TYPE's
+    * values inside the trailing wall-clock hour, a frame whose extent
+    * is defined by the ORDER value, not a row count. Ordering is
+    * integer microseconds so the frame boundary is exact on both
+    * engines, and tied timestamps are frame PEERS (identical results
+    * regardless of intra-tie order — RANGE semantics make the query
+    * deterministic without a tiebreaker). The sum accumulates in
+    * exact decimal (order-free), one final round.
+    *
+    * Scale: one shuffle on event_type + one sort — same cost class as
+    * any per-key window. At 100 TB the partition-per-type skew is
+    * real (few types, big partitions); the deployment shape composes
+    * a coarse time-bucket into the partition key and stitches frames
+    * across the single boundary bucket, exactly the [[rangeJoin]]
+    * bucketing argument. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-trailWindowSec * 1000000L, Window.currentRow)
+    events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      count(lit(1)).over(w).as("trail_n"),
+      round(sum(d4(col("value"))).over(w), 2).cast("double").as("trail_sum"))
+  }
+
+  val rangeFrameSql: String =
+    s"""SELECT event_id, event_type,
+       | CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       | CAST(round(sum(CAST(value AS DECIMAL(14,4))) OVER w, 2) AS DOUBLE)
+       |  AS trail_sum
+       |FROM events
+       |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+       | RANGE BETWEEN ${trailWindowSec * 1000000L} PRECEDING
+       |       AND CURRENT ROW)""".stripMargin
+
   /** 3-sigma outlier report per event type — the anomaly screen an
     * ops pipeline runs on a metric stream. Mean and variance come
     * from exact decimal sums (one shuffle with map-side partials,

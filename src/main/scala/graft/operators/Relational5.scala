@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Exact._
 
-/** Fifth relational tranche — the four TPC-H shapes whose canonical
-  * forms read `partsupp` (Q2, Q9, Q11, Q20), re-expressed over the
-  * testdata's lineitem link between part and supplier. The SHAPES are
-  * what matter (each is a distinct plan family the suite didn't have):
+/** Fifth relational tranche — the five TPC-H shapes whose canonical
+  * forms read `partsupp` (Q2, Q9, Q11, Q16, Q20), re-expressed over
+  * the testdata's lineitem link between part and supplier. The SHAPES
+  * are what matter (each is a distinct plan family the suite didn't
+  * have):
   *
   *  - q2_argmin:   per-group MIN + join-back on the min value
   *                 (argmin-with-payload, TPC-H Q2's correlated min)
@@ -16,6 +17,8 @@ import Exact._
   *                 ⋈ orders, profit by (nation, year) (Q9)
   *  - q11_share:   group-total vs GLOBAL-total scalar threshold
   *                 (Q11's HAVING against a scalar subquery)
+  *  - q16_suppcnt: grouped COUNT(DISTINCT) over a broadcast ANTI-join
+  *                 exclusion (Q16's complaints NOT-IN)
   *  - q20_excess:  two-level aggregate comparison — per (supp, part)
   *                 sum vs per-part total, share-threshold semi-join
   *                 back to the supplier dimension (Q20's shipped-half)
@@ -237,6 +240,48 @@ object Relational5 {
          | count(*) - count($c) AS n_nulls
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Q16's supplier-count shape: how many DISTINCT suppliers ship each
+    * qualifying (brand, type, size) part bucket, excluding a
+    * denylisted supplier set (negative account balance — the
+    * complaints analog; no free-text comment column in the testdata).
+    * Plan: the three-clause dimension filter (an inequality, a
+    * NOT-LIKE prefix, an IN-list) prunes the fact scan through a
+    * broadcast join; the denylist is a broadcast LEFT ANTI join (a
+    * handful of suppliers — never a shuffle); the grouped
+    * `count(DISTINCT suppkey)` plans as the standard two-phase
+    * aggregate — partial dedup on (brand, type, size, suppkey) with
+    * map-side combine, then the count — so the one wide shuffle
+    * carries only the ~13%-selectivity deduped edge set, never raw
+    * lineitem. Reference shape: TPC-H Q16 over the lineitem link
+    * (see the object scaladoc for the partsupp re-expression). */
+  def q16SuppCnt(spark: SparkSession, dir: String): DataFrame = {
+    val denied = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#21" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16SuppCntSql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#21'
+      |  AND p.p_type NOT LIKE 'MEDIUM%'
+      |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l.l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
 
   val q20ExcessSql: String =
     """WITH bs AS (

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *    previous bucket, so candidates are bounded by bucket population
   *    and the plan is a plain shuffle join on (user, bucket) — never
   *    an O(n²) time-range nested loop.
+  *  - INTERVAL-OVERLAP join: both sides are intervals, no equi key —
+  *    bucketize by the max interval length, explode each interval to
+  *    its ≤2 buckets, equi-join on bucket, exact overlap filter, and
+  *    emit each pair once from the bucket of the later start (no
+  *    distinct needed).
   *
   * Determinism: as-of ties (same timestamp) order reference rows
   * before query rows (inclusive ≤) and break equal reference
@@ -82,6 +87,64 @@ object TemporalJoins {
         col("cts") >= col("ts") - expr(s"INTERVAL $rangeWindowSec SECONDS")
           && col("cts") < col("ts"), lit(1))).as("n_prior_clicks"))
   }
+
+  /** Interval length for the overlap join's activity windows, in
+    * seconds. The join's bucket width equals the MAX interval length,
+    * so every interval explodes to at most two buckets. */
+  val intervalLenSec = 120L
+
+  /** INTERVAL-OVERLAP join — both sides are intervals and there is NO
+    * equi key, the join family neither [[asofJoin]] (point-vs-latest)
+    * nor [[rangeJoin]] (point-vs-trailing-count) covers: every
+    * (purchase-window, error-window) pair whose 2-minute activity
+    * intervals intersect, with the exact overlap length.
+    *
+    * Scale shape: the canonical bucketed interval join. Time is cut
+    * into buckets of the max interval length; each interval explodes
+    * to the ≤2 buckets it touches; candidates meet in a plain
+    * shuffle EQUI-join on the bucket id (bounded by per-bucket
+    * populations — arrival-rate × window, never n²); the exact
+    * overlap predicate then filters candidates. Each true pair is
+    * emitted EXACTLY ONCE without a distinct: only the bucket
+    * containing the LATER start reports it (both intervals provably
+    * touch that bucket, and the overlap starts in it), so no dedup
+    * shuffle follows the join. Skewed hot buckets are AQE's
+    * skew-join case — the key is synthetic and splittable.
+    * Determinism: overlap arithmetic is integer microseconds
+    * end-to-end; boundary-touching pairs (overlap 0) count as
+    * overlapping on both engines (closed intervals). */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lenUs = intervalLenSec * 1000000L
+    def side(tpe: String, p: String): DataFrame =
+      events(spark, dir).filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${p}_id"),
+          unix_micros(col("ts")).as(s"${p}_s"),
+          (unix_micros(col("ts")) + lenUs).as(s"${p}_e"))
+    def buckets(df: DataFrame, p: String): DataFrame =
+      df.select(col(s"${p}_id"), col(s"${p}_s"), col(s"${p}_e"),
+        explode(sequence(
+          expr(s"${p}_s div $lenUs"), expr(s"${p}_e div $lenUs"))).as("bkt"))
+    buckets(side("purchase", "a"), "a")
+      .join(buckets(side("error", "b"), "b"), Seq("bkt"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("bkt") === expr(s"greatest(a_s, b_s) div $lenUs"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH a AS (
+       | SELECT event_id AS a_id, epoch_us(ts) AS s,
+       |        epoch_us(ts) + ${intervalLenSec * 1000000L} AS e
+       | FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       | SELECT event_id AS b_id, epoch_us(ts) AS s,
+       |        epoch_us(ts) + ${intervalLenSec * 1000000L} AS e
+       | FROM events WHERE event_type = 'error')
+       |SELECT a_id, b_id,
+       |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+       |FROM a, b WHERE a.s <= b.e AND b.s <= a.e""".stripMargin
 
   val rangeJoinSql: String =
     s"""SELECT e.event_id, e.user_id,

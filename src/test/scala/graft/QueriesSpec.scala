@@ -1212,6 +1212,84 @@ class QueriesSpec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("q_interval_join equals the naive all-pairs overlap join") {
+    import org.apache.spark.sql.functions._
+    // independent derivation: brute-force cross join + exact overlap
+    // filter (test-only — the operator itself must never plan this)
+    val lenUs = operators.TemporalJoins.intervalLenSec * 1000000L
+    def side(tpe: String, p: String) = Tables(spark, sf, "events")
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts")) + lenUs).as(s"${p}_e"))
+    val naive = side("purchase", "a").crossJoin(side("error", "b"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = operators.TemporalJoins.intervalJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed === naive,
+      s"bucketed interval join diverges: extra=${bucketed -- naive} missing=${naive -- bucketed}")
+    assert(naive.nonEmpty, "test corpus produced no overlapping intervals")
+    // closed-interval overlap lengths are within [0, len]
+    bucketed.foreach { case (_, _, ov) => assert(ov >= 0 && ov <= lenUs) }
+  }
+
+  test("q_range_frame equals a naive per-row trailing re-aggregation") {
+    import org.apache.spark.sql.functions._
+    val winUs = operators.EventOps.trailWindowSec * 1000000L
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+    val other = ev.select(col("event_type").as("o_type"),
+      col("tus").as("o_tus"), col("value").as("o_value"))
+    val naive = ev.join(other,
+        col("event_type") === col("o_type") &&
+          col("o_tus") >= col("tus") - winUs && col("o_tus") <= col("tus"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("trail_n"),
+        round(sum(expr("CAST(o_value AS DECIMAL(14,4))")), 2)
+          .cast("double").as("trail_sum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val framed = operators.EventOps.rangeFrame(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(framed.size === naive.size)
+    framed.foreach { case (id, got) =>
+      assert(got === naive(id), s"event $id: frame $got vs naive ${naive(id)}")
+    }
+  }
+
+  test("q16 anti-join exclusion equals the complement semi-join") {
+    import org.apache.spark.sql.functions._
+    // same aggregate through the OPPOSITE join type: suppliers with
+    // non-negative balance kept via LEFT SEMI must give identical
+    // counts to the denylist LEFT ANTI the operator plans
+    val good = Tables(spark, sf, "supplier")
+      .filter(col("s_acctbal") >= 0).select("s_suppkey")
+    val parts = Tables(spark, sf, "part")
+      .filter(col("p_brand") =!= "Brand#21" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val naive = Tables(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(good, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val got = operators.Relational5.q16SuppCnt(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got === naive)
+    assert(got.nonEmpty && got.values.forall(_ > 0))
+  }
+
   test("source_overlap totals equal the near-dup pair count") {
     import org.apache.spark.sql.functions._
     val pairs = operators.DedupOps.ngramJaccard(spark, sf).count()
