@@ -66,6 +66,9 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           s"graft_bloom_agg expects 1-3 arguments, got ${es.size}")
       }),
+    ("topk_structs",
+      new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
+      (es: Seq[Expression]) => TopKStructs(es(0), es(1))),
     ("graft_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -24,6 +24,10 @@ object SparkEntry {
     "q5_multijoin" -> Relational.q5MultiJoin _,
     "q6_filter"    -> Relational.q6Filter _,
     "q_topn_window" -> Relational.topNWindow _,
+    // same result through the k-bounded heap AGGREGATE (map-side
+    // partial top-k — the plan that survives 100 TB); shares
+    // q_topn_window's oracle verbatim
+    "q_topk_agg"    -> Relational.topKAgg _,
     "q_semi_anti"  -> Relational.semiAnti _,
     "q_rollup"     -> Relational.rollupAgg _,
     "q7_volume"    -> Relational2.q7Volume _,
@@ -59,6 +63,10 @@ object SparkEntry {
     // Solace/Beam event surface
     "tumbling_agg"   -> EventOps.tumblingAgg _,
     "sliding_agg"    -> EventOps.slidingAgg _,
+    // sliding distinct-user pair: exact explode-and-dedup twin (the
+    // oracle) + HLL sketch-merge deployment shape (rows + spec)
+    "q_distinct_sliding"        -> EventOps.distinctSliding _,
+    "q_distinct_sliding_approx" -> EventOps.distinctSlidingApprox _,
     "session_window" -> EventOps.sessionWindowAgg _,
     "topic_route"    -> EventOps.topicRoute _,
     "msg_dedup"      -> EventOps.msgDedup _,
@@ -195,6 +203,7 @@ object SparkEntry {
     "q5_multijoin" -> Relational.q5Sql,
     "q6_filter"    -> Relational.q6Sql,
     "q_topn_window" -> Relational.topNSql,
+    "q_topk_agg"    -> Relational.topNSql,
     "q_semi_anti"  -> Relational.semiAntiSql,
     "q_rollup"     -> Relational.rollupSql,
     "q7_volume"    -> Relational2.q7Sql,
@@ -222,6 +231,7 @@ object SparkEntry {
     "q_table_stats" -> Relational5.qTableStatsSql,
     "tumbling_agg"   -> EventOps.tumblingSql,
     "sliding_agg"    -> EventOps.slidingSql,
+    "q_distinct_sliding" -> EventOps.distinctSlidingSql,
     "session_window" -> EventOps.sessionSql,
     "topic_route"    -> EventOps.topicRouteSql,
     "msg_dedup"      -> EventOps.msgDedupSql,

@@ -163,6 +163,32 @@ object Relational {
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
       | FROM orders) WHERE rk <= 3""".stripMargin
 
+  /** [[topNWindow]]'s exact result through the AGGREGATE plan shape —
+    * the form that survives 100 TB. The window plan shuffles every
+    * order row and sorts whole per-customer partitions to keep 3 rows
+    * each; this one folds a k-bounded heap
+    * ([[graft.functions.TopKStructs]]) with MAP-SIDE partial
+    * aggregation, so the shuffle carries at most k rows per (mapper,
+    * customer) and nothing is ever sorted beyond the k retained rows.
+    * Direction is encoded in the struct (price raw = DESC-by-largest,
+    * orderkey negated = ASC tiebreak); the tiebreak makes the order
+    * total, so output is deterministic and shares [[topNSql]]'s
+    * oracle verbatim. */
+  def topKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKColumns.topKStructs
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(topKStructs(struct(
+        col("o_totalprice"),
+        (-col("o_orderkey")).as("neg_key")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"),
+        (-col("col.neg_key")).as("o_orderkey"),
+        col("col.o_totalprice").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Semi + anti join composition: customers that have orders but none
     * with status 'F'. Semi/anti joins only ship join keys at scale. */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {

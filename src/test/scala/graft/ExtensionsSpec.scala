@@ -40,6 +40,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(6) === expected)
   }
 
+  test("topk_structs: k-bounded heap aggregate callable from pure SQL") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT g, topk_structs(struct(v, -id), 2) AS top FROM VALUES
+        |  (1, 10.0D, 101L), (1, 30.0D, 103L), (1, 20.0D, 102L),
+        |  (1, 30.0D, 104L), (2, 5.0D, 201L)
+        |  AS t(g, v, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    // group 1: two ties at 30.0 — the negated id breaks them ASC, so
+    // ids 103 then 104 survive and 10.0/20.0 are evicted by the heap
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r => (r.getDouble(0), -r.getLong(1))) ===
+      Seq((30.0, 103L), (30.0, 104L)))
+    val g2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(g2.map(r => (r.getDouble(0), -r.getLong(1))) === Seq((5.0, 201L)))
+  }
+
   test("GR record roundtrip: encode -> decode_gr_record in SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._

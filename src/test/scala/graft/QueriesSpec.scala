@@ -1261,6 +1261,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_topk_agg: heap aggregate equals the window top-n, bit-for-bit") {
+    val win = operators.Relational.topNWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val df = operators.Relational.topKAgg(spark, sf)
+    val agg = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg === win,
+      s"extra=${(agg -- win).take(5)} missing=${(win -- agg).take(5)}")
+    assert(agg.nonEmpty)
+    // the plan must be the aggregate shape: a two-phase (partial map-side
+    // + final) ObjectHashAggregate and NO window sort of the full input
+    val p = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"window operator crept back in:\n$p")
+  }
+
+  test("sliding distinct HLL twin tracks the exact count within 5%") {
+    val exact = operators.EventOps.distinctSliding(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = operators.EventOps.distinctSlidingApprox(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet,
+      "sketch path bucketed windows differently from the exact twin")
+    assert(exact.nonEmpty)
+    exact.foreach { case (w, n) =>
+      val a = approx(w)
+      assert(math.abs(a - n).toDouble / math.max(n, 1L) <= 0.05,
+        s"window $w: exact $n vs sketch $a")
+    }
+  }
+
   test("q16 anti-join exclusion equals the complement semi-join") {
     import org.apache.spark.sql.functions._
     // same aggregate through the OPPOSITE join type: suppliers with
