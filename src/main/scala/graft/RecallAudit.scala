@@ -82,20 +82,37 @@ object RecallAudit {
     // declared regime is semantic dups with angular margin — the
     // zero-margin 0.4-threshold tail is the exact mode's job, so the
     // cos ≥ 0.7 / ≥ 0.9 slices are the operative numbers
-    if (want("dedup_embedding_lsh")) {
+    if (want("dedup_embedding_lsh") || want("dedup_embedding_ivf")) {
       val exactEmbRows = timed("embedding_near_dup_exact") {
         operators.VectorOps.embeddingNearDup(spark, sfDir)
           .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))) }
       val exactEmb = exactEmbRows.map(_._1).toSet
-      val got = timed("dedup_embedding_lsh") {
-        idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir)) }
-      def marginRecall(minCos: Double): Double =
+      def marginRecall(got: Set[(Long, Long)], minCos: Double): Double =
         recall(got, exactEmbRows.filter(_._2 >= minCos).map(_._1).toSet)
-      entries ++= Seq(
-        ("dedup_embedding_lsh", recall(got, exactEmb)),
-        ("dedup_embedding_lsh_cos07", marginRecall(0.7)),
-        ("dedup_embedding_lsh_cos09", marginRecall(0.9)))
-      sizes :+= ("embedding_pairs", exactEmb.size.toLong)
+      if (want("dedup_embedding_lsh")) {
+        val got = timed("dedup_embedding_lsh") {
+          idPairs(operators.VectorOps.embeddingNearDupLsh(spark, sfDir)) }
+        entries ++= Seq(
+          ("dedup_embedding_lsh", recall(got, exactEmb)),
+          ("dedup_embedding_lsh_cos07", marginRecall(got, 0.7)),
+          ("dedup_embedding_lsh_cos09", marginRecall(got, 0.9)))
+      }
+      // the cluster-bounded mode: same exact twin, same margin slices
+      // — the operative regime comparison between the two scale paths
+      if (want("dedup_embedding_ivf")) {
+        val got = timed("dedup_embedding_ivf") {
+          idPairs(operators.VectorOps.embeddingNearDupIvf(spark, sfDir)) }
+        entries ++= Seq(
+          ("dedup_embedding_ivf", recall(got, exactEmb)),
+          ("dedup_embedding_ivf_cos07", marginRecall(got, 0.7)),
+          ("dedup_embedding_ivf_cos09", marginRecall(got, 0.9)))
+      }
+      // slice sizes make a vacuous 1.0 (empty slice) visible in the
+      // artifact instead of reading as a measured perfect recall
+      sizes ++= Seq(
+        ("embedding_pairs", exactEmb.size.toLong),
+        ("embedding_pairs_cos07", exactEmbRows.count(_._2 >= 0.7).toLong),
+        ("embedding_pairs_cos09", exactEmbRows.count(_._2 >= 0.9).toLong))
     }
 
     if (want("dedup_minhash_pure_lsh") || want("dedup_simhash_vs_exact")) {

@@ -174,6 +174,12 @@ object SparkEntry {
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),
+    // cluster-bounded near-dup (SemDeDup shape): coarse k-means +
+    // 2-way redundant assignment bounds candidates at Θ(n^1.5);
+    // declared regime = true duplicate copies (cos ≳ 0.9 — planted-
+    // copy spec measures 1.00), the scale rung the LSH mode's
+    // table-count ceiling hands off to; rows-only gate + recall specs
+    "dedup_embedding_ivf" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupIvf(s, d)),
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
     "ann_lsh"         -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
     "ann_ivf"         -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),

@@ -374,6 +374,97 @@ object VectorOps {
       .select("vec_id_a", "vec_id_b", "cos").distinct()
   }
 
+  /** CLUSTER-bounded near-dup — the third rung of the embedding-dedup
+    * ladder, and the operator the LSH mode's scaladocs hand their
+    * out-of-envelope regimes to (the [[lshMaxTables]] ceiling, the
+    * > [[lshBroadcastMaxVectors]] corpus): candidate pairs come from a
+    * coarse k-means clustering (the SAME Lloyd quantizer the IVF
+    * indexes train — [[trainCentroids]]) with [[ivfAssign]]-way
+    * redundant assignment, then exact cosine verification. This is the
+    * published shape of semantic dedup at LLM-corpus scale (SemDeDup,
+    * Abbas et al. 2023: cluster the embeddings, compare only within
+    * clusters) with the redundant assignment recovering the
+    * cluster-boundary pairs that single-assignment SemDeDup misses by
+    * construction.
+    *
+    * Why a THIRD mode exists — the regime map of the family, with the
+    * boundaries MEASURED, not asserted:
+    *   - [[embeddingNearDup]]: exact, Ω(n²) — the only sound gate at a
+    *     zero-margin threshold, and the oracle for both pruned modes.
+    *   - [[embeddingNearDupLsh]]: Θ(n·bucket·T) LINEAR — but recall is
+    *     a hash-collision property, (1−(1−p^bits)^T) at pair cosine
+    *     regime p: it needs angular MARGIN, and holding the floor on a
+    *     growing corpus costs T ~ log-growth tables until
+    *     [[lshMaxTables]] binds (~2³⁰ vectors at the declared regime).
+    *   - this mode: Θ(n^1.5) — recall is a spatial-LOCALITY property,
+    *     which binds it to the TRUE-DUPLICATE regime (cos ≳ 0.9:
+    *     perturbed / re-encoded / re-embedded copies — the SemDeDup
+    *     operating point): such a pair's separation (≲0.5·|v|) is far
+    *     below inter-cluster scale (~√2·|v| between near-uniform
+    *     directions), so both endpoints land in a shared cell with
+    *     near-certainty — the planted-copy spec measures recall 1.00
+    *     at cos ≈ 0.99, and nothing in that argument decays with
+    *     log n, so there is no table-count treadmill. Moderate-cosine
+    *     pairs (the 0.4-0.7 band — angle ≥ 45°, in this corpus random
+    *     directional coincidences) have NO locality to exploit and
+    *     measured 0.33 on the sf1 cos ≥ 0.7 slice: that band belongs
+    *     to the LSH mode (collision probability is positive at any
+    *     margin) or the exact mode (zero margin), by contract.
+    *
+    * Scale math (why k auto-sizes to ⌈√n⌉, the ANN rule): assignment
+    * is n·k distance ops; candidate volume is Σ_lists C(pop, 2) with
+    * expected pop = [[ivfAssign]]·n/k, i.e. ~r²n²/k pairs. k = √n
+    * balances the two at Θ(n^1.5) total work — sublinear in the exact
+    * mode's n² at every scale, with no per-table recall knob to
+    * re-derive as n grows. At 10⁹
+    * vectors that is ~3·10¹³ candidate cosines spread evenly over
+    * ~31k lists (vs 10¹⁸ exact) — a real job on a 1000-executor
+    * cluster where n² is not; a dense semantic cluster's overgrown
+    * list is an equi-join hot key, which AQE skew-join splits.
+    *
+    * The verify join reuses the LSH mode's broadcast-envelope contract
+    * verbatim: corpus floats broadcast under [[lshBroadcastMaxVectors]]
+    * (candidates pipeline through attach + cosine filter in one
+    * codegen stage), shuffle attach joins above it. Duplicate
+    * candidates from the redundant assignment re-verify to identical
+    * deterministic cosines and collapse in the final distinct.
+    *
+    * Recall < 1 by construction (a pair can straddle ALL of both
+    * endpoints' probed cells) → rows-only gate + two ScalaTest specs
+    * (subset/bitwise + overall floor vs the exact twin on the natural
+    * corpus; a planted-copy floor at cos ≈ 0.99 for the declared
+    * regime, which no natural corpus at any SF exhibits), and a
+    * RecallAudit seat whose slice sizes expose vacuous slices. */
+  def embeddingNearDupIvf(spark: SparkSession, dir: String,
+                          k: Int = 0,
+                          broadcastMax: Long = lshBroadcastMaxVectors): DataFrame = {
+    require(k >= 0, "k must be >= 0 (0 = auto)")
+    val v0 = vecs(spark, dir)
+    // one count snapshot feeds the cluster count and the broadcast-
+    // envelope decision (the LSH/IVF auto-knob precedent)
+    val n = Tables(spark, dir, "embeddings").select("vec_id").count()
+    val kk = if (k > 0) k else math.max(ivfK, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val corpus = v0.select(col("vec_id"), col("vd"), col("norm"))
+    val cents = trainCentroids(corpus, kk, n)
+    val lists = assignMulti(corpus, cents)
+    val ca = lists.select(col("cid"), col("vec_id").as("vec_id_a"))
+    val cb = lists.select(col("cid"), col("vec_id").as("vec_id_b"))
+    val cands = ca.join(cb, Seq("cid"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b")
+    val va = v0.select(col("vec_id").as("vec_id_a"), col("vd").as("va"), col("norm").as("na"))
+    val vb = v0.select(col("vec_id").as("vec_id_b"), col("vd").as("vb"), col("norm").as("nb"))
+    val attached =
+      if (n <= broadcastMax)
+        cands.join(broadcast(va), Seq("vec_id_a")).join(broadcast(vb), Seq("vec_id_b"))
+      else
+        cands.join(va, Seq("vec_id_a")).join(vb, Seq("vec_id_b"))
+    attached
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= nearDupThreshold)
+      .select("vec_id_a", "vec_id_b", "cos").distinct()
+  }
+
   val nQueries = 10
   val topK = 5
 
@@ -652,30 +743,38 @@ object VectorOps {
     a1.select(col("vec_id"), col("cid")).union(a2)
   }
 
-  private def ivfIndex(spark: SparkSession, dir: String,
-                       k: Int, n: Long): (DataFrame, DataFrame) = {
-    val v = vecs(spark, dir)
-    val corpus = v.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("vd"), col("norm"))
+  /** Lloyd-trained coarse-quantizer centroids over an arbitrary
+    * (vec_id, vd, …) corpus — ONE implementation shared by the ANN
+    * index builds and [[embeddingNearDupIvf]]'s clustering, so a seed
+    * or convergence fix applied to one can never leave the other with
+    * a different quantizer.
+    *
+    * Deterministic seed: the k lowest-id corpus vectors. The id itself
+    * is the centroid tag — any distinct ascending values work for the
+    * tie-break order, and this avoids an unpartitioned row_number()
+    * window (a single-task sort that also spams WindowExec warnings).
+    * Lloyd iterations run over the TRAINING slice (fixed-point means →
+    * deterministic, bounded state); any full-corpus assignment is the
+    * caller's one inherent n × k pass. */
+  private def trainCentroids(corpus: DataFrame, k: Int, n: Long): DataFrame = {
     val train = trainSlice(corpus, n)
-
-    // Deterministic seed: the k lowest-id corpus vectors. The id itself
-    // is the centroid tag — any distinct ascending values work for the
-    // tie-break order, and this avoids an unpartitioned row_number()
-    // window (a single-task sort that also spams WindowExec warnings).
     var cents: DataFrame = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), transform(col("vd"), x => x.cast("double")).as("cv"))
-
-    // Lloyd iterations over the TRAINING slice (fixed-point means →
-    // deterministic, bounded state); the final full-corpus assignment
-    // below is the one inherent n × k pass
     for (_ <- 1 to ivfIters) {
       val assigned = assignTo(train, cents)
       val e = assigned.select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
         .withColumn("x", col("x").cast("double"))
       cents = meanVectors(e, Seq("cid"))
     }
+    cents
+  }
 
+  private def ivfIndex(spark: SparkSession, dir: String,
+                       k: Int, n: Long): (DataFrame, DataFrame) = {
+    val v = vecs(spark, dir)
+    val corpus = v.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("vd"), col("norm"))
+    val cents = trainCentroids(corpus, k, n)
     val invlist = assignMulti(corpus, cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     (cents, invlist)

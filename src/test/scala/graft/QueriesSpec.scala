@@ -1032,6 +1032,81 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"near-dup LSH recall too low: $recall")
   }
 
+  test("dedup_embedding_ivf: subset of exact pairs, bitwise cosines, " +
+    "cluster-locality recall floor") {
+    val exact = operators.VectorOps.embeddingNearDup(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = operators.VectorOps.embeddingNearDupIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"IVF emitted a non-qualifying pair $key")
+      assert(exact(key) === r.getDouble(2), s"cosine mismatch for $key")
+    }
+    val found = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // overall recall (the zero-margin 0.4 tail included) — locality
+    // candidates have no margin requirement, so this floor is higher
+    // than the LSH mode's 0.5
+    val recall = found.size.toDouble / exact.size
+    // the declared high-cosine regime must hold the ship floor; the
+    // natural test corpus tops out below it (max pair cos ~0.51 at
+    // this SF — planted high-cos dups only exist in the ScaleData
+    // corpora), so the slice check is vacuous here and the operative
+    // regime numbers live in the RecallAudit artifacts (the LSH
+    // precedent)
+    val strong = exact.filter(_._2 >= operators.VectorOps.lshRegimeCos).keySet
+    val strongRecall =
+      if (strong.isEmpty) 1.0
+      else (strong intersect found).size.toDouble / strong.size
+    info(s"overall recall $recall, cos>=${operators.VectorOps.lshRegimeCos} " +
+      s"recall $strongRecall (${strong.size} regime pairs)")
+    // zero-margin-tail floor (the 0.4-threshold pairs have no spatial
+    // locality to exploit — they are the exact mode's regime by
+    // contract, same as the LSH mode's 0.5 floor; measured 0.64)
+    assert(recall >= 0.5, s"near-dup IVF overall recall too low: $recall")
+    assert(strongRecall >= 0.9,
+      s"near-dup IVF regime recall below the floor: $strongRecall")
+  }
+
+  test("dedup_embedding_ivf: PLANTED semantic-duplicate regime — recall floor " +
+    "on true perturbed copies (cos ~0.99)") {
+    // No corpus at any SF carries true high-cosine duplicates (the
+    // natural pair continuum tops out ~0.6; ScaleData copies
+    // decorrelate across copies by design), so the operator's
+    // DECLARED regime — near-identical semantic copies, the SemDeDup
+    // operating point — would only ever be measured vacuously. Plant
+    // it: every vector gets a deterministically rescaled twin
+    // (per-coordinate ×{0.85, 1.15} → cos(v, v∘s) = 1/√E[s²] ≈ 0.989,
+    // comfortably inside the regime), and the spec demands the
+    // cluster candidates recover ≥ 0.95 of the planted pairs — a
+    // perturbation of 0.15·|v| is tiny against inter-cluster
+    // distances (~√2·|v| for near-uniform directions), which is
+    // exactly the locality property the operator's recall rests on.
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf, "embeddings")
+    val nBase = base.count()
+    val span = 1000000L
+    val scales = {
+      val rnd = new scala.util.Random(977)
+      Seq.fill(64)(if (rnd.nextBoolean()) 1.15f else 0.85f)
+    }
+    val twin = base
+      .withColumn("vec_id", col("vec_id") + lit(span))
+      .withColumn("embedding",
+        zip_with(col("embedding"), typedlit(scales), (x, s) => x * s))
+    val dir = Files.createTempDirectory("graft-planted-dups").toString
+    base.unionAll(twin).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = operators.VectorOps.embeddingNearDupIvf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedFound = base.select("vec_id").collect().map(_.getLong(0))
+      .count(id => got.contains((id, id + span)))
+    val plantedRecall = plantedFound.toDouble / nBase
+    info(s"planted-copy recall $plantedRecall over $nBase pairs")
+    assert(plantedRecall >= 0.95,
+      s"planted semantic-duplicate recall below floor: $plantedRecall")
+  }
+
   test("dedup_embedding_lsh: broadcast envelope enforced — oversized corpus " +
     "routes to the shuffle verify with identical results") {
     // broadcastMax = 0 forces every corpus over the line, exercising
