@@ -69,6 +69,9 @@ object GraftFunctions {
     ("topk_structs",
       new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
       (es: Seq[Expression]) => TopKStructs(es(0), es(1))),
+    ("mg_topfreq",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_topfreq"),
+      (es: Seq[Expression]) => MisraGriesAgg(es(0), es(1))),
     ("graft_might_contain",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

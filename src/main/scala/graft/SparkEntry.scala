@@ -77,6 +77,11 @@ object SparkEntry {
       EventOps.skewShuffleJoin(s, d, salted = true)),
     "q_skew_shuffle_unsalted" -> ((s: SparkSession, d: String) =>
       EventOps.skewShuffleJoin(s, d, salted = false)),
+    // heavy hitters via bounded Misra-Gries sketch -> exact verify of
+    // the <=k candidates: the shuffle never carries the item domain,
+    // and the k > phi superset guarantee makes the composition exact
+    // (deterministic despite the sketch) -> plain SQL oracle applies
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => EventOps.heavyHitters(s, d)),
     "q_stats_moments" -> EventOps.statsMoments _,
     "q_percentiles"  -> EventOps.percentiles _,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveTs _,
@@ -244,6 +249,7 @@ object SparkEntry {
     "q_skew_salted"  -> EventOps.skewSaltedSql,
     "q_skew_shuffle_salted"   -> EventOps.skewSaltedSql,
     "q_skew_shuffle_unsalted" -> EventOps.skewSaltedSql,
+    "q_heavy_hitters" -> EventOps.heavyHittersSql,
     "q_stats_moments" -> EventOps.statsMomentsSql,
     "q_percentiles"  -> EventOps.percentilesSql,
     "sender_vs_receive_ts" -> EventOps.senderVsReceiveSql,

@@ -271,6 +271,72 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum2(d4(col("value"))).as("sum_value"))
   }
 
+  /** Heavy-hitter frequency floor: items holding > 1/φ of the stream. */
+  val hhPhi = 50
+
+  /** Misra-Gries counter budget for the candidate sketch. MUST exceed
+    * [[hhPhi]]: the sketch undercounts by at most n/(k+1), so
+    * k + 1 > φ guarantees every true heavy hitter (count > n/φ >
+    * n/(k+1)) survives with a positive counter — the property the
+    * exact verify pass leans on. 256 for φ = 50 leaves the bound at
+    * ~0.4% of n against a 2% admission floor. */
+  val hhSketchK = 256
+
+  /** The heavy-hitter item stream, synthesized skew (the
+    * [[skewSaltedJoin]] precedent — the natural columns are uniform
+    * by construction): 70% of events collapse onto 7 hot items
+    * (~10% of the stream each), the rest spread over 997 cold items
+    * (~0.03% each) — a 1,004-key domain against a 256-counter sketch,
+    * so eviction actually runs at every scale. */
+  private def hhItems(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      when(col("event_id") % 10 < 7, col("event_id") % 7)
+        .otherwise(lit(1000) + col("event_id") % 997).as("item"))
+
+  /** Heavy hitters (items with count·φ > n) via SKETCH → VERIFY — the
+    * 100 TB form of `GROUP BY item HAVING`, which shuffles one row
+    * per DISTINCT item (a full-width shuffle of a 10⁹-key domain to
+    * find a handful of rows). Pass 1 runs the bounded
+    * [[graft.functions.MisraGriesAgg]] sketch (k counters per mapper,
+    * merged map-side — the shuffle carries ≤ k rows per mapper
+    * regardless of the item domain) whose k > φ guarantee puts every
+    * true heavy hitter in the candidate set; pass 2 exact-counts ONLY
+    * the ≤ k candidates (broadcast semi-join onto the stream, then a
+    * partial-aggregated count whose shuffle carries ≤ k groups) and
+    * applies the exact HAVING against the in-plan total.
+    *
+    * The composition is DETERMINISTIC even though any MG summary's
+    * surviving-counter set is arrival-order-dependent: the candidate
+    * set is provably a SUPERSET of the true heavy hitters under every
+    * order/merge shape, and the exact verify discards the
+    * order-dependent extras — so the oracle is the plain exact SQL.
+    * (Same philosophy as the dedup suite: sketch for candidates,
+    * exact arithmetic for the answer.) */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   phi: Int = hhPhi, sketchK: Int = hhSketchK): DataFrame = {
+    require(sketchK > phi,
+      s"sketchK ($sketchK) must exceed phi ($phi) for the superset guarantee")
+    val items = hhItems(spark, dir)
+    val total = items.agg(count(lit(1)).as("n_total")).scalar()
+    val cands = items
+      .agg(graft.functions.FreqColumns.mgTopFreq(col("item"), sketchK).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("item"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * phi > total)
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH s AS (
+       |  SELECT CASE WHEN event_id % 10 < 7 THEN event_id % 7
+       |              ELSE 1000 + event_id % 997 END AS item
+       |  FROM events)
+       |SELECT item, count(*) AS cnt
+       |FROM s GROUP BY item
+       |HAVING count(*) * $hhPhi > (SELECT count(*) FROM s)""".stripMargin
+
   /** Statistical moments per event type from EXACT sums: mean,
     * population variance, and corr(value, lag). Spark's corr/stddev
     * use Welford-style merges whose float result depends on partition

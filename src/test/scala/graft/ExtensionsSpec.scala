@@ -57,6 +57,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g2.map(r => (r.getDouble(0), -r.getLong(1))) === Seq((5.0, 201L)))
   }
 
+  test("mg_topfreq: Misra-Gries sketch aggregate callable from pure SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT mg_topfreq(item, 2) AS sk FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('b'), ('c'), ('a')
+        |  AS t(item)""".stripMargin).collect()(0)
+    val est = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // 'a' (4 of 7) is above n/(k+1) = 7/3 — guaranteed present with
+    // undercount <= 2; only guarantees are asserted (the rest of the
+    // summary is order-dependent by contract)
+    assert(est.size <= 2)
+    assert(est.contains("a"))
+    assert(est("a") >= 4L - 7L / 3L && est("a") <= 4L)
+  }
+
   test("GR record roundtrip: encode -> decode_gr_record in SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._

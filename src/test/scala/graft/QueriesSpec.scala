@@ -1068,6 +1068,56 @@ class QueriesSpec extends AnyFunSuite {
       s"near-dup IVF regime recall below the floor: $strongRecall")
   }
 
+  test("mg_topfreq: Misra-Gries guarantee — bounded counters, superset of " +
+    "heavy items, bounded undercount, mergeable under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // known truth: 3 heavy items + 200 cold singletons, 730 instances
+    val truth = Map("h1" -> 300, "h2" -> 150, "h3" -> 80)
+    val items = truth.toSeq.flatMap { case (s, c) => Seq.fill(c)(s) } ++
+      (0 until 200).map(i => s"cold$i")
+    val n = items.size
+    val k = 16
+    val bound = n / (k + 1) // max total decrement any counter absorbed
+    // different partitionings exercise different merge trees and
+    // arrival orders — the GUARANTEES must hold under all of them
+    // (the surviving cold-item set legitimately varies)
+    for (parts <- Seq(1, 4, 13)) {
+      val sk = items.toDF("item").repartition(parts)
+        .agg(graft.functions.FreqColumns.mgTopFreq(col("item"), k).as("sk"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      val est = sk.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= k, s"summary exceeded k: ${est.size}")
+      truth.foreach { case (item, c) =>
+        assert(c > bound, "test data must make the guarantee non-vacuous")
+        assert(est.contains(item), s"heavy item $item evicted (parts=$parts)")
+        assert(est(item) <= c, s"$item overcounted: ${est(item)} > $c")
+        assert(c - est(item) <= bound,
+          s"$item undercount ${c - est(item)} exceeds n/(k+1)=$bound")
+      }
+      est.foreach { case (it, e) =>
+        assert(e <= truth.getOrElse(it, 1).toLong, s"$it overcounted: $e")
+      }
+    }
+  }
+
+  test("q_heavy_hitters: sketch->verify composition equals the exact " +
+    "aggregate (determinism despite an order-dependent sketch)") {
+    import org.apache.spark.sql.functions._
+    val got = operators.EventOps.heavyHitters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables(spark, sf, "events").select(
+      when(col("event_id") % 10 < 7, col("event_id") % 7)
+        .otherwise(lit(1000) + col("event_id") % 997).as("item"))
+    val n = ev.count()
+    val exact = ev.groupBy("item").count()
+      .filter(col("count") * operators.EventOps.hhPhi > n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got === exact,
+      "sketch->verify diverged from the exact heavy-hitter set")
+  }
+
   test("dedup_embedding_ivf: PLANTED semantic-duplicate regime — recall floor " +
     "on true perturbed copies (cos ~0.99)") {
     // No corpus at any SF carries true high-cosine duplicates (the
