@@ -125,6 +125,10 @@ object SparkEntry {
     "doc_novelty"        -> TextOps.docNovelty _,
     "tfidf_top_term"     -> TextOps.tfidfTopTerm _,
     "doc_sample"         -> TextOps.docSample _,
+    // exact-k per-source sample through the k-bounded heap aggregate:
+    // the shuffle carries <=k rows per (mapper, source) where the
+    // row_number formulation sorts every stratum in full
+    "doc_sample_exact_k" -> ((s: SparkSession, d: String) => TextOps.docSampleExactK(s, d)),
     // source-weighted data mixing: keep thresholds derived from
     // corpus counts in-plan (dimension-sized aggs broadcast back)
     "doc_mixture_sample" -> TextOps.docMixtureSample _,
@@ -281,6 +285,7 @@ object SparkEntry {
     "doc_novelty"        -> TextOps.docNoveltySql,
     "tfidf_top_term"     -> TextOps.tfidfTopTermSql,
     "doc_sample"         -> TextOps.docSampleSql,
+    "doc_sample_exact_k" -> TextOps.docSampleExactKSql,
     "doc_mixture_sample" -> TextOps.docMixtureSampleSql,
     "doc_pii_scrub"      -> TextOps.docPiiScrubSql,
     "source_quality_report" -> TextOps.sourceQualityReportSql,

@@ -616,6 +616,53 @@ object TextOps {
        |SELECT doc_id, stratum, n_chars FROM t
        |WHERE (stratum = 'short' AND h < 100) OR (stratum = 'long' AND h < 500)""".stripMargin
 
+  /** Exact sample size per source stratum for [[docSampleExactK]]. */
+  val exactKPerStratum = 10
+
+  /** EXACT-SIZE deterministic stratified sample: the k docs with the
+    * smallest (hash, doc_id) per source — "exactly k examples per
+    * source" is how eval/calibration sets are actually specified,
+    * and rate-based sampling ([[docSample]]) can only hit a size in
+    * expectation. Selection is by the same multiplicative integer
+    * hash (no RNG — identical sample on any cluster, any
+    * partitioning), with doc_id breaking hash ties so the choice is
+    * total.
+    *
+    * Scale shape: the obvious formulation — `row_number() OVER
+    * (PARTITION BY source ORDER BY h)` — shuffles and SORTS every
+    * row of every stratum to keep k of them. This one aggregates
+    * with the k-bounded heap ([[graft.functions.TopKStructs]], the
+    * q_topk_agg kernel): map-side partials keep ≤ k rows per
+    * (mapper, source), the one shuffle carries those partial heaps,
+    * and nothing ever sorts more than k retained entries — the same
+    * plan at 25 docs per source or 10⁹. Heap retains the LARGEST
+    * structs, so the sort key is negated on the way in (h is
+    * mod-bounded and doc_id nonnegative — negation cannot
+    * overflow); a stratum smaller than k keeps whole, exactly as
+    * the rank filter would. */
+  def docSampleExactK(spark: SparkSession, dir: String,
+                      k: Int = exactKPerStratum): DataFrame = {
+    import graft.functions.TopKColumns.topKStructs
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), sampleHashCol.as("h"))
+      .groupBy(col("source"))
+      .agg(topKStructs(
+        struct((-col("h")).as("s1"), (-col("doc_id")).as("s2")), k).as("sel"))
+      .select(col("source"), explode(col("sel")).as("e"))
+      .select(col("source"), (-col("e.s2")).as("doc_id"), (-col("e.s1")).as("h"))
+  }
+
+  val docSampleExactKSql: String =
+    s"""WITH t AS (
+       | SELECT source, doc_id,
+       |  ((doc_id % $sampleFold) * $sampleHashMul) % $sampleMod AS h
+       | FROM documents),
+       |r AS (
+       | SELECT source, doc_id, h,
+       |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       | FROM t)
+       |SELECT source, doc_id, h FROM r WHERE rk <= $exactKPerStratum""".stripMargin
+
   /** Benchmark decontamination — the overlap check every serious
     * training pipeline runs before training: find documents that share
     * any long n-gram with a held-out evaluation set, so eval answers

@@ -1068,6 +1068,36 @@ class QueriesSpec extends AnyFunSuite {
       s"near-dup IVF regime recall below the floor: $strongRecall")
   }
 
+  test("doc_sample_exact_k: heap-aggregate sample equals the window-rank " +
+    "formulation, strata smaller than k keep whole") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.TextOps.docSampleExactK(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the full-sort twin this operator exists to avoid
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val twin = Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        pmod((col("doc_id") % operators.TextOps.sampleFold) *
+          operators.TextOps.sampleHashMul, lit(operators.TextOps.sampleMod)).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= operators.TextOps.exactKPerStratum)
+      .select("source", "doc_id", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === twin, "heap sample diverged from the rank formulation")
+    // exact-size contract: min(k, stratum population) rows per source
+    val popBySource = Tables(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotBySource = got.groupBy(_._1).view.mapValues(_.size).toMap
+    popBySource.foreach { case (src, pop) =>
+      assert(gotBySource.getOrElse(src, 0) ===
+        math.min(operators.TextOps.exactKPerStratum.toLong, pop).toInt,
+        s"stratum $src sample size off")
+    }
+  }
+
   test("mg_topfreq: Misra-Gries guarantee — bounded counters, superset of " +
     "heavy items, bounded undercount, mergeable under any partitioning") {
     import spark.implicits._
