@@ -209,8 +209,10 @@ object VectorOps {
 
   /** Ceiling for the auto table count (the 100 TB guard: past it the
     * user is asking single-probe LSH for a recall/threshold frontier
-    * where IVF-family indexes are the right tool — pass explicit
-    * knobs). 64 tables bind at ~2³⁰ vectors under the sizing rule. */
+    * where IVF-family indexes are the right tool — true-duplicate
+    * regimes go to [[embeddingNearDupIvf]], ranked search to the
+    * ann_ivf family; or pass explicit knobs). 64 tables bind at
+    * ~2³⁰ vectors under the sizing rule. */
   val lshMaxTables = 64
 
   /** Regime-derived AUTO TABLE COUNT — the fix for the measured
@@ -295,7 +297,8 @@ object VectorOps {
     * FALLS BACK to shuffle attach joins (slow-but-correct — the
     * pre-broadcast plan) instead of OOMing the driver/executors on a
     * hint the scaladoc boundary used to merely document; and at that
-    * scale the scaladoc hands this regime to the IVF family anyway. */
+    * scale the true-duplicate regime belongs to
+    * [[embeddingNearDupIvf]] anyway. */
   val lshBroadcastMaxVectors = 1000000L
 
   /** `bits = 0` (the default) auto-sizes the code space from the
