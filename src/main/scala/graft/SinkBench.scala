@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    checks stay O(batch) (a climbing tail here would mean the
   *    monitoring defeats the bounded-trigger contract it guards).
   *
-  * `sbt "runMain graft.SinkBench [sfDir] [outFile] [triggers] [mode]"`
+  * `sbt "runMain graft.SinkBench [sfDir] [outFile] [triggers] [mode]
+  * [graceMs] [sliceTenths]"`
   * → one JSON line (stdout + artifact), the Bench convention.
   */
 object SinkBench {
@@ -46,6 +47,13 @@ object SinkBench {
     // the steady state a real deployment (grace ≪ run length) sees.
     val graceMs = args.lift(4).map(_.toLong)
       .getOrElse(operators.Snapshot.DefaultGraceMs)
+    // dedup mode: how many doc_id%10 residues stream (rest are
+    // indexed). Default 1 = the historical {7} slice; larger widths
+    // exist to push rows/trigger toward REAL batch sizes (10⁴) that
+    // the 10% slice cannot reach while keeping ≥36 triggers — the
+    // amortization evidence the toy batches only argue for.
+    val sliceTenths = args.lift(5).map(_.toInt).getOrElse(1)
+    require(sliceTenths >= 1 && sliceTenths <= 9, "sliceTenths in [1,9]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,12 +87,18 @@ object SinkBench {
 
     val (q, per) = mode match {
       case "dedup" =>
-        // index over the corpus minus the streamed slice (the spec setup)
+        // index over the corpus minus the streamed slice (the spec
+        // setup). sliceTenths = 1 keeps the historical {7} residue so
+        // prior artifacts stay comparable; wider slices stream the
+        // top residues {10-w .. 9}.
+        val streamed: Column =
+          if (sliceTenths == 1) pmod(col("doc_id"), lit(10)) === 7
+          else pmod(col("doc_id"), lit(10)) >= (10 - sliceTenths)
         val idx = tmp("graft-sinkbench-idx")
         operators.DedupOps.incrementalIndexBuild(spark, sfDir, idx,
-          docFilter = pmod(col("doc_id"), lit(10)) =!= 7)
+          docFilter = !streamed)
         val slice = Tables(spark, sfDir, "documents")
-          .filter(pmod(col("doc_id"), lit(10)) === 7)
+          .filter(streamed)
           .select("doc_id", "text").collect()
           .map(r => (r.getLong(0), r.getString(1)))
         val broker = tmp("graft-sinkbench-broker")
@@ -170,6 +184,7 @@ object SinkBench {
       } else "" // run too short for a trustworthy equilibrium window
     val line =
       s"""{"metric":"sink_trigger_ms","sink":"$mode","sf":"$sfDir","triggers":${durs.size},""" +
+        s""""grace_ms":$graceMs,"slice_tenths":$sliceTenths,""" +
         s""""rows_per_trigger":$per,"first10_mean":${fmt(first)},""" +
         s""""last10_mean":${fmt(last)},"ratio":${fmt(last / first)},""" +
         eqFields +

@@ -113,6 +113,9 @@ object SparkEntry {
     "doc_shard_plan" -> TextOps.docShardPlan _,
     "doc_chunk_windows" -> TextOps.docChunkWindows _,
     "doc_term_commonness" -> TextOps.docTermCommonness _,
+    // corpus-trained bigram LM scores (perplexity-filter stage):
+    // model trained + applied in one plan, exact-integer pooled ratios
+    "doc_lm_score" -> TextOps.docLmScore _,
     "doc_quality_adaptive" -> ((s: SparkSession, d: String) =>
       TextOps.docQualityAdaptive(s, d)),
     "doc_quality_adaptive_approx" -> ((s: SparkSession, d: String) =>
@@ -180,6 +183,11 @@ object SparkEntry {
     "doc_split_leakproof" -> DedupOps.docSplitLeakproof _,
     "doc_split_leakproof_wide" -> DedupOps.docSplitLeakproofWide _,
     "source_overlap"      -> DedupOps.sourceOverlap _,
+    // source-level 3-gram Jaccard matrix: exact (one corpus shuffle,
+    // diagonal-trick sizes) + the KMV bottom-k sketch scale mode
+    // (8 KB state per source; spec-gated error bound vs the exact twin)
+    "source_jaccard"      -> DedupOps.sourceJaccard _,
+    "source_jaccard_kmv"  -> ((s: SparkSession, d: String) => DedupOps.sourceJaccardKmv(s, d)),
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),
@@ -276,6 +284,7 @@ object SparkEntry {
     "doc_shard_plan" -> TextOps.docShardPlanSql,
     "doc_chunk_windows" -> TextOps.docChunkWindowsSql,
     "doc_term_commonness" -> TextOps.docTermCommonnessSql,
+    "doc_lm_score"       -> TextOps.docLmScoreSql,
     "doc_quality_adaptive" -> TextOps.docQualityAdaptiveSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,
@@ -302,6 +311,9 @@ object SparkEntry {
     "dedup_cluster_best"  -> DedupOps.dupClusterBestSql,
     "doc_split_leakproof" -> DedupOps.docSplitLeakproofSql,
     "source_overlap"      -> DedupOps.sourceOverlapSql,
+    "source_jaccard"      -> DedupOps.sourceJaccardSql,
+    // source_jaccard_kmv: xxhash64 has no DuckDB twin -> rows-only +
+    // QueriesSpec error-bound gate against the exact twin
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,

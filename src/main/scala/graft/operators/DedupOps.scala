@@ -1195,4 +1195,147 @@ object DedupOps {
        |       max(pos) + $k - min(pos) AS span_tokens
        |FROM i GROUP BY doc_id, island""".stripMargin
   }
+
+  // ---- Source-level set similarity (corpus composition analysis) ----
+
+  /** SOURCE-level 3-gram Jaccard — "how much does source A's content
+    * overlap source B's", the corpus-composition view that
+    * [[sourceOverlap]]'s pair matrix (which counts DOC-level near-dup
+    * pairs) cannot give: two sources can share most of their phrasing
+    * without a single document pair crossing the near-dup threshold.
+    *
+    * One corpus-scale shuffle: grams go to their `groupBy(g)` reducer
+    * where `collect_set(source)` holds AT MOST |sources| entries
+    * (bounded per-gram state, partial sets merge map-side), and every
+    * downstream row — per-gram source combinations, the (a,b) counts —
+    * is |sources|²-bounded, never corpus-bounded. Set sizes ride the
+    * SAME aggregate as the intersections: the combination generator
+    * includes the (a,a) diagonal, so `n_a` is just the count of the
+    * diagonal rows and no second pass over the corpus is needed. The
+    * final size attachment joins a |sources|²-row table to a
+    * |sources|-row table — AQE broadcasts both.
+    *
+    * Output: one row per UNORDERED source pair with at least one
+    * shared gram: (source_a < source_b, n_a, n_b, n_inter, n_union,
+    * jaccard). Counts are exact integers; jaccard is ONE double
+    * division, so the DuckDB oracle reproduces it bit-for-bit. */
+  def sourceJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val perGram = Tables(spark, dir, "documents")
+      .select(col("source"), explode(distinctShingles3(col("text"))).as("g"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+    // ordered combinations WITH the diagonal: (ss(i), ss(j)) for i <= j
+    val combos = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + 1, size(col("ss"))),
+        y => struct(x.as("sa"), y.as("sb")))))
+    val counts = perGram
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = counts.filter(col("sa") === col("sb"))
+      .select(col("sa").as("s"), col("c").as("n"))
+    counts.filter(col("sa") < col("sb"))
+      .join(broadcast(sizes).withColumnRenamed("s", "sa_key"),
+        col("sa") === col("sa_key"))
+      .withColumnRenamed("n", "n_a")
+      .join(broadcast(sizes).withColumnRenamed("s", "sb_key"),
+        col("sb") === col("sb_key"))
+      .withColumnRenamed("n", "n_b")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"), col("c").as("n_inter"),
+        (col("n_a") + col("n_b") - col("c")).as("n_union"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+          .as("jaccard"))
+  }
+
+  val sourceJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source, unnest(list_distinct(CASE WHEN len(w) >= 3
+      |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+      |    ELSE [] END)) AS g
+      |  FROM toks),
+      |sg AS (SELECT DISTINCT source, g FROM sh),
+      |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b,
+      |  CAST(c AS BIGINT) AS n_inter, za.n + zb.n - c AS n_union,
+      |  CAST(c AS DOUBLE) / (za.n + zb.n - c) AS jaccard
+      |FROM p
+      |JOIN sz za ON za.source = p.source_a
+      |JOIN sz zb ON zb.source = p.source_b""".stripMargin
+
+  /** KMV sketch size for [[sourceJaccardKmv]]. Standard error of the
+    * Jaccard estimate is ~√(J(1−J)/k) ≤ 0.016 at k = 1024 — tighter
+    * than any mixing decision needs — while the whole sketch is 8 KB
+    * per source. */
+  val kmvK = 1024
+
+  /** [[sourceJaccard]]'s 100 TB mode — a K-MINIMUM-VALUES (bottom-k)
+    * sketch per source instead of exact per-pair set arithmetic.
+    *
+    * Why the exact op stops scaling: its per-gram state is fine, but
+    * `n_inter` counts every shared gram — the shuffle's combination
+    * stream carries one row per (gram, source-pair) co-occurrence,
+    * which at petabyte corpora with thousands of sources is the gram
+    * volume × pair multiplicity. The sketch caps EVERYTHING after the
+    * first dedup at k longs per source: the k smallest xxhash64 gram
+    * hashes are a uniform sample of each source's gram SET, and for
+    * any pair, |kmin_k(A ∪ B) ∩ A_k ∩ B_k| / k is the classic
+    * unbiased Jaccard estimate (Bar-Yossef et al.'s KMV / Beyer et
+    * al.'s distinct-value sketches). Deterministic — the "sample" is
+    * an order statistic of a fixed hash, no RNG — so results are
+    * reproducible on any cluster and partitioning.
+    *
+    * Plan: ONE corpus-scale shuffle on (source, gram) for the global
+    * dedup (partial aggregation collapses repeats map-side), then the
+    * k-bounded heap aggregate ([[graft.functions.TopKStructs]], fed
+    * `~hash` so its k-LARGEST retention keeps the k SMALLEST hashes —
+    * bitwise NOT is a total order reversal with no Long.MinValue
+    * overflow) reduces each source to k longs. The |sources| sketches
+    * collapse to ONE row (`collect_list`) and pairs are generated by
+    * the same in-row combination transform as [[sourceJaccard]] — no
+    * join of any kind, so the |sources|² pair arithmetic is pure
+    * projection work. Envelope: all sketches ride one row, so this is
+    * sized for |sources| ≤ ~10⁴ at the default k (80 MB row) — past
+    * that, raise granularity or shard the pair generation.
+    *
+    * No SQL oracle (xxhash64 has no DuckDB twin — the
+    * [[simhash]] precedent); gated by the QueriesSpec error-bound
+    * assertion against [[sourceJaccard]] plus [0,1] sanity here.
+    * Output: (source_a, source_b, k_used, matches, jaccard_est) for
+    * EVERY pair (the sketch sees disjoint sources too — est 0). */
+  def sourceJaccardKmv(spark: SparkSession, dir: String,
+                       k: Int = kmvK): DataFrame = {
+    import graft.functions.TopKColumns.topKStructs
+    val sk = Tables(spark, dir, "documents")
+      .select(col("source"), explode(distinctShingles3(col("text"))).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("dup"))
+      .select(col("source"), bitwise_not(xxhash64(col("g"))).as("nh"))
+      .groupBy(col("source"))
+      .agg(topKStructs(struct(col("nh")), k).as("hs"))
+      // heap output is ~h descending = h ASCENDING: kmin is sorted
+      .select(col("source"), transform(col("hs"), s => bitwise_not(s("nh"))).as("kmin"))
+    val one = sk.agg(sort_array(collect_list(struct(col("source"), col("kmin")))).as("all"))
+    val pairs = one.select(explode(flatten(transform(col("all"), (x, i) =>
+        transform(slice(col("all"), i + 2, size(col("all"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.source").as("source_a"), col("p.b.source").as("source_b"),
+        col("p.a.kmin").as("ka"), col("p.b.kmin").as("kb"))
+    // k smallest of the merged sketch; if the true union is smaller
+    // than k the sketch IS the union and the estimate is exact
+    val merged = array_sort(array_union(col("ka"), col("kb")))
+    val kk = least(lit(k), size(merged))
+    val x = size(array_intersect(slice(merged, lit(1), kk),
+      array_intersect(col("ka"), col("kb"))))
+    pairs.select(col("source_a"), col("source_b"),
+      kk.cast("long").as("k_used"), x.cast("long").as("matches"),
+      (x.cast("double") / kk.cast("double")).as("jaccard_est"))
+  }
 }

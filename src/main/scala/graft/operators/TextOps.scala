@@ -263,6 +263,85 @@ object TextOps {
        | (CAST(df_sum AS DOUBLE) / (n_inst * n_docs) < $commonnessKeepMax) AS keep
        |FROM s, nd""".stripMargin
 
+  /** Corpus-trained BIGRAM language-model score per document — the
+    * declarative form of the perplexity-filter stage (CCNet-style
+    * "score each doc under a model of the corpus"): train the n-gram
+    * model and apply it in ONE logical plan, no model file, no
+    * driver round-trip.
+    *
+    * Two scores per document (docs with < 2 tokens have no bigrams
+    * and are absent, like every bigram-defined metric):
+    *  - `novelty` — fraction of the doc's bigram INSTANCES whose
+    *    corpus count is 1 (nothing else in the corpus ever makes
+    *    this transition): high = gibberish or genuinely unique text;
+    *  - `cond_pred` — pooled conditional predictability
+    *    Σc(w₁w₂) / Σc(w₁·): how strongly the corpus model predicts
+    *    this doc's transitions from their contexts. The POOLED ratio
+    *    (ratio of exact integer sums, ONE double division) is chosen
+    *    over the textbook mean-of-log-probabilities deliberately:
+    *    log() is libm-dependent and a mean of per-bigram divisions is
+    *    summation-order-dependent — either would break the
+    *    bit-identical DuckDB gate (the [[tfidfTopTerm]] rule).
+    *
+    * Plan, corpus-scale pieces only: bigram extraction is narrow
+    * map-side work ([[graft.functions.Texts.kGrams]] k=2); the model
+    * (`groupBy(bg)`) is one shuffle with map-side partial counts; the
+    * context table derives from the MODEL (vocab-sized, not
+    * corpus-sized) and is folded into it before the corpus ever joins
+    * — so the instance stream shuffles once for the model attach
+    * (co-partitioned with the model's own exchange) and once for the
+    * per-doc reduce. Thresholding is intentionally NOT here: the
+    * score distribution tightens as the corpus grows (measured:
+    * median cond_pred 0.0345 at 500 docs → 0.0334 at 5 000), so any
+    * fixed keep-constant would be scale-dependent — rank-based
+    * keeping is [[docQualityAdaptive]]'s job. */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir)
+      .select(col("doc_id"), explode(kGrams(tokens(col("text")), 2)).as("bg"))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val ctx = model.groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    val model2 = model
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .join(ctx, "ctx")
+      .select(col("bg"), col("c_bg"), col("c_ctx"))
+    bg.join(model2, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_bg")).as("fm"),
+        sum(col("c_ctx")).as("cm"),
+        sum(when(col("c_bg") === 1, 1L).otherwise(0L)).as("nn"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nn").cast("double") / col("n_bigrams")).as("novelty"),
+        (col("fm").cast("double") / col("cm")).as("cond_pred"))
+  }
+
+  val docLmScoreSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      | FROM documents),
+      |bg AS (
+      | SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |   THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+      |   ELSE [] END) AS bg
+      | FROM toks),
+      |model AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS ctx,
+      |        CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM model GROUP BY 1),
+      |j AS (
+      | SELECT b.doc_id, m.c_bg, c.c_ctx
+      | FROM bg b JOIN model m USING (bg)
+      | JOIN ctx c ON split_part(b.bg, ' ', 1) = c.ctx),
+      |s AS (
+      | SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(c_bg) AS BIGINT) AS fm, CAST(sum(c_ctx) AS BIGINT) AS cm,
+      |  CAST(sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      | FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      | CAST(nn AS DOUBLE) / n_bigrams AS novelty,
+      | CAST(fm AS DOUBLE) / cm AS cond_pred
+      |FROM s""".stripMargin
+
   private val stopwords = Seq("the", "a", "of", "and", "data", "value")
 
   /** SHARD assignment for the packed-batch writer — which of

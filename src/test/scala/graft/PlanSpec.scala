@@ -108,6 +108,23 @@ class PlanSpec extends AnyFunSuite {
       "report re-computes the near-dup flag's shared shingle aggregate")
   }
 
+  test("source_jaccard: corpus gram shuffle planned once (reused exchange); " +
+    "kmv mode is join-free") {
+    // the sizes branch (diagonal rows) and the pair branch both hang
+    // off the per-gram collect_set aggregate; the consumer filters
+    // cannot push below the combo Generate, so the corpus-scale
+    // Exchange(g) subtree is identical in both and AQE must reuse it
+    // — "set sizes ride the same aggregate" is this pin, not a comment
+    val df = operators.DedupOps.sourceJaccard(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "source_jaccard re-shuffles the corpus for the size branch")
+    // the sketch mode generates pairs by in-row transforms over ONE
+    // collected row — no join operator of any kind may appear
+    val pk = plan(operators.DedupOps.sourceJaccardKmv(spark, sf))
+    assert(!pk.contains("Join"), s"kmv pair generation must be join-free:\n${pk.take(1200)}")
+  }
+
   test("wordcount & windowed wordcount stay in whole-stage codegen") {
     assert(codegenPlan(operators.TextOps.wordCount(spark, sf)).contains("*("))
     assert(codegenPlan(operators.TextOps.windowedWordCount(spark, sf)).contains("*("))

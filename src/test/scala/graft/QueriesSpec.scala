@@ -1486,4 +1486,80 @@ class QueriesSpec extends AnyFunSuite {
     // canonical ordering: source_a <= source_b in every cell
     assert(matrix.filter(col("source_a") > col("source_b")).count() === 0)
   }
+
+  test("doc_lm_score: scores bounded, bigram count = tokens - 1, window twin agrees") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Texts
+    val lm = SparkEntry.queries("doc_lm_score")(spark, sf)
+    // bounds: novelty is a fraction of the doc's bigrams; cond_pred is
+    // a sub-unit probability ratio (numerator counts are a subset of
+    // the denominator's context mass)
+    assert(lm.filter(col("novelty") < 0 || col("novelty") > 1).count() === 0)
+    assert(lm.filter(col("cond_pred") <= 0 || col("cond_pred") > 1).count() === 0)
+    // every >=2-token doc present, with n_bigrams = n_tokens - 1
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(Texts.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") >= 2)
+    val joined = toks.join(lm, "doc_id")
+    assert(joined.count() === toks.count(), "every multi-token doc is scored")
+    assert(joined.filter(col("n_bigrams") =!= col("nt") - 1).count() === 0)
+    // TWIN FORMULATION: rebuild the bigram stream with a lead() window
+    // (positional explode + per-doc ordered shuffle — the plan the
+    // transform-based kGrams kernel avoids) and recompute both scores;
+    // the declarative reformulation must agree row-for-row.
+    val ex = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), posexplode(Texts.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg2 = ex
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val model = bg2.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val ctx = model.groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    val m2 = model.withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .join(ctx, "ctx").select(col("bg"), col("c_bg"), col("c_ctx"))
+    val twin = bg2.join(m2, "bg").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams2"),
+        (sum(when(col("c_bg") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("novelty2"),
+        (sum(col("c_bg")).cast("double") / sum(col("c_ctx"))).as("cond_pred2"))
+    val cmp = lm.join(twin, "doc_id")
+    assert(cmp.count() === lm.count())
+    assert(cmp.filter(col("n_bigrams") =!= col("n_bigrams2") ||
+      col("novelty") =!= col("novelty2") ||
+      col("cond_pred") =!= col("cond_pred2")).count() === 0,
+      "kGrams-built bigram scores equal the window-lead formulation bit-for-bit")
+  }
+
+  test("source_jaccard: symmetric-set identities hold; KMV sketch tracks " +
+    "the exact matrix within the k-derived error bound") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.DedupOps.sourceJaccard(spark, sf)
+    // set identities: inter <= min(n_a, n_b), union = n_a+n_b-inter,
+    // canonical pair order
+    assert(exact.filter(col("n_inter") > least(col("n_a"), col("n_b"))).count() === 0)
+    assert(exact.filter(col("n_union") =!= col("n_a") + col("n_b") - col("n_inter")).count() === 0)
+    assert(exact.filter(col("source_a") >= col("source_b")).count() === 0)
+    val nSources = graft.Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    // the synthetic sources share a vocabulary: every pair overlaps
+    assert(exact.count() === nSources * (nSources - 1) / 2)
+    // sketch at k = 256 (small enough that sf0.001 source sets ~1.1-1.5k
+    // grams genuinely exercise the estimator, not the exact-union path):
+    // sigma = sqrt(J(1-J)/k) <= 0.009 at the measured J <= 0.085, so a
+    // 0.05 absolute tolerance is > 5 sigma
+    val est = operators.DedupOps.sourceJaccardKmv(spark, sf, k = 256)
+    assert(est.count() === nSources * (nSources - 1) / 2, "sketch emits every pair")
+    assert(est.filter(col("jaccard_est") < 0 || col("jaccard_est") > 1).count() === 0)
+    val cmp = est.join(exact.select(col("source_a"), col("source_b"), col("jaccard")),
+        Seq("source_a", "source_b"), "left")
+      .select(abs(coalesce(col("jaccard"), lit(0.0)) - col("jaccard_est")).as("err"))
+    val maxErr = cmp.agg(max(col("err"))).collect()(0).getDouble(0)
+    assert(maxErr <= 0.05, s"KMV max abs error $maxErr exceeds the 5-sigma bound")
+    // estimator really is in sketch mode at this k: some pair's merged
+    // sketch must have been truncated (k_used == k)
+    assert(est.filter(col("k_used") === 256).count() > 0, "estimator path exercised")
+  }
 }
