@@ -113,6 +113,75 @@ object RecallAudit {
         ("embedding_pairs", exactEmb.size.toLong),
         ("embedding_pairs_cos07", exactEmbRows.count(_._2 >= 0.7).toLong),
         ("embedding_pairs_cos09", exactEmbRows.count(_._2 >= 0.9).toLong))
+
+      // PLANTED true-copy regime — the declared regime of the IVF mode
+      // (cos ≳ 0.9, SemDeDup operating point) has ZERO natural pairs
+      // at every SF (embedding_pairs_cos09 above is 0 everywhere), so
+      // those 1.0 seats are vacuous; this seat plants the regime at
+      // audit scale with the QueriesSpec recipe (deterministic
+      // per-coordinate ×{0.85,1.15} twin → cos(v, v∘s) ≈ 0.989) in a
+      // SEPARATE corpus dir — the natural-corpus seats above never see
+      // the twins. Recall here is non-vacuous by construction
+      // (planted_pairs = n) and is the at-scale measurement of the
+      // operator's contract; boundary effects in coarse quantization
+      // grow with n, which is exactly what spec-scale can't see.
+      if (want("dedup_embedding_ivf") || want("dedup_embedding_lsh")) {
+        import org.apache.spark.sql.functions._
+        val base = Tables(spark, sfDir, "embeddings")
+        val nBase = base.count()
+        val span = base.agg(max(col("vec_id"))).first().getLong(0) + 1L
+        val scales = {
+          val rnd = new scala.util.Random(977)
+          Seq.fill(64)(if (rnd.nextBoolean()) 1.15f else 0.85f)
+        }
+        val twin = base
+          .withColumn("vec_id", col("vec_id") + lit(span))
+          .withColumn("embedding",
+            zip_with(col("embedding"), typedlit(scales), (x, s) => x * s))
+        val plantedDir = java.nio.file.Files
+          .createTempDirectory("graft-recall-planted").toString
+        base.unionAll(twin).write.mode("overwrite")
+          .parquet(s"$plantedDir/embeddings.parquet")
+        sizes :+= ("planted_pairs", nBase)
+        def plantedRecall(got: Set[(Long, Long)]): Double = {
+          val hits = base.select("vec_id").collect().map(_.getLong(0))
+            .count(id => got.contains((id, id + span)))
+          hits.toDouble / nBase
+        }
+        if (want("dedup_embedding_ivf"))
+          entries :+= ("dedup_embedding_ivf_planted",
+            plantedRecall(timed("dedup_embedding_ivf_planted") {
+              idPairs(operators.VectorOps.embeddingNearDupIvf(spark, plantedDir)) }))
+        if (want("dedup_embedding_lsh"))
+          entries :+= ("dedup_embedding_lsh_planted",
+            plantedRecall(timed("dedup_embedding_lsh_planted") {
+              idPairs(operators.VectorOps.embeddingNearDupLsh(spark, plantedDir)) }))
+      }
+    }
+
+    // KMV Jaccard-estimate error vs the exact matrix — an ERROR seat,
+    // not a recall: the ≤0.05 spec gate runs at sf0.01 where per-source
+    // gram sets are small; the estimator's variance is ~1/√k regardless
+    // of corpus size, but the audit pins that claim with a measured
+    // max|est − exact| at scale while the exact twin is still
+    // computable (one corpus shuffle; pair arithmetic is
+    // |sources|²-bounded).
+    if (want("source_jaccard_kmv")) {
+      import org.apache.spark.sql.functions._
+      val exactJ = timed("source_jaccard_exact") {
+        operators.DedupOps.sourceJaccard(spark, sfDir)
+          .select("source_a", "source_b", "jaccard").collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap }
+      val est = timed("source_jaccard_kmv") {
+        operators.DedupOps.sourceJaccardKmv(spark, sfDir)
+          .select("source_a", "source_b", "jaccard_est").collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))) }
+      // the exact op emits only overlapping pairs; sketch emits all —
+      // absent exact pair = true Jaccard 0
+      val maxErr = est.map { case (k, v) =>
+        math.abs(v - exactJ.getOrElse(k, 0.0)) }.max
+      entries :+= ("source_jaccard_kmv_maxerr", maxErr)
+      sizes :+= ("source_pairs", est.length.toLong)
     }
 
     if (want("dedup_minhash_pure_lsh") || want("dedup_simhash_vs_exact")) {

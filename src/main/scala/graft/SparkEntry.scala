@@ -188,6 +188,12 @@ object SparkEntry {
     // (8 KB state per source; spec-gated error bound vs the exact twin)
     "source_jaccard"      -> DedupOps.sourceJaccard _,
     "source_jaccard_kmv"  -> ((s: SparkSession, d: String) => DedupOps.sourceJaccardKmv(s, d)),
+    // the same sketch under the oversized-sources route (oneRowMax=0
+    // forces what a >10^4-source corpus would take): ids-broadcast
+    // pair skeleton + sketch attach joins instead of the single-row
+    // collapse — result-identical by spec, golden-plan-pinned here
+    "source_jaccard_kmv_fallback" -> ((s: SparkSession, d: String) =>
+      DedupOps.sourceJaccardKmv(s, d, oneRowMax = 0L)),
     // Vector similarity
     "dedup_embedding" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupLsh(s, d)),

@@ -1277,6 +1277,12 @@ object DedupOps {
     * per source. */
   val kmvK = 1024
 
+  /** Max sources for [[sourceJaccardKmv]]'s single-row pair
+    * generation: 10⁴ sketches × k=1024 longs ≈ 80 MB — the largest
+    * row worth asking one task to hold. Above it the ids-broadcast +
+    * attach-join route takes over (identical results, spec-pinned). */
+  val kmvOneRowMaxSources = 10000L
+
   /** [[sourceJaccard]]'s 100 TB mode — a K-MINIMUM-VALUES (bottom-k)
     * sketch per source instead of exact per-pair set arithmetic.
     *
@@ -1298,13 +1304,24 @@ object DedupOps {
     * k-bounded heap aggregate ([[graft.functions.TopKStructs]], fed
     * `~hash` so its k-LARGEST retention keeps the k SMALLEST hashes —
     * bitwise NOT is a total order reversal with no Long.MinValue
-    * overflow) reduces each source to k longs. The |sources| sketches
-    * collapse to ONE row (`collect_list`) and pairs are generated by
-    * the same in-row combination transform as [[sourceJaccard]] — no
-    * join of any kind, so the |sources|² pair arithmetic is pure
-    * projection work. Envelope: all sketches ride one row, so this is
-    * sized for |sources| ≤ ~10⁴ at the default k (80 MB row) — past
-    * that, raise granularity or shard the pair generation.
+    * overflow) reduces each source to k longs. Pair generation is
+    * envelope-ROUTED on the measured source count (the
+    * [[graft.operators.VectorOps.embeddingNearDupLsh]] broadcast-guard
+    * playbook — a documented boundary is not a boundary until code
+    * enforces it): at or under `oneRowMax` sources the |sources|
+    * sketches collapse to ONE row (`collect_list`) and pairs are
+    * generated by the same in-row combination transform as
+    * [[sourceJaccard]] — no join of any kind, the |sources|² pair
+    * arithmetic is pure projection work (~80 MB row at the 10⁴/k=1024
+    * point). PAST the line the single row would not fit an executor,
+    * so the fallback generates the pair skeleton from a broadcast of
+    * BARE source ids (8 bytes each — tiny at any plausible source
+    * count) nested-loop-joined under `source_a < source_b`, then
+    * attaches both sketches by shuffle equi-joins: every row is one
+    * pair + two k-long sketches, distributed across the cluster, and
+    * the id list is re-derived by a one-column distinct rather than
+    * re-running the corpus shuffle. Same arithmetic, identical rows —
+    * the fallback-equality spec pins it.
     *
     * No SQL oracle (xxhash64 has no DuckDB twin — the
     * [[simhash]] precedent); gated by the QueriesSpec error-bound
@@ -1312,9 +1329,12 @@ object DedupOps {
     * Output: (source_a, source_b, k_used, matches, jaccard_est) for
     * EVERY pair (the sketch sees disjoint sources too — est 0). */
   def sourceJaccardKmv(spark: SparkSession, dir: String,
-                       k: Int = kmvK): DataFrame = {
+                       k: Int = kmvK,
+                       oneRowMax: Long = kmvOneRowMaxSources): DataFrame = {
     import graft.functions.TopKColumns.topKStructs
-    val sk = Tables(spark, dir, "documents")
+    val docs = Tables(spark, dir, "documents")
+    val nSources = docs.agg(count_distinct(col("source"))).first().getLong(0)
+    val sk = docs
       .select(col("source"), explode(distinctShingles3(col("text"))).as("g"))
       .groupBy(col("source"), col("g")).agg(count(lit(1)).as("dup"))
       .select(col("source"), bitwise_not(xxhash64(col("g"))).as("nh"))
@@ -1322,12 +1342,28 @@ object DedupOps {
       .agg(topKStructs(struct(col("nh")), k).as("hs"))
       // heap output is ~h descending = h ASCENDING: kmin is sorted
       .select(col("source"), transform(col("hs"), s => bitwise_not(s("nh"))).as("kmin"))
-    val one = sk.agg(sort_array(collect_list(struct(col("source"), col("kmin")))).as("all"))
-    val pairs = one.select(explode(flatten(transform(col("all"), (x, i) =>
-        transform(slice(col("all"), i + 2, size(col("all"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.source").as("source_a"), col("p.b.source").as("source_b"),
-        col("p.a.kmin").as("ka"), col("p.b.kmin").as("kb"))
+    val pairs = if (nSources <= oneRowMax) {
+      val one = sk.agg(sort_array(collect_list(struct(col("source"), col("kmin")))).as("all"))
+      one.select(explode(flatten(transform(col("all"), (x, i) =>
+          transform(slice(col("all"), i + 2, size(col("all"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a.source").as("source_a"), col("p.b.source").as("source_b"),
+          col("p.a.kmin").as("ka"), col("p.b.kmin").as("kb"))
+    } else {
+      // oversized-envelope route: ids-only broadcast skeleton + two
+      // sketch attach joins — no giant row anywhere in the plan
+      val ids = docs.select(col("source").as("source_b")).distinct()
+      sk.select(col("source").as("source_a"), col("kmin").as("ka"))
+        .join(broadcast(ids), col("source_a") < col("source_b"))
+        .join(sk.select(col("source").as("source_b"), col("kmin").as("kb")),
+          Seq("source_b"))
+    }
+    pairsToEstimates(pairs, k)
+  }
+
+  /** Sketch-pair → (k_used, matches, jaccard_est) arithmetic shared by
+    * both [[sourceJaccardKmv]] routes. */
+  private def pairsToEstimates(pairs: DataFrame, k: Int): DataFrame = {
     // k smallest of the merged sketch; if the true union is smaller
     // than k the sketch IS the union and the estimate is exact
     val merged = array_sort(array_union(col("ka"), col("kb")))

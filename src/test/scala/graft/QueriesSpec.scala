@@ -1562,4 +1562,26 @@ class QueriesSpec extends AnyFunSuite {
     // sketch must have been truncated (k_used == k)
     assert(est.filter(col("k_used") === 256).count() > 0, "estimator path exercised")
   }
+
+  test("source_jaccard_kmv: oversized-sources envelope enforced — fallback " +
+    "route is result-identical and carries no single-row collapse") {
+    // oneRowMax = 0 forces every corpus over the line, exercising the
+    // plan a >10^4-source corpus would take (the dedup_embedding_lsh
+    // broadcast-guard spec pattern): pair skeleton from an ids-only
+    // broadcast + two sketch attach joins, no collect_list-into-one-row
+    // anywhere — at real oversized scale that row would not fit an
+    // executor.
+    val forced = operators.DedupOps.sourceJaccardKmv(spark, sf, oneRowMax = 0L)
+    val plan = forced.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "fallback plan still collapses all sketches into one row")
+    assert(forced.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "fallback pair skeleton lost its ids-only broadcast join")
+    val inEnvelope = operators.DedupOps.sourceJaccardKmv(spark, sf)
+    assert(inEnvelope.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "in-envelope path lost its single-row pair generation")
+    val a = forced.collect().map(_.mkString("|")).toSet
+    val b = inEnvelope.collect().map(_.mkString("|")).toSet
+    assert(a === b, "fallback route changed the estimate rows")
+  }
 }
