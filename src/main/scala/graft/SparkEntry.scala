@@ -116,6 +116,10 @@ object SparkEntry {
     // corpus-trained bigram LM scores (perplexity-filter stage):
     // model trained + applied in one plan, exact-integer pooled ratios
     "doc_lm_score" -> TextOps.docLmScore _,
+    // the scorer's rank-keeping stage: per-source cond_pred quantile +
+    // novelty-ceiling keep flags, tiny-strata guard; composed into
+    // training_pipeline as the opt-in lmScoreFilter anti-join
+    "doc_lm_adaptive" -> TextOps.docLmAdaptive _,
     "doc_quality_adaptive" -> ((s: SparkSession, d: String) =>
       TextOps.docQualityAdaptive(s, d)),
     "doc_quality_adaptive_approx" -> ((s: SparkSession, d: String) =>
@@ -291,6 +295,7 @@ object SparkEntry {
     "doc_chunk_windows" -> TextOps.docChunkWindowsSql,
     "doc_term_commonness" -> TextOps.docTermCommonnessSql,
     "doc_lm_score"       -> TextOps.docLmScoreSql,
+    "doc_lm_adaptive"    -> TextOps.docLmAdaptiveSql,
     "doc_quality_adaptive" -> TextOps.docQualityAdaptiveSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,

@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
 /** Decoded media record: container format from magic-byte dispatch,
   * header fields where the format stores them at fixed offsets
   * (None elsewhere — e.g. JPEG dims live in variable-offset SOF
-  * segments), plus a 16-bin byte histogram as the extracted feature. */
+  * segments, MP4 dims in nested moov/trak/tkhd boxes), plus a 16-bin
+  * byte histogram as the extracted feature. `brand` is the ISO-BMFF
+  * ftyp major brand (MP4 only); `duration_ms` the mvhd movie duration
+  * rescaled to milliseconds (MP4 only). */
 final case class MmFeature(
     doc_id: Long,
     format: String,
+    brand: Option[String],
     width: Option[Long],
     height: Option[Long],
     channels: Option[Long],
     sample_rate: Option[Long],
+    duration_ms: Option[Long],
     byte_len: Long,
     hist: Array[Long])
 
@@ -83,10 +88,13 @@ object MultimodalOps {
     * `raw`), and each format's fields come from its published layout:
     * PNG IHDR big-endian dims + color type; GIF logical-screen
     * little-endian dims; BMP BITMAPINFOHEADER little-endian dims +
-    * bits-per-pixel; RIFF/WAVE fmt-chunk channels + sample rate. JPEG
-    * is dispatched by magic only — its dimensions live in
-    * variable-offset SOF segments (a scan, not a fixed-offset read),
-    * exactly what the native half of a codec is for. */
+    * bits-per-pixel; RIFF/WAVE fmt-chunk channels + sample rate;
+    * ISO-BMFF (MP4) ftyp dispatch + major brand (both fixed-offset —
+    * ftyp must be the first box). JPEG and MP4 are otherwise
+    * dispatched by magic only — JPEG dims live in variable-offset SOF
+    * segments and MP4 dims/duration in nested moov boxes (a scan, not
+    * a fixed-offset read), exactly what the native half of a codec is
+    * for ([[decodeMedia]] walks both). */
   def mediaFields(bin: Column): Seq[Column] = {
     val n = length(bin)
     val isPng = n >= 26 && hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
@@ -95,13 +103,20 @@ object MultimodalOps {
     val isBmp = n >= 30 && hex(substring(bin, 1, 2)) === "424D"
     val isWav = n >= 28 && hex(substring(bin, 1, 4)) === "52494646" &&
       hex(substring(bin, 9, 4)) === "57415645"
+    // ISO-BMFF dispatch + major brand ARE fixed-offset reads (ftyp
+    // must be the first box, ISO/IEC 14496-12 §4.3: size BE32, 'ftyp',
+    // major brand at bytes 9-12); dims/duration live in nested
+    // moov/trak boxes — a walk, decode-path only ([[mp4Meta]])
+    val isMp4 = n >= 16 && hex(substring(bin, 5, 4)) === "66747970"
     val ct = byteAt(bin, 26) // PNG color type
     val pngCh = when(ct === 0, lit(1L)).when(ct === 2, lit(3L))
       .when(ct === 3, lit(1L)).when(ct === 4, lit(2L))
       .when(ct === 6, lit(4L)).otherwise(lit(null).cast("long"))
     Seq(
       when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
-        .when(isBmp, "bmp").when(isWav, "wav").otherwise("raw").as("format"),
+        .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
+        .otherwise("raw").as("format"),
+      when(isMp4, substring(bin, 9, 4).cast("string")).as("brand"),
       when(isPng, be32e(bin, 17)).when(isGif, le16e(bin, 7))
         .when(isBmp, le32e(bin, 19)).as("width"),
       when(isPng, be32e(bin, 21)).when(isGif, le16e(bin, 9))
@@ -110,6 +125,7 @@ object MultimodalOps {
         .when(isBmp, floor(le16e(bin, 29) / 8).cast("long"))
         .when(isWav, le16e(bin, 23)).as("channels"),
       when(isWav, le32e(bin, 25)).as("sample_rate"),
+      lit(null).cast("long").as("duration_ms"), // mvhd is a nested-box read: decode path only
       n.cast("long").as("byte_len"))
   }
 
@@ -132,13 +148,26 @@ object MultimodalOps {
 
   private def be16h(c: Column) = lpad(hex(c), 4, "0")
 
+  /** Unity transformation matrix (ISO/IEC 14496-12 §6.2.2) — the 36
+    * constant bytes both mvhd and tkhd carry. */
+  private val mp4UnityMatrixHex =
+    "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+
   /** The mixed-format gate payload column (over `documents`). Two
     * JPEG variants: tag 4 is a BARE SOI+APP0-marker prefix (dispatch
     * fires, the segment walk runs into text bytes and finds no SOF —
     * dims stay null on every path), tag 5 is a REAL JFIF header —
     * full 16-byte APP0 segment followed by an SOF0 frame header with
     * BE16 dims and 3 components — so the [[decodeMedia]] segment
-    * walk has an actual variable-offset SOF to find. */
+    * walk has an actual variable-offset SOF to find. Two MP4 variants
+    * under tag 6 (split on id/8 parity): a full spec-shaped box tree
+    * — ftyp(isom) + moov[mvhd(timescale, duration) + trak[tkhd(16.16
+    * dims)]] with proper sizes, versions, and unity matrices — so the
+    * [[mp4Meta]] nested walk has real boxes to descend, and a bare
+    * ftyp(mp42) prefix whose top-level walk runs into text bytes and
+    * must degrade to brand-only. Tag 7 carries no header → raw. */
   def taggedPayload: Column = {
     val id = col("doc_id")
     val w = lit(16L) + pmod(id, lit(1000L))
@@ -147,7 +176,27 @@ object MultimodalOps {
       .when(pmod(id, lit(3L)) === 1, lit(2L)).otherwise(lit(6L))
     val wch = lit(1L) + pmod(id, lit(2L))
     val rate = lit(8000L) + pmod(id, lit(5L)) * 8000L
-    val tag = pmod(id, lit(7L))
+    val ts = lit(600L) * (lit(1L) + pmod(id, lit(3L)))
+    val dur = ts * (lit(1L) + pmod(id, lit(300L))) + pmod(id, lit(97L))
+    val mvhdHex = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be32h(ts), be32h(dur),
+      lit("00010000" + "0100" + "0000" + "00000000" + "00000000" +
+        mp4UnityMatrixHex + "00000000" * 6 + "00000002"))
+    val tkhdHex = concat(
+      lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000"),
+      be32h(dur),
+      lit("00000000" + "00000000" + "0000" + "0000" + "0000" + "0000" +
+        mp4UnityMatrixHex),
+      be32h(w * 65536L), be32h(h * 65536L))
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200" + // ftyp(16): brand isom
+        "000000D8" + "6D6F6F76"), // moov(216) = 8 + mvhd(108) + trak(100)
+      mvhdHex,
+      lit("00000064" + "7472616B"), // trak(100) = 8 + tkhd(92)
+      tkhdHex)
+    val tag = pmod(id, lit(8L))
     val headerHex =
       when(tag === 0, concat( // PNG signature + IHDR(len 13): w/h BE32, depth 8, color type
         lit("89504E470D0A1A0A0000000D49484452"),
@@ -166,6 +215,9 @@ object MultimodalOps {
         lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
           "0001" + "0001" + "00" + "00" + "FFC00011" + "08"),
         be16h(h), be16h(w), lit("03" + "012200" + "021101" + "031101")))
+      .when(tag === 6 && pmod(floor(id / 8).cast("long"), lit(2L)) === 0, mp4Hex)
+      .when(tag === 6, // bare ftyp, brand mp42: walk degrades to brand-only
+        lit("00000010" + "66747970" + "6D703432" + "00000200"))
       .otherwise(lit(""))
     concat(unhex(headerHex), col("text").cast("binary"))
   }
@@ -187,7 +239,9 @@ object MultimodalOps {
       |  16 + doc_id % 1000 AS w, 16 + (doc_id * 7) % 1000 AS h,
       |  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct,
       |  1 + doc_id % 2 AS wch, 8000 + (doc_id % 5) * 8000 AS rate,
-      |  doc_id % 7 AS tag
+      |  600 * (1 + doc_id % 3) AS ts,
+      |  600 * (1 + doc_id % 3) * (1 + doc_id % 300) + doc_id % 97 AS dur,
+      |  doc_id % 8 AS tag
       | FROM documents),
       |hdr AS (
       | SELECT doc_id, tb, CASE tag
@@ -206,6 +260,26 @@ object MultimodalOps {
       |   0,1, 0,1, 0, 0,
       |   255,192, 0,17, 8, h//256%256, h%256, w//256%256, w%256,
       |   3, 1,34,0, 2,17,1, 3,17,1]
+      |  WHEN 6 THEN CASE WHEN (doc_id // 8) % 2 = 0 THEN
+      |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
+      |    0,0,0,216, 109,111,111,118,
+      |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    ts//16777216%256, ts//65536%256, ts//256%256, ts%256,
+      |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
+      |    0,1,0,0, 1,0, 0,0, 0,0,0,0, 0,0,0,0,
+      |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 64,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    0,0,0,2,
+      |    0,0,0,100, 116,114,97,107,
+      |    0,0,0,92, 116,107,104,100, 0,0,0,7, 0,0,0,0, 0,0,0,0,
+      |    0,0,0,1, 0,0,0,0,
+      |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
+      |    0,0,0,0, 0,0,0,0, 0,0, 0,0, 0,0, 0,0,
+      |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 64,0,0,0,
+      |    w//256%256, w%256, 0,0, h//256%256, h%256, 0,0]
+      |   ELSE [0,0,0,16, 102,116,121,112, 109,112,52,50, 0,0,2,0] END
       |  ELSE CAST([] AS BIGINT[]) END AS hb
       | FROM base),
       |p AS (SELECT doc_id, list_concat(hb, tb) AS b FROM hdr),
@@ -217,7 +291,8 @@ object MultimodalOps {
       |  (len(b)>=10 AND b[1]=71 AND b[2]=73 AND b[3]=70 AND b[4]=56) AS is_gif,
       |  (len(b)>=30 AND b[1]=66 AND b[2]=77) AS is_bmp,
       |  (len(b)>=28 AND b[1]=82 AND b[2]=73 AND b[3]=70 AND b[4]=70
-      |   AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69) AS is_wav
+      |   AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69) AS is_wav,
+      |  (len(b)>=16 AND b[5]=102 AND b[6]=116 AND b[7]=121 AND b[8]=112) AS is_mp4
       | FROM p)""".stripMargin
 
   /** DuckDB twin of [[decodeMedia]]'s bounded JPEG segment walk, as a
@@ -259,23 +334,139 @@ object MultimodalOps {
       |  CAST(d.b[j.pos+9] AS BIGINT) AS jc
       | FROM jsof j JOIN d USING (doc_id))""".stripMargin
 
+  /** DuckDB twin of [[mp4Meta]]'s bounded ISO-BMFF box walk, as three
+    * chained recursive CTEs mirroring the walk's three levels —
+    * top-level boxes, moov children, trak children — each advancing
+    * `pos += size(BE32)` while the box passes the walk's validity
+    * gate (header in bounds, size ≥ 8, box inside the enclosure,
+    * ≤ 64 boxes). Field extractors re-apply the walk's per-box
+    * conditions (type match at a VALID visited box, the version-0
+    * size minimums, version byte 0) and take the first match
+    * (min pos), operation-for-operation the JVM walk. The JVM's
+    * largesize (size = 1) and to-end (size = 0) escapes are not
+    * mirrored — no gate payload produces them; they are pinned by the
+    * constructed-array unit specs instead. */
+  private val mmMp4WalkCtes: String =
+    """mtop(doc_id, pos, it) AS (
+      | SELECT doc_id, 1, 0 FROM d WHERE is_mp4
+      | UNION ALL
+      | SELECT t.doc_id,
+      |  t.pos + (d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]),
+      |  t.it + 1
+      | FROM mtop t JOIN d USING (doc_id)
+      | WHERE t.it < 64 AND t.pos + 7 <= d.n
+      |  AND d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]
+      |      BETWEEN 8 AND d.n - t.pos + 1),
+      |mftyp AS (
+      | SELECT t.doc_id, min(t.pos) AS pos
+      | FROM mtop t JOIN d USING (doc_id)
+      | WHERE t.it < 64 AND t.pos + 7 <= d.n
+      |  AND d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]
+      |      BETWEEN 12 AND d.n - t.pos + 1
+      |  AND d.b[t.pos+4]=102 AND d.b[t.pos+5]=116 AND d.b[t.pos+6]=121 AND d.b[t.pos+7]=112
+      | GROUP BY t.doc_id),
+      |mbrand AS (
+      | SELECT f.doc_id,
+      |  chr(CAST(d.b[f.pos+8] AS INT)) || chr(CAST(d.b[f.pos+9] AS INT)) ||
+      |  chr(CAST(d.b[f.pos+10] AS INT)) || chr(CAST(d.b[f.pos+11] AS INT)) AS brand
+      | FROM mftyp f JOIN d USING (doc_id)),
+      |mmoov AS (
+      | SELECT t.doc_id, min(t.pos) AS pos
+      | FROM mtop t JOIN d USING (doc_id)
+      | WHERE t.it < 64 AND t.pos + 7 <= d.n
+      |  AND d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]
+      |      BETWEEN 8 AND d.n - t.pos + 1
+      |  AND d.b[t.pos+4]=109 AND d.b[t.pos+5]=111 AND d.b[t.pos+6]=111 AND d.b[t.pos+7]=118
+      | GROUP BY t.doc_id),
+      |mchild(doc_id, pos, endp, it) AS (
+      | SELECT m.doc_id, m.pos + 8,
+      |  m.pos + (d.b[m.pos]*16777216 + d.b[m.pos+1]*65536 + d.b[m.pos+2]*256 + d.b[m.pos+3]),
+      |  0
+      | FROM mmoov m JOIN d USING (doc_id)
+      | UNION ALL
+      | SELECT c.doc_id,
+      |  c.pos + (d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]),
+      |  c.endp, c.it + 1
+      | FROM mchild c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos),
+      |mmvhd AS (
+      | SELECT doc_id, min(pos) AS pos FROM mchild c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 28 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=109 AND d.b[c.pos+5]=118 AND d.b[c.pos+6]=104 AND d.b[c.pos+7]=100
+      |  AND d.b[c.pos+8]=0
+      | GROUP BY doc_id),
+      |mms AS (
+      | SELECT v.doc_id,
+      |  CASE WHEN d.b[v.pos+20]*16777216 + d.b[v.pos+21]*65536 + d.b[v.pos+22]*256 + d.b[v.pos+23] > 0
+      |   THEN CAST(((d.b[v.pos+24]*16777216 + d.b[v.pos+25]*65536 + d.b[v.pos+26]*256 + d.b[v.pos+27]) * 1000)
+      |    // (d.b[v.pos+20]*16777216 + d.b[v.pos+21]*65536 + d.b[v.pos+22]*256 + d.b[v.pos+23]) AS BIGINT)
+      |   END AS mdur_ms
+      | FROM mmvhd v JOIN d USING (doc_id)),
+      |mtrak AS (
+      | SELECT doc_id, min(pos) AS pos FROM mchild c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=116 AND d.b[c.pos+5]=114 AND d.b[c.pos+6]=97 AND d.b[c.pos+7]=107
+      | GROUP BY doc_id),
+      |mtk(doc_id, pos, endp, it) AS (
+      | SELECT k.doc_id, k.pos + 8,
+      |  k.pos + (d.b[k.pos]*16777216 + d.b[k.pos+1]*65536 + d.b[k.pos+2]*256 + d.b[k.pos+3]),
+      |  0
+      | FROM mtrak k JOIN d USING (doc_id)
+      | UNION ALL
+      | SELECT t.doc_id,
+      |  t.pos + (d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]),
+      |  t.endp, t.it + 1
+      | FROM mtk t JOIN d USING (doc_id)
+      | WHERE t.it < 64 AND t.pos + 8 <= t.endp
+      |  AND d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]
+      |      BETWEEN 8 AND t.endp - t.pos),
+      |mtkhd AS (
+      | SELECT doc_id, min(pos) AS pos FROM mtk t JOIN d USING (doc_id)
+      | WHERE t.it < 64 AND t.pos + 8 <= t.endp
+      |  AND d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]
+      |      BETWEEN 92 AND t.endp - t.pos
+      |  AND d.b[t.pos+4]=116 AND d.b[t.pos+5]=107 AND d.b[t.pos+6]=104 AND d.b[t.pos+7]=100
+      |  AND d.b[t.pos+8]=0
+      | GROUP BY doc_id),
+      |mdim AS (
+      | SELECT k.doc_id,
+      |  CAST((d.b[k.pos+84]*16777216 + d.b[k.pos+85]*65536 + d.b[k.pos+86]*256 + d.b[k.pos+87]) // 65536 AS BIGINT) AS vw,
+      |  CAST((d.b[k.pos+88]*16777216 + d.b[k.pos+89]*65536 + d.b[k.pos+90]*256 + d.b[k.pos+91]) // 65536 AS BIGINT) AS vh
+      | FROM mtkhd k JOIN d USING (doc_id))""".stripMargin
+
   /** The field select, parameterized on whether the path carries the
-    * JPEG segment walk: the batched JVM path ([[decodeMedia]]) walks
-    * SOF segments for dims, the pure-expression path dispatches JPEG
-    * by magic only (variable-offset scans are not a fixed-offset
-    * substring read) — each oracle mirrors its own path. */
-  private def mmSelect(jpegDims: Boolean): String = {
-    val jw = if (jpegDims) " WHEN is_jpeg THEN jw" else ""
-    val jh = if (jpegDims) " WHEN is_jpeg THEN jh" else ""
-    val jc = if (jpegDims) " WHEN is_jpeg THEN jc" else ""
+    * variable-offset walks (JPEG SOF segments, MP4 nested boxes): the
+    * batched JVM path ([[decodeMedia]]) walks both for dims/duration,
+    * the pure-expression path dispatches by magic only (variable-
+    * offset scans are not a fixed-offset substring read — though the
+    * MP4 brand IS fixed-offset, so both paths carry it) — each oracle
+    * mirrors its own path. */
+  private def mmSelect(deepWalk: Boolean): String = {
+    val jw = if (deepWalk) " WHEN is_jpeg THEN jw" else ""
+    val jh = if (deepWalk) " WHEN is_jpeg THEN jh" else ""
+    val jc = if (deepWalk) " WHEN is_jpeg THEN jc" else ""
+    val mw = if (deepWalk) " WHEN is_mp4 THEN vw" else ""
+    val mh = if (deepWalk) " WHEN is_mp4 THEN vh" else ""
+    val brand = if (deepWalk) "brand"
+      else "CASE WHEN is_mp4 THEN concat(chr(CAST(b[9] AS INT)), chr(CAST(b[10] AS INT))," +
+        " chr(CAST(b[11] AS INT)), chr(CAST(b[12] AS INT))) END"
+    val dur = if (deepWalk) "CAST(CASE WHEN is_mp4 THEN mdur_ms END AS BIGINT)"
+      else "CAST(NULL AS BIGINT)"
     s""" CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
       |  WHEN is_gif THEN 'gif' WHEN is_bmp THEN 'bmp'
-      |  WHEN is_wav THEN 'wav' ELSE 'raw' END AS format,
-      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]$jw
+      |  WHEN is_wav THEN 'wav' WHEN is_mp4 THEN 'mp4' ELSE 'raw' END AS format,
+      | $brand AS brand,
+      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]$jw$mw
       |  WHEN is_gif THEN b[7] + b[8]*256
       |  WHEN is_bmp THEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216
       |  END AS BIGINT) AS width,
-      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]$jh
+      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]$jh$mh
       |  WHEN is_gif THEN b[9] + b[10]*256
       |  WHEN is_bmp THEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216
       |  END AS BIGINT) AS height,
@@ -288,11 +479,12 @@ object MultimodalOps {
       | CAST(CASE WHEN is_wav THEN
       |   b[25] + b[26]*256 + b[27]*65536 + b[28]*16777216
       |  END AS BIGINT) AS sample_rate,
+      | $dur AS duration_ms,
       | CAST(n AS BIGINT) AS byte_len""".stripMargin
   }
 
   val mediaDecodeSql: String =
-    mmPayloadCte + "\nSELECT doc_id,\n" + mmSelect(jpegDims = false) + "\nFROM d"
+    mmPayloadCte + "\nSELECT doc_id,\n" + mmSelect(deepWalk = false) + "\nFROM d"
 
   // ---- header codec, batched JVM path ---------------------------------
 
@@ -333,6 +525,77 @@ object MultimodalOps {
     (None, None, None)
   }
 
+  /** Bounded ISO-BMFF (MP4/MOV) box walk — the video container whose
+    * metadata is NOT at fixed offsets: the file is a sequence of
+    * `size(BE32) type(4cc) payload` boxes, where size 1 escapes to a
+    * 64-bit largesize and size 0 means to-end-of-enclosure
+    * (ISO/IEC 14496-12 §4.2); `moov` and `trak` are pure containers
+    * whose payloads are themselves box sequences. The walk visits
+    * top-level boxes and recurses ONLY into moov/trak (depth-capped),
+    * extracting the ftyp major brand, the mvhd timescale + duration
+    * (version 0 and 1 layouts), and the FIRST tkhd's 16.16
+    * fixed-point width/height (v0 at payload+76/+80, v1 at +88/+92).
+    * Bounded exactly like [[jpegSofDims]]: ≤ 64 boxes per level,
+    * every read bounds-checked, a malformed size (< header, past the
+    * enclosure, or an oversized largesize) stops the level — a
+    * truncated or garbage tail degrades to absent fields, never an
+    * OOB read. Returns (brand, width, height, duration_ms) where
+    * duration_ms = ⌊duration·1000 / timescale⌋. */
+  private[graft] def mp4Meta(p: Array[Byte]): (Option[String], Option[Long], Option[Long], Option[Long]) = {
+    val n = p.length
+    def u(i: Int) = p(i) & 0xFF
+    def be32(o: Int): Long = (u(o).toLong << 24) | (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def cc(o: Int) = new String(p, o, 4, "ISO-8859-1")
+    var brand: Option[String] = None
+    var w: Option[Long] = None
+    var h: Option[Long] = None
+    var timescale = 0L
+    var duration = -1L
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var pos = start
+      var it = 0
+      while (it < 64 && pos + 8 <= end) {
+        var size = be32(pos)
+        var hdr = 8
+        if (size == 1) {
+          if (pos + 16 > end) return
+          val large = be64(pos + 8)
+          if (large < 16 || large > (end - pos).toLong) return
+          size = large; hdr = 16
+        } else if (size == 0) size = (end - pos).toLong
+        if (size < hdr || size > (end - pos).toLong) return
+        val boxEnd = pos + size.toInt
+        cc(pos + 4) match {
+          case "ftyp" if size >= hdr + 4 && brand.isEmpty =>
+            brand = Some(cc(pos + hdr))
+          case "moov" | "trak" if depth < 4 =>
+            walk(pos + hdr, boxEnd, depth + 1)
+          case "mvhd" if timescale == 0 =>
+            val v = if (size >= hdr + 1) u(pos + hdr) else -1
+            if (v == 0 && size >= hdr + 20) {
+              timescale = be32(pos + hdr + 12); duration = be32(pos + hdr + 16)
+            } else if (v == 1 && size >= hdr + 32) {
+              timescale = be32(pos + hdr + 20); duration = be64(pos + hdr + 24)
+            }
+          case "tkhd" if w.isEmpty =>
+            val v = if (size >= hdr + 1) u(pos + hdr) else -1
+            if (v == 0 && size >= hdr + 84) {
+              w = Some(be32(pos + hdr + 76) >> 16); h = Some(be32(pos + hdr + 80) >> 16)
+            } else if (v == 1 && size >= hdr + 96) {
+              w = Some(be32(pos + hdr + 88) >> 16); h = Some(be32(pos + hdr + 92) >> 16)
+            }
+          case _ =>
+        }
+        pos = boxEnd
+        it += 1
+      }
+    }
+    walk(0, n, 0)
+    val durMs = if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale) else None
+    (brand, w, h, durMs)
+  }
+
   /** The same codec as [[mediaFields]], as plain JVM byte parsing —
     * the body a vectorized native decoder replaces, running inside
     * fixed-size per-partition batches. Also emits the 16-bin byte
@@ -353,25 +616,31 @@ object MultimodalOps {
     val isGif = n >= 10 && m(0, 'G', 'I', 'F', '8')
     val isBmp = n >= 30 && m(0, 'B', 'M')
     val isWav = n >= 28 && m(0, 'R', 'I', 'F', 'F') && m(8, 'W', 'A', 'V', 'E')
-    val (format, width, height, channels, rate): (String, Option[Long], Option[Long], Option[Long], Option[Long]) =
+    val isMp4 = n >= 16 && m(4, 'f', 't', 'y', 'p')
+    val (format, brand, width, height, channels, rate, durMs): (String, Option[String],
+        Option[Long], Option[Long], Option[Long], Option[Long], Option[Long]) =
       if (isPng) {
         val ch = u(25) match {
           case 0 => Some(1L); case 2 => Some(3L); case 3 => Some(1L)
           case 4 => Some(2L); case 6 => Some(4L); case _ => None
         }
-        ("png", Some(be32(16)), Some(be32(20)), ch, None)
+        ("png", None, Some(be32(16)), Some(be32(20)), ch, None, None)
       } else if (isJpeg) {
         val (jw, jh, jc) = jpegSofDims(p)
-        ("jpeg", jw, jh, jc, None)
+        ("jpeg", None, jw, jh, jc, None, None)
       }
-      else if (isGif) ("gif", Some(le16(6)), Some(le16(8)), None, None)
-      else if (isBmp) ("bmp", Some(le32(18)), Some(le32(22)), Some(le16(28) / 8), None)
-      else if (isWav) ("wav", None, None, Some(le16(22)), Some(le32(24)))
-      else ("raw", None, None, None, None)
+      else if (isGif) ("gif", None, Some(le16(6)), Some(le16(8)), None, None, None)
+      else if (isBmp) ("bmp", None, Some(le32(18)), Some(le32(22)), Some(le16(28) / 8), None, None)
+      else if (isWav) ("wav", None, None, None, Some(le16(22)), Some(le32(24)), None)
+      else if (isMp4) {
+        val (br, mw, mh, md) = mp4Meta(p)
+        ("mp4", br, mw, mh, None, None, md)
+      }
+      else ("raw", None, None, None, None, None, None)
     val hist = new Array[Long](16)
     var i = 0
     while (i < n) { hist(u(i) >> 4) += 1; i += 1 }
-    MmFeature(docId, format, width, height, channels, rate, n.toLong, hist)
+    MmFeature(docId, format, brand, width, height, channels, rate, durMs, n.toLong, hist)
   }
 
   val decodeBatchSize = 64
@@ -399,8 +668,8 @@ object MultimodalOps {
     val base = featureExtract(spark, dir).toDF()
     val histCols = (0 until 16).map(i => element_at(col("hist"), i + 1).as(s"hist_$i"))
     base.select(
-      Seq(col("doc_id"), col("format"), col("width"), col("height"),
-        col("channels"), col("sample_rate"), col("byte_len"))
+      Seq(col("doc_id"), col("format"), col("brand"), col("width"), col("height"),
+        col("channels"), col("sample_rate"), col("duration_ms"), col("byte_len"))
         ++ histCols: _*)
   }
 
@@ -408,9 +677,11 @@ object MultimodalOps {
     val hist = (0 until 16)
       .map(i => s"CAST(len(list_filter(b, x -> x // 16 = $i)) AS BIGINT) AS hist_$i")
       .mkString(",\n ")
-    mmPayloadCte + ",\n" + mmJpegWalkCtes + "\nSELECT doc_id,\n" +
-      mmSelect(jpegDims = true) + ",\n " + hist +
-      "\nFROM d LEFT JOIN jdim USING (doc_id)"
+    mmPayloadCte + ",\n" + mmJpegWalkCtes + ",\n" + mmMp4WalkCtes +
+      "\nSELECT doc_id,\n" +
+      mmSelect(deepWalk = true) + ",\n " + hist +
+      "\nFROM d LEFT JOIN jdim USING (doc_id) LEFT JOIN mbrand USING (doc_id)" +
+      "\n LEFT JOIN mms USING (doc_id) LEFT JOIN mdim USING (doc_id)"
   }
 
   /** Frame sampling over an opaque media payload — the video-pipeline

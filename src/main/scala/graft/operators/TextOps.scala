@@ -294,7 +294,7 @@ object TextOps {
     * score distribution tightens as the corpus grows (measured:
     * median cond_pred 0.0345 at 500 docs → 0.0334 at 5 000), so any
     * fixed keep-constant would be scale-dependent — rank-based
-    * keeping is [[docQualityAdaptive]]'s job. */
+    * keeping is [[docLmAdaptive]]'s job. */
   def docLmScore(spark: SparkSession, dir: String): DataFrame = {
     val bg = docs(spark, dir)
       .select(col("doc_id"), explode(kGrams(tokens(col("text")), 2)).as("bg"))
@@ -315,6 +315,72 @@ object TextOps {
         (col("nn").cast("double") / col("n_bigrams")).as("novelty"),
         (col("fm").cast("double") / col("cm")).as("cond_pred"))
   }
+
+  /** Keep fraction for [[docLmAdaptive]]'s conditional-predictability
+    * rank rule: the bottom quartile of each source — docs the corpus
+    * LM finds least predictable relative to their own source — is the
+    * drop band (the [[qualityKeepQuantile]] convention). */
+  val lmKeepQuantile = 0.25
+
+  /** Novelty ceiling for [[docLmAdaptive]]: docs in a source's top-5%
+    * unseen-bigram fraction are gibberish-shaped (every bigram
+    * corpus-unique) and drop regardless of predictability rank. */
+  val lmNoveltyMaxQuantile = 0.95
+
+  /** Rank-based keeping over [[docLmScore]] — the thresholding stage
+    * the scorer's scaladoc delegates (a fixed cond_pred constant would
+    * be scale-dependent; a PER-SOURCE RANK is not): keep docs at or
+    * above the [[lmKeepQuantile]] predictability rank within their
+    * source AND outside the top-[[lmNoveltyMaxQuantile]] novelty tail,
+    * with the [[docQualityAdaptive]] tiny-strata guard (a source below
+    * [[qualityMinStratum]] docs keeps everything — quantiles over a
+    * handful of rows are noise, same measured rationale).
+    *
+    * Plan shape: the scorer's two corpus-key shuffles, one doc_id join
+    * to attach source, then ONE shuffle on source for both
+    * percent_rank windows and the stratum count (same partitioning →
+    * one exchange, three window functions). Deterministic (rank ties
+    * broken by doc_id) → full DuckDB hash gate.
+    *
+    * Docs with no score row (< 2 tokens — no bigrams) are absent here
+    * by construction; [[TrainingPipeline]] composes this as an
+    * ANTI-join on the keep=false rows, so unscored docs pass through
+    * to the quality stage rather than being silently dropped by a
+    * filter that never measured them. */
+  def docLmAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docLmScore(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val wPred = Window.partitionBy(col("source")).orderBy(col("cond_pred"), col("doc_id"))
+    val wNov = Window.partitionBy(col("source")).orderBy(col("novelty"), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    scored
+      .withColumn("pred_pct", percent_rank().over(wPred))
+      .withColumn("nov_pct", percent_rank().over(wNov))
+      .withColumn("keep",
+        count(lit(1)).over(wn) < qualityMinStratum ||
+          (col("pred_pct") >= lmKeepQuantile && col("nov_pct") <= lmNoveltyMaxQuantile))
+      .select(col("doc_id"), col("source"), col("cond_pred"), col("novelty"),
+        col("pred_pct"), col("nov_pct"), col("keep"))
+  }
+
+  // lazy: composes docLmScoreSql, which initializes later in the object
+  lazy val docLmAdaptiveSql: String =
+    s"""WITH lm AS ($docLmScoreSql),
+       |scored AS (
+       | SELECT l.doc_id, d.source, l.cond_pred, l.novelty
+       | FROM lm l JOIN documents d USING (doc_id)),
+       |r AS (
+       | SELECT doc_id, source, cond_pred, novelty,
+       |  percent_rank() OVER (PARTITION BY source
+       |                       ORDER BY cond_pred, doc_id) AS pred_pct,
+       |  percent_rank() OVER (PARTITION BY source
+       |                       ORDER BY novelty, doc_id) AS nov_pct,
+       |  count(*) OVER (PARTITION BY source) AS n_src
+       | FROM scored)
+       |SELECT doc_id, source, cond_pred, novelty, pred_pct, nov_pct,
+       | (n_src < $qualityMinStratum OR
+       |  (pred_pct >= $lmKeepQuantile AND nov_pct <= $lmNoveltyMaxQuantile)) AS keep
+       |FROM r""".stripMargin
 
   val docLmScoreSql: String =
     """WITH toks AS (

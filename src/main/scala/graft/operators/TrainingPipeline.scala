@@ -69,12 +69,22 @@ object TrainingPipeline {
     * joined back on doc_id, the same composition class as the
     * quality stage. Off by default so the established gate entries
     * keep their oracles; the composition spec pins predicate-exact
-    * equality with the standalone operator. */
+    * equality with the standalone operator.
+    *
+    * `lmScoreFilter = true` adds the [[TextOps.docLmAdaptive]] stage
+    * (corpus-LM rank keeping: drop each source's least-predictable
+    * quartile and its top-novelty gibberish tail) as a left-ANTI join
+    * on the keep=false rows — anti on the measured-bad set rather
+    * than semi on the keep set, so docs the scorer never saw (< 2
+    * tokens, no bigram rows) fall through to the quality stage
+    * instead of being dropped by a filter that never measured them.
+    * Same opt-in contract as `commonnessFilter`. */
   def survivors(spark: SparkSession, dir: String,
                 exactDedup: Boolean = false,
                 scaleMode: Boolean = true,
                 withText: Boolean = false,
-                commonnessFilter: Boolean = false): DataFrame = {
+                commonnessFilter: Boolean = false,
+                lmScoreFilter: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -110,11 +120,16 @@ object TrainingPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(quality.filter(col("quality") >= qualityMin), Seq("doc_id"))
       .filter(TextOps.repetitionKeep(col("text")))
-    val filtered =
+    val afterCommon =
       if (commonnessFilter)
         base.join(TextOps.docTermCommonness(spark, dir)
           .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
       else base
+    val filtered =
+      if (lmScoreFilter)
+        afterCommon.join(TextOps.docLmAdaptive(spark, dir)
+          .filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
+      else afterCommon
     filtered
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)

@@ -42,6 +42,28 @@ class MultimodalSpec extends AnyFunSuite {
     0x04, 0x00, // width 1024 BE
     3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) // 3 components
   private val rawText = "just some text".getBytes("UTF-8")
+  // a minimal spec-shaped MP4: ftyp(isom) + moov[mvhd(ts=600,dur=1500)
+  // + trak[tkhd(320x240 as 16.16 fixed)]] — all sizes/versions real
+  private def be32(v: Long): Seq[Int] =
+    Seq((v >> 24).toInt & 0xFF, (v >> 16).toInt & 0xFF, (v >> 8).toInt & 0xFF, v.toInt & 0xFF)
+  private val unityMatrix: Seq[Int] =
+    be32(0x10000L) ++ be32(0) ++ be32(0) ++
+    be32(0) ++ be32(0x10000L) ++ be32(0) ++
+    be32(0) ++ be32(0) ++ be32(0x40000000L)
+  private def mvhdV0(ts: Long, dur: Long): Seq[Int] =
+    be32(108) ++ "mvhd".map(_.toInt) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(ts) ++ be32(dur) ++ be32(0x10000L) ++ Seq(1, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ unityMatrix ++ Seq.fill(24)(0) ++ be32(2)
+  private def tkhdV0(w: Long, h: Long, dur: Long): Seq[Int] =
+    be32(92) ++ "tkhd".map(_.toInt) ++ be32(7) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(dur) ++ be32(0) ++ be32(0) ++
+      Seq(0, 0, 0, 0, 0, 0, 0, 0) ++ unityMatrix ++ be32(w << 16) ++ be32(h << 16)
+  private val mp4Tree: Array[Byte] = bytes(
+    (be32(16) ++ "ftyp".map(_.toInt) ++ "isom".map(_.toInt) ++ be32(0x200) ++
+      be32(216) ++ "moov".map(_.toInt) ++ mvhdV0(600, 1500) ++
+      be32(100) ++ "trak".map(_.toInt) ++ tkhdV0(320, 240, 1500)): _*)
+  private val mp4FtypOnly: Array[Byte] = bytes(
+    (be32(16) ++ "ftyp".map(_.toInt) ++ "mp42".map(_.toInt) ++ be32(0x200)): _*)
 
   test("decodeMedia parses real container headers: dispatch + fields") {
     val png = MultimodalOps.decodeMedia(1L, pngRgba640x480)
@@ -74,49 +96,120 @@ class MultimodalSpec extends AnyFunSuite {
     assert(png.hist.sum === png.byte_len)
   }
 
+  test("mp4Meta walks the ISO-BMFF box tree: brand, tkhd dims, mvhd duration") {
+    val full = MultimodalOps.decodeMedia(10L, mp4Tree)
+    assert(full.format === "mp4" && full.brand === Some("isom"))
+    assert(full.width === Some(320L) && full.height === Some(240L))
+    // 1500 units at timescale 600 = 2500 ms
+    assert(full.duration_ms === Some(2500L))
+    assert(full.channels.isEmpty && full.sample_rate.isEmpty)
+    // bare ftyp: dispatch + brand only, the nested walk finds no moov
+    val bare = MultimodalOps.decodeMedia(11L, mp4FtypOnly)
+    assert(bare.format === "mp4" && bare.brand === Some("mp42"))
+    assert(bare.width.isEmpty && bare.duration_ms.isEmpty)
+    // garbage after a valid ftyp degrades (text bytes are not a valid
+    // box): brand survives, nothing else
+    val trailing = MultimodalOps.decodeMedia(12L, mp4FtypOnly ++ rawText)
+    assert(trailing.brand === Some("mp42") && trailing.width.isEmpty)
+    // truncated mid-moov: every read is bounds-checked, no fields leak
+    val cut = MultimodalOps.decodeMedia(13L, mp4Tree.take(40))
+    assert(cut.format === "mp4" && cut.brand === Some("isom") && cut.width.isEmpty)
+    // below the 16-byte dispatch minimum: raw
+    assert(MultimodalOps.decodeMedia(14L, mp4Tree.take(12)).format === "raw")
+  }
+
+  test("mp4Meta handles the spec escapes: 64-bit largesize and v1 boxes") {
+    // moov with size=1 + largesize, containing a version-1 mvhd
+    // (64-bit creation/modification/duration) and a version-1 tkhd
+    def be64(v: Long): Seq[Int] = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    val mvhdV1: Seq[Int] =
+      be32(120) ++ "mvhd".map(_.toInt) ++ Seq(1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(90000) ++ be64(450000) ++ be32(0x10000L) ++ Seq(1, 0, 0, 0) ++
+        be32(0) ++ be32(0) ++ unityMatrix ++ Seq.fill(24)(0) ++ be32(2)
+    val tkhdV1: Seq[Int] =
+      be32(104) ++ "tkhd".map(_.toInt) ++ Seq(1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+        be32(1) ++ be32(0) ++ be64(450000) ++ be32(0) ++ be32(0) ++
+        Seq(0, 0, 0, 0, 0, 0, 0, 0) ++ unityMatrix ++ be32(1920L << 16) ++ be32(1080L << 16)
+    val trakV1 = be32(8 + tkhdV1.size) ++ "trak".map(_.toInt) ++ tkhdV1
+    val moovPayload = mvhdV1 ++ trakV1
+    val moovLarge = be32(1) ++ "moov".map(_.toInt) ++ be64(16L + moovPayload.size) ++ moovPayload
+    val p = bytes((be32(16) ++ "ftyp".map(_.toInt) ++ "iso6".map(_.toInt) ++ be32(0) ++
+      moovLarge): _*)
+    val f = MultimodalOps.decodeMedia(15L, p)
+    assert(f.brand === Some("iso6"))
+    assert(f.width === Some(1920L) && f.height === Some(1080L))
+    // 450000 units at timescale 90000 = 5000 ms
+    assert(f.duration_ms === Some(5000L))
+    // a lying largesize (bigger than the buffer) stops the level cold
+    val lying = bytes((be32(16) ++ "ftyp".map(_.toInt) ++ "iso6".map(_.toInt) ++ be32(0) ++
+      be32(1) ++ "moov".map(_.toInt) ++ be64(1L << 40)): _*)
+    val g = MultimodalOps.decodeMedia(16L, lying)
+    assert(g.brand === Some("iso6") && g.width.isEmpty && g.duration_ms.isEmpty)
+  }
+
   test("expression path decodes the same real headers as the JVM path") {
     import spark.implicits._
     val payloads = Seq(
       (1L, pngRgba640x480), (2L, gif320x200), (3L, bmp800x600x24),
-      (4L, wavStereo44k), (5L, jpegFrame), (6L, rawText))
+      (4L, wavStereo44k), (5L, jpegFrame), (6L, rawText), (7L, mp4FtypOnly))
     val viaExpr = payloads.toDF("doc_id", "payload")
       .select(col("doc_id") +: MultimodalOps.mediaFields(col("payload")): _*)
       .collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3)),
-        Option(r.get(4)), Option(r.get(5)), r.getLong(6))).toMap
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), r.getLong(8))).toMap
     payloads.foreach { case (id, p) =>
       val f = MultimodalOps.decodeMedia(id, p)
-      val (fmt, w, h, ch, sr, n) = viaExpr(id)
+      val (fmt, br, w, h, ch, sr, n) = viaExpr(id)
       assert(fmt === f.format, s"doc $id format")
+      assert(br === f.brand, s"doc $id brand")
       assert(w === f.width && h === f.height, s"doc $id dims")
       assert(ch === f.channels && sr === f.sample_rate, s"doc $id ch/rate")
       assert(n === f.byte_len, s"doc $id len")
     }
+    // the declared asymmetry: on a FULL box tree the walk carries
+    // dims/duration the fixed-offset path cannot reach (brand it can)
+    val full = Seq((8L, mp4Tree)).toDF("doc_id", "payload")
+      .select(col("doc_id") +: MultimodalOps.mediaFields(col("payload")): _*)
+      .collect()(0)
+    assert(full.getString(1) === "mp4" && full.getString(2) === "isom")
+    assert(full.isNullAt(3) && full.isNullAt(4) && full.isNullAt(7))
   }
 
   test("gate payloads: mapPartitions path == expression path on every document") {
     val expr = MultimodalOps.mediaDecode(spark, SparkSpec.sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3)),
-        Option(r.get(4)), Option(r.get(5)), r.getLong(6))).toMap
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), r.getLong(8))).toMap
     val feats = MultimodalOps.featureExtract(spark, SparkSpec.sf).collect()
     assert(feats.length === expr.size)
     // every constructed container appears — all dispatch branches run
     assert(feats.map(_.format).distinct.sorted ===
-      Seq("bmp", "gif", "jpeg", "png", "raw", "wav"))
+      Seq("bmp", "gif", "jpeg", "mp4", "png", "raw", "wav"))
     feats.foreach { f =>
-      val (fmt, w, h, ch, sr, n) = expr(f.doc_id)
+      val (fmt, br, w, h, ch, sr, n) = expr(f.doc_id)
       assert(fmt === f.format && n === f.byte_len, s"doc ${f.doc_id}")
+      assert(br === f.brand, s"doc ${f.doc_id} brand") // fixed-offset: both paths
       if (f.format == "jpeg") {
         // the declared asymmetry: the expression path dispatches JPEG
         // by magic only (dims live in variable-offset SOF segments),
         // the JVM path walks them — SOF-bearing payloads (tag 5)
         // carry dims on the JVM side only
         assert(w.isEmpty && h.isEmpty && ch.isEmpty, s"doc ${f.doc_id} expr jpeg")
-        if (f.doc_id % 7 == 5)
+        if (f.doc_id % 8 == 5)
           assert(f.width.nonEmpty && f.height.nonEmpty && f.channels === Some(3L),
             s"doc ${f.doc_id} must carry SOF dims")
         else
           assert(f.width.isEmpty && f.height.isEmpty, s"doc ${f.doc_id} bare jpeg")
+      } else if (f.format == "mp4") {
+        // same asymmetry for the nested-box walk: full trees (id/8
+        // even) carry dims + duration on the JVM side only
+        assert(w.isEmpty && h.isEmpty, s"doc ${f.doc_id} expr mp4")
+        if ((f.doc_id / 8) % 2 == 0) {
+          assert(f.brand === Some("isom") && f.width.nonEmpty &&
+            f.height.nonEmpty && f.duration_ms.nonEmpty,
+            s"doc ${f.doc_id} must carry box-tree fields")
+        } else
+          assert(f.brand === Some("mp42") && f.width.isEmpty &&
+            f.duration_ms.isEmpty, s"doc ${f.doc_id} bare ftyp")
       } else {
         assert(w === f.width && h === f.height, s"doc ${f.doc_id} dims")
         assert(ch === f.channels, s"doc ${f.doc_id} ch")
@@ -126,9 +219,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // the SOF dims themselves are exact: width/height derive from
     // doc_id the same way the payload constructor derives them
-    feats.filter(f => f.doc_id % 7 == 5).take(50).foreach { f =>
+    feats.filter(f => f.doc_id % 8 == 5).take(50).foreach { f =>
       assert(f.width === Some(16L + f.doc_id % 1000) &&
         f.height === Some(16L + (f.doc_id * 7) % 1000), s"doc ${f.doc_id} SOF dims")
+    }
+    // ...and so do the MP4 box-tree fields: tkhd 16.16 dims and the
+    // mvhd duration rescale reproduce the constructor's arithmetic
+    feats.filter(f => f.doc_id % 8 == 6 && (f.doc_id / 8) % 2 == 0).take(50).foreach { f =>
+      val ts = 600L * (1 + f.doc_id % 3)
+      val dur = ts * (1 + f.doc_id % 300) + f.doc_id % 97
+      assert(f.width === Some(16L + f.doc_id % 1000) &&
+        f.height === Some(16L + (f.doc_id * 7) % 1000), s"doc ${f.doc_id} tkhd dims")
+      assert(f.duration_ms === Some(dur * 1000L / ts), s"doc ${f.doc_id} mvhd duration")
     }
   }
 

@@ -687,6 +687,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(withStage.nonEmpty)
   }
 
+  test("training_pipeline: optional LM-score stage composes as exactly the " +
+    "anti-predicate of docLmAdaptive's drop set") {
+    import org.apache.spark.sql.functions.col
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(operators.TrainingPipeline.survivors(spark, sf))
+    val dropped = ids(operators.TextOps.docLmAdaptive(spark, sf)
+      .filter(!col("keep")))
+    val withStage = ids(operators.TrainingPipeline
+      .survivors(spark, sf, lmScoreFilter = true))
+    assert(withStage === base.diff(dropped),
+      "the LM stage must compose as exactly its own anti-predicate")
+    assert(withStage.size < base.size,
+      "the stage must actually drop low-predictability docs here")
+    assert(withStage.nonEmpty)
+    // the anti-join contract: a doc the scorer never measured (no
+    // bigrams) must NOT be dropped by the stage — verified structurally
+    // by base.diff(dropped) above (unscored ids are never in `dropped`)
+  }
+
+  test("doc_lm_adaptive: rank rule agrees with a direct per-source quantile " +
+    "check and the tiny-strata guard keeps small sources whole") {
+    import org.apache.spark.sql.functions._
+    val adapt = operators.TextOps.docLmAdaptive(spark, sf)
+    val rows = adapt.collect()
+    assert(rows.nonEmpty)
+    // keep implies (pred_pct >= q AND nov_pct <= ceiling) OR tiny stratum
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val tiny = rs.length < operators.TextOps.qualityMinStratum
+      rs.foreach { r =>
+        val keep = r.getBoolean(6)
+        val expect = tiny ||
+          (r.getDouble(4) >= operators.TextOps.lmKeepQuantile &&
+            r.getDouble(5) <= operators.TextOps.lmNoveltyMaxQuantile)
+        assert(keep === expect, s"keep rule mismatch in source $src")
+      }
+      if (!tiny) assert(rs.exists(!_.getBoolean(6)),
+        s"a full-size source must drop its bottom band ($src)")
+    }
+  }
+
   test("training_pipeline output satisfies every component predicate") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-train-spec").toString
