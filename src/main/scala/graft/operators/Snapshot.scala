@@ -252,26 +252,41 @@ object Snapshot {
     * call — the old compactor's disk behavior, plus the manifest. */
   def compactTiered(spark: SparkSession, dir: String, maxFiles: Int = 128,
                     maxMergeFiles: Int = 512,
-                    graceMs: Long = DefaultGraceMs): Int =
-    compactCore(spark, dir, maxFiles, maxMergeFiles, graceMs, perLeaf = false)
+                    graceMs: Long = DefaultGraceMs,
+                    maxMergeJobs: Int = Int.MaxValue): Int =
+    compactCore(spark, dir, maxFiles, maxMergeFiles, graceMs, perLeaf = false,
+      maxMergeJobs = maxMergeJobs)
 
   /** [[compactTiered]] over every `col=value` leaf of a
     * Hive-partitioned store, all committed in ONE new generation (one
     * manifest at the store ROOT covers the whole tree — a single
     * atomic commit for the trigger's sweep, and one resolution read
-    * for a serving scan of the whole tree). */
+    * for a serving scan of the whole tree).
+    *
+    * `maxMergeJobs` bounds merge JOBS per call, where `maxMergeFiles`
+    * bounds merged FILES: a per-trigger caller's wall cost is
+    * jobs × (read + coalesce-write) — on a 64-leaf store whose leaf
+    * hashes collide into the same jitter offset, a wave trigger can
+    * otherwise run ~8 sequential one-leaf jobs inside one trigger
+    * (the measured sf10 10-12s vector-sink spikes against a ~4s
+    * median). Deferred leaves stay first in line (most-overgrown-
+    * first ordering) and drain on the following triggers. */
   def compactTieredPartitioned(spark: SparkSession, dir: String,
                                maxFilesPerLeaf: Int = 16,
                                maxMergeFiles: Int = 512,
-                               graceMs: Long = DefaultGraceMs): Int =
-    compactCore(spark, dir, maxFilesPerLeaf, maxMergeFiles, graceMs, perLeaf = true)
+                               graceMs: Long = DefaultGraceMs,
+                               maxMergeJobs: Int = Int.MaxValue): Int =
+    compactCore(spark, dir, maxFilesPerLeaf, maxMergeFiles, graceMs, perLeaf = true,
+      maxMergeJobs = maxMergeJobs)
 
   private def compactCore(spark: SparkSession, dir: String, maxFiles: Int,
                           maxMergeFiles: Int, graceMs: Long,
-                          perLeaf: Boolean): Int = {
+                          perLeaf: Boolean,
+                          maxMergeJobs: Int = Int.MaxValue): Int = {
     require(maxFiles >= 2, s"maxFiles must be >= 2, got $maxFiles")
     require(maxMergeFiles >= 2, s"maxMergeFiles must be >= 2, got $maxMergeFiles")
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
+    require(maxMergeJobs >= 1, s"maxMergeJobs must be >= 1, got $maxMergeJobs")
     val (fs, root) = fsOf(spark, dir)
     if (!fs.exists(root)) return 0
     // sweep merge-output temp dirs a crashed previous call left behind
@@ -343,8 +358,10 @@ object Snapshot {
     // calls instead of stalling one trigger on everything — the
     // per-group maxMergeFiles cap generalized across groups.
     var budget = maxMergeFiles
+    var jobs = 0
     groups.sortBy(-_.length).foreach { g =>
-      if (g.length > maxFiles + jitterOf(g) && budget >= 2) {
+      if (g.length > maxFiles + jitterOf(g) && budget >= 2 && jobs < maxMergeJobs) {
+        jobs += 1
         val sel = g.map(n => (sizes(n), n)).sorted
           .take(math.min(math.min(g.length - maxFiles / 2 + 1, maxMergeFiles), budget))
           .map(_._2)

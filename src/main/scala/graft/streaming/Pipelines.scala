@@ -562,11 +562,23 @@ object Pipelines {
     * joins the per-trigger [[graft.operators.Maintenance
     * .compactTiered]] sweep — a monitoring feed written once per N
     * triggers must not itself become the unbounded small-file store
-    * the sweep exists to prevent. */
+    * the sweep exists to prevent.
+    *
+    * Two tail-latency bounds keep single triggers near the median
+    * (the measured sf10 spikes: 10-12s vector / 23-29s vector-drift
+    * against ~4s / ~5.5s medians): `maxMergeJobs` caps merge JOBS per
+    * trigger (the ids store's 64 leaves hash into maxFiles/2 jitter
+    * offsets, so ~8 leaves can cross the threshold on one trigger —
+    * deferred leaves drain most-overgrown-first on following
+    * triggers), and maintenance SKIPS drift-report triggers when the
+    * cadence allows it (driftEvery > 1) — the report and the merge
+    * sweep are the two heavyweight per-trigger extras, and there is
+    * no reason to ever stack them on the same trigger. */
   def vectorIndexSink(messages: DataFrame, indexDir: String,
                       maintain: Boolean = true,
                       driftEvery: Int = 0,
-                      graceMs: Long = graft.operators.Snapshot.DefaultGraceMs)
+                      graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
+                      maxMergeJobs: Int = 3)
       : DataStreamWriter[Row] = {
     // the embedding width is a property of the index's frozen
     // centroids — immutable for the life of the directory (a rebuild
@@ -599,8 +611,9 @@ object Pipelines {
         // append will consume the decode
         val vecs =
           if (driftEvery > 0) decoded.localCheckpoint(true) else decoded
-        if (driftEvery > 0 && batchId % driftEvery == 0 && !vecs.isEmpty &&
-            graft.operators.VectorOps.hasDistStats(spark, indexDir)) {
+        val reporting = driftEvery > 0 && batchId % driftEvery == 0 && !vecs.isEmpty &&
+          graft.operators.VectorOps.hasDistStats(spark, indexDir)
+        if (reporting) {
           if (memberCount < 0)
             memberCount = graft.operators.VectorOps.idsCount(spark, indexDir)
           graft.operators.VectorOps
@@ -610,17 +623,25 @@ object Pipelines {
         }
         val appended = graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
         if (memberCount >= 0) memberCount += appended
-        if (maintain) {
+        // drift-report triggers skip the sweep when the cadence leaves
+        // maintenance-only triggers between reports — never stack the
+        // two heavyweight extras on one trigger (sf10 tail-latency
+        // finding); at driftEvery <= 1 every trigger reports, so
+        // skipping would starve maintenance entirely
+        if (maintain && (!reporting || driftEvery <= 1)) {
           graft.operators.Snapshot.compactTiered(
-            batch.sparkSession, s"$indexDir/invlist", graceMs = graceMs)
+            batch.sparkSession, s"$indexDir/invlist", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
           graft.operators.Snapshot.compactTieredPartitioned(
-            batch.sparkSession, s"$indexDir/ids", graceMs = graceMs)
+            batch.sparkSession, s"$indexDir/ids", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
           // the drift log is append-only and its reader ([[driftLog]])
           // dedups by batch_id, so it tolerates the compactor's
           // crash-window duplicate rows like the index stores do
           if (driftEvery > 0)
             graft.operators.Snapshot.compactTiered(
-              batch.sparkSession, s"$indexDir/driftlog", graceMs = graceMs)
+              batch.sparkSession, s"$indexDir/driftlog", graceMs = graceMs,
+              maxMergeJobs = maxMergeJobs)
         }
         ()
       }

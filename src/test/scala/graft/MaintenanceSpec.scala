@@ -475,6 +475,41 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows() === total)
   }
 
+  test("maxMergeJobs caps merge JOBS per call: one job merges one leaf, " +
+    "deferred leaves drain on later calls") {
+    // the file budget bounds merged FILES; a wave trigger's wall cost
+    // is JOBS (each a read+coalesce+write) — the sf10 vector-sink
+    // spike lever. With 9 files on every leaf and maxFilesPerLeaf 4,
+    // one leaf's merge takes g - maxFiles/2 + 1 = 8 files; a
+    // jobs-capped call must stop there even with file budget to spare.
+    val dir = tmp("graft-snap-jobcap")
+    val base = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        operators.DedupOps.keyBucket(col("id")).as("kb"))
+    (0 until 9).foreach { _ =>
+      base.coalesce(1).write.mode("append").partitionBy("kb").parquet(dir)
+    }
+    def rows() = operators.Snapshot.read(spark, dir).count()
+    val total = rows()
+    val first = operators.Snapshot.compactTieredPartitioned(spark, dir,
+      maxFilesPerLeaf = 4, maxMergeFiles = 512, graceMs = 0, maxMergeJobs = 1)
+    assert(first > 0 && first <= 8,
+      s"one job merges at most one leaf's selection, merged $first")
+    assert(rows() === total)
+    // jobs-capped per-call maintenance still converges
+    var guard = 0
+    while (operators.Snapshot.compactTieredPartitioned(spark, dir,
+        maxFilesPerLeaf = 4, maxMergeFiles = 512, graceMs = 0,
+        maxMergeJobs = 2) > 0 && guard < 80)
+      guard += 1
+    assert(guard < 80, "jobs-capped compaction must converge")
+    val liveByLeaf = operators.Snapshot.files(spark, dir)
+      .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+    assert(liveByLeaf.values.forall(_.size <= 4 + 2),
+      "every leaf must converge under its jittered threshold")
+    assert(rows() === total)
+  }
+
   test("snapshot compaction: pinned readers survive a live merge, GC only after grace") {
     val dir = tmp("graft-snap")
     (0 until 18).foreach { i =>
