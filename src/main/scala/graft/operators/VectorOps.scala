@@ -1428,8 +1428,9 @@ object VectorOps {
     * own encode pass), appending (neighbor_id, s, code, cid) rows to
     * `codes`. Same idempotency (anti-join skip + duplicate-safe
     * search), same drift contract (periodic [[ivfpqBuildIndex]]
-    * re-trains books and quantizer; compaction over `codes`). */
-  def ivfpqAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Unit = {
+    * re-trains books and quantizer; compaction over `codes`).
+    * Returns the genuinely-new count, the [[ivfAppend]] contract. */
+  def ivfpqAppend(spark: SparkSession, batch: DataFrame, indexDir: String): Long = {
     require(hExists(spark, s"$indexDir/codes/_SUCCESS"),
       s"$indexDir is not a complete IVF-PQ index (crashed mid-rebuild? " +
         "re-run ivfpqBuildIndex)")
@@ -1450,6 +1451,7 @@ object VectorOps {
       .coalesce(appendParts(nNew * ivfAssign * pqSub))
       .write.mode("append").parquet(s"$indexDir/codes")
     appendIds(pts.coalesce(appendParts(nNew)), indexDir)
+    nNew
   }
 
   /** Query half of the IVF-PQ split (benched as `ann_ivfpq_query`).

@@ -573,12 +573,24 @@ object Pipelines {
     * triggers), and maintenance SKIPS drift-report triggers when the
     * cadence allows it (driftEvery > 1) — the report and the merge
     * sweep are the two heavyweight per-trigger extras, and there is
-    * no reason to ever stack them on the same trigger. */
+    * no reason to ever stack them on the same trigger.
+    *
+    * `codebooks = true` targets a composed IVF-PQ index
+    * ([[graft.operators.VectorOps.ivfpqBuildIndex]]) instead: each
+    * trigger runs [[graft.operators.VectorOps.ivfpqAppend]] — coarse
+    * assignment against the frozen centroids AND PQ encoding against
+    * the frozen per-subspace codebooks — and maintenance sweeps the
+    * `codes` store in place of `invlist`. Everything else (decode
+    * guard, exactly-once membership anti-join, drift monitoring off
+    * the shared diststats baseline, per-trigger bounds) is identical:
+    * the serving-layout lifecycle is symmetric across both index
+    * families. */
   def vectorIndexSink(messages: DataFrame, indexDir: String,
                       maintain: Boolean = true,
                       driftEvery: Int = 0,
                       graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
-                      maxMergeJobs: Int = 3)
+                      maxMergeJobs: Int = 3,
+                      codebooks: Boolean = false)
       : DataStreamWriter[Row] = {
     // the embedding width is a property of the index's frozen
     // centroids — immutable for the life of the directory (a rebuild
@@ -621,7 +633,9 @@ object Pipelines {
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$indexDir/driftlog")
         }
-        val appended = graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
+        val appended =
+          if (codebooks) graft.operators.VectorOps.ivfpqAppend(spark, vecs, indexDir)
+          else graft.operators.VectorOps.ivfAppend(spark, vecs, indexDir)
         if (memberCount >= 0) memberCount += appended
         // drift-report triggers skip the sweep when the cadence leaves
         // maintenance-only triggers between reports — never stack the
@@ -630,8 +644,9 @@ object Pipelines {
         // skipping would starve maintenance entirely
         if (maintain && (!reporting || driftEvery <= 1)) {
           graft.operators.Snapshot.compactTiered(
-            batch.sparkSession, s"$indexDir/invlist", graceMs = graceMs,
-            maxMergeJobs = maxMergeJobs)
+            batch.sparkSession,
+            s"$indexDir/${if (codebooks) "codes" else "invlist"}",
+            graceMs = graceMs, maxMergeJobs = maxMergeJobs)
           graft.operators.Snapshot.compactTieredPartitioned(
             batch.sparkSession, s"$indexDir/ids", graceMs = graceMs,
             maxMergeJobs = maxMergeJobs)

@@ -476,6 +476,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(qPart === qFull)
   }
 
+  test("streaming IVF-PQ ingestion (codebooks = true): appended codes equal " +
+    "the builder's, replay is a no-op, serving identical") {
+    val broker = tmpDir("graft-broker")
+    val sf = SparkSpec.sf
+    // fresh full IVF-PQ build = ground-truth coarse assignment + codes
+    val idxFull = tmpDir("graft-pqidx-full")
+    operators.VectorOps.ivfpqBuildIndex(spark, sf, idxFull)
+    val fullCodes = operators.Snapshot.read(spark, idxFull + "/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // same frozen quantizer AND codebooks with a third of the corpus
+    // missing — the slice arrives as embedding messages instead
+    val idxPart = tmpDir("graft-pqidx-part")
+    operators.Snapshot.read(spark, idxFull + "/centroids")
+      .write.parquet(idxPart + "/centroids")
+    operators.Snapshot.read(spark, idxFull + "/codebook")
+      .write.parquet(idxPart + "/codebook")
+    operators.Snapshot.read(spark, idxFull + "/codes")
+      .filter(pmod(col("neighbor_id"), lit(3)) =!= 0)
+      .write.parquet(idxPart + "/codes")
+    val slice = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // publish twice: redelivered copies must not double-encode
+    (1 to 2).foreach { _ =>
+      GraftQueueBroker.publish(broker, "vecs", slice.map { case (id, emb) =>
+        GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L,
+          "t/vecs/0", emb.mkString(","))
+      })
+    }
+    def run(ckpt: String): Unit = {
+      val msgs = Pipelines.readQueues(spark, broker, Seq("vecs"),
+        maxRecordsPerTrigger = Some(40))
+      val q = Pipelines.vectorIndexSink(msgs, idxPart, codebooks = true)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+    val appended = operators.Snapshot.read(spark, idxPart + "/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(appended === fullCodes,
+      "streamed appends must reproduce the builder's codes under the frozen books")
+    assert(operators.Snapshot.read(spark, idxPart + "/codes").count() === fullCodes.size,
+      "redelivered copies must not double-encode")
+    // full-spool replay from a fresh checkpoint: membership guard holds
+    run(tmpDir("graft-ckpt"))
+    assert(operators.Snapshot.read(spark, idxPart + "/codes").count() === fullCodes.size)
+    // and the streamed IVF-PQ index SERVES identically to the build
+    val qFull = operators.VectorOps.annIvfPqQuery(spark, sf, idxFull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val qPart = operators.VectorOps.annIvfPqQuery(spark, sf, idxPart)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(qPart === qFull)
+  }
+
   test("vector-index sink drift log: clean arrivals record clean reports, shifted ones flag") {
     val broker = tmpDir("graft-broker")
     val sf = SparkSpec.sf
