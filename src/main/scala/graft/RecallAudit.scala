@@ -78,6 +78,17 @@ object RecallAudit {
           topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)) }, bf))
     }
 
+    // range search: threshold recall vs the exact radius query (a
+    // different regime than top-k — the qualifying set is
+    // data-dependent and probe misses cost whole pairs, not ranks)
+    if (want("ann_range_ivf")) {
+      val exactR = timed("ann_range_exact") {
+        idPairs(operators.VectorOps.annRangeExact(spark, sfDir)) }
+      sizes :+= ("range_pairs", exactR.size.toLong)
+      entries :+= ("ann_range_ivf", recall(timed("ann_range_ivf") {
+        idPairs(operators.VectorOps.annRangeIvf(spark, sfDir)) }, exactR))
+    }
+
     // near-dup recall overall AND on high-margin pairs: the LSH mode's
     // declared regime is semantic dups with angular margin — the
     // zero-margin 0.4-threshold tail is the exact mode's job, so the

@@ -208,6 +208,12 @@ object SparkEntry {
     // table-count ceiling hands off to; rows-only gate + recall specs
     "dedup_embedding_ivf" -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDupIvf(s, d)),
     "ann_bruteforce"  -> VectorOps.annBruteForce _,
+    // cosine RANGE search (the vector-DB radius query): exact mode is
+    // deterministic -> hash gate; the IVF-pruned mode shares annIvf's
+    // probe stem with a threshold filter in place of the top-k window
+    // (recall spec + bit-parity of emitted cosines vs the exact twin)
+    "ann_range_exact" -> ((s: SparkSession, d: String) => VectorOps.annRangeExact(s, d)),
+    "ann_range_ivf"   -> ((s: SparkSession, d: String) => VectorOps.annRangeIvf(s, d)),
     "ann_lsh"         -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
     "ann_ivf"         -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     // deployment split: parquet index built once (first call), query
@@ -328,6 +334,8 @@ object SparkEntry {
     // dedup_simhash: xxhash64 has no DuckDB twin -> rows-only check
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,
+    "ann_range_exact" -> VectorOps.annRangeExactSql,
+    // ann_range_ivf: recall<1 by design -> rows-only + recall spec
     // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
     "knn_centroid"    -> VectorOps.knnCentroidSql,
     "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,

@@ -791,7 +791,13 @@ object VectorOps {
     * corpus scan; the only exchanges are the candidate-pair distinct
     * (forced by multi-assignment — a neighbor in two probed lists
     * must score once, see [[ivfAssign]]) and the query-keyed windows. */
-  private def ivfSearch(spark: SparkSession, dir: String,
+  /** Shared IVF probe-and-score pipeline: probe the `nprobe` nearest
+    * lists per query, attach candidates, exact cosine per (query,
+    * candidate) — the stem [[ivfSearch]] (top-k) and [[annRangeIvf]]
+    * (threshold) both grow from. Deterministic exact cosines, so both
+    * consumers emit bit-identical scores to their exact twins on
+    * shared pairs. */
+  private def ivfScored(spark: SparkSession, dir: String,
                         cents: DataFrame, invlist: DataFrame,
                         nprobe: Int): DataFrame = {
     val v = vecs(spark, dir)
@@ -809,14 +815,90 @@ object VectorOps {
 
     val corpus = v.filter(col("vec_id") >= nQueries)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("vd").as("cv2"), col("norm").as("cn"))
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.join(q, Seq("query_id"))
       .join(c, Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+  }
+
+  private def ivfSearch(spark: SparkSession, dir: String,
+                        cents: DataFrame, invlist: DataFrame,
+                        nprobe: Int): DataFrame = {
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    ivfScored(spark, dir, cents, invlist, nprobe)
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Exact cosine RANGE search — the vector-database radius query
+    * ("every corpus vector within cosine ≥ τ of each query"), the
+    * retrieval dual of [[embeddingNearDup]]'s all-pairs threshold:
+    * top-k answers "the best k whatever their quality", range answers
+    * "everything at least this similar" — the contract dedup-by-query,
+    * recommendation floors, and semantic caching actually state. The
+    * tiny query side broadcasts through the same nested-loop shape as
+    * [[annBruteForce]] (the corpus never shuffles), the threshold
+    * filter replaces the window rank — so the plan is one scan +
+    * broadcast + codegen'd filter, no shuffle at all where top-k pays
+    * a per-query window. Exact and deterministic → full DuckDB hash
+    * gate; result sizes are data-dependent by design (a query with no
+    * neighbors above τ returns nothing — that absence is the signal). */
+  /** Gate threshold for the range-search entries: the natural
+    * query-corpus cosine continuum tops out ~0.39-0.49 across the
+    * SFs (measured), so 0.4 (the near-dup pair threshold) is empty at
+    * the smallest SF — 0.35 yields a nonzero, SF-stable qualifying
+    * set everywhere. */
+  val rangeMinCos = 0.35
+
+  def annRangeExact(spark: SparkSession, dir: String,
+                    minCos: Double = rangeMinCos): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val c = v.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("vd").as("cv"), col("norm").as("cn"))
+    q.crossJoin(c)
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  val annRangeExactSql: String = {
+    val dotAB = dotSqlA.format("q.vd", "c.vd")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, vd,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(vd, x -> x*x)), (acc, x) -> acc + x)) AS norm
+       |  FROM v),
+       |q AS (SELECT vec_id AS query_id, vd, norm FROM n WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS neighbor_id, vd, norm FROM n WHERE vec_id >= $nQueries)
+       |SELECT q.query_id, c.neighbor_id, $dotAB/(q.norm*c.norm) AS cos
+       |FROM (SELECT query_id, vd, norm FROM q) q, (SELECT neighbor_id, vd, norm FROM c) c
+       |WHERE $dotAB/(q.norm*c.norm) >= $rangeMinCos""".stripMargin
+  }
+
+  /** [[annRangeExact]]'s IVF-pruned mode: the same probe-and-score
+    * stem as [[annIvf]] ([[ivfScored]] — nprobe nearest lists per
+    * query, exact cosines on the candidates) with the threshold
+    * filter in place of the top-k window, so at scale each query
+    * touches probes/k of the corpus instead of all of it. Emitted
+    * cosines are bit-identical to the exact twin's on every emitted
+    * pair (same kernel, same operands — spec-pinned); recall < 1 by
+    * construction (a qualifying neighbor can live in an unprobed
+    * list) → rows-only gate + recall-floor spec + RecallAudit seat. */
+  def annRangeIvf(spark: SparkSession, dir: String,
+                  minCos: Double = rangeMinCos,
+                  k: Int = 0, probes: Int = 0): DataFrame = {
+    val n = corpusN(spark, dir)
+    val (kk, pp) = ivfKnobsFor(n, k, probes)
+    val (cents, invlist) = ivfIndex(spark, dir, kk, n)
+    ivfScored(spark, dir, cents, invlist, pp)
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
   }
 
   def annIvf(spark: SparkSession, dir: String,

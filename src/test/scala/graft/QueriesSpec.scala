@@ -1257,6 +1257,36 @@ class QueriesSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("ann_range: exact mode is the cosine-threshold ground truth; the " +
+    "IVF mode recalls it with bit-identical cosines on emitted pairs") {
+    import org.apache.spark.sql.functions.col
+    val exact = operators.VectorOps.annRangeExact(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "the gate threshold must match something at this SF")
+    // ground-truth sanity: range ⊇ every brute-force top-k pair at/above τ
+    val bfAbove = operators.VectorOps.annBruteForce(spark, sf).collect()
+      .filter(_.getDouble(3) >= operators.VectorOps.rangeMinCos)
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(bfAbove.forall(exact.contains),
+      "a top-k pair above the threshold must be in the range result")
+    // every exact row actually clears the threshold
+    assert(exact.values.forall(_ >= operators.VectorOps.rangeMinCos))
+    // auto-probed IVF mode: subset with bit-identical cosines + recall
+    val ivf = operators.VectorOps.annRangeIvf(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    ivf.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c),
+        s"IVF range pair $k must carry the exact twin's cosine bit-for-bit") }
+    val recall = ivf.count { case (k, _) => exact.contains(k) }.toDouble / exact.size
+    assert(recall >= 0.9, s"auto-probed range recall below floor: $recall")
+    // a deliberately starved probe budget still emits only-correct rows
+    val starved = operators.VectorOps.annRangeIvf(spark, sf, probes = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    starved.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), "starved-probe rows must still be exact") }
+    assert(starved.length <= exact.size)
+  }
+
   test("ann_pq: exact re-ranked cosines, useful recall against brute force") {
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
