@@ -737,7 +737,8 @@ object Pipelines {
                            tablePath: String,
                            maintain: Boolean = true,
                            driftEvery: Int = 0,
-                           graceMs: Long = graft.operators.Snapshot.DefaultGraceMs)
+                           graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
+                           maxMergeJobs: Int = 3)
       : DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
     // running membership total for the drift report's size signal —
@@ -790,16 +791,24 @@ object Pipelines {
             prunedKeys(spark, dataPath, Seq("doc_a", "doc_b"), bucketsOf(pairs)),
             Seq("doc_a", "doc_b"), "left_anti")
           .write.mode("append").partitionBy("kb").parquet(dataPath)
+        // same per-trigger tail-latency bound as vectorIndexSink:
+        // merge JOBS capped so a multi-store wave never stalls one
+        // trigger on sequential merges (deferred leaves drain
+        // most-overgrown-first on following triggers)
         if (maintain) {
           graft.operators.Snapshot.compactTiered(
-            spark, s"$indexDir/bands", graceMs = graceMs)
+            spark, s"$indexDir/bands", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
           graft.operators.Snapshot.compactTiered(
-            spark, s"$indexDir/sets", graceMs = graceMs)
+            spark, s"$indexDir/sets", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
           graft.operators.Snapshot.compactTieredPartitioned(
-            spark, s"$indexDir/ids", graceMs = graceMs)
+            spark, s"$indexDir/ids", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
           if (driftEvery > 0)
             graft.operators.Snapshot.compactTiered(
-              spark, s"$indexDir/driftlog", graceMs = graceMs)
+              spark, s"$indexDir/driftlog", graceMs = graceMs,
+              maxMergeJobs = maxMergeJobs)
         }
         ()
       }
