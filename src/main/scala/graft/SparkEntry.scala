@@ -233,6 +233,10 @@ object SparkEntry {
     // + fixed-offset header fields, scan-speed
     "mm_media_decode" -> MultimodalOps.mediaDecode _,
     "mm_frame_sample" -> MultimodalOps.frameSample _,
+    // media-TIME sampling driven by the walked mvhd duration (frame =
+    // t*n_frames/duration, exact integers): one mapPartitions pass,
+    // zero shuffles; hash-gated against the box-walk CTE twin
+    "mm_time_sample" -> ((s: SparkSession, d: String) => MultimodalOps.mp4TimeSample(s, d)),
   )
 
   /** DuckDB oracle SQL per query key (same aliases + rounding). */
@@ -342,5 +346,6 @@ object SparkEntry {
     "mm_feature"      -> MultimodalOps.featureSql,
     "mm_media_decode" -> MultimodalOps.mediaDecodeSql,
     "mm_frame_sample" -> MultimodalOps.frameSampleSql,
+    "mm_time_sample"  -> MultimodalOps.mp4TimeSampleSql,
   )
 }

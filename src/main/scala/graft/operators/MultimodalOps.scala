@@ -710,6 +710,70 @@ object MultimodalOps {
           .cast("binary")).as("frame_digest"))
   }
 
+  /** Media-time sampling interval for [[mp4TimeSample]] (ms). */
+  val timeSampleIntervalMs = 2000L
+
+  /** TIME-based sampling over video payloads — the sampler a real
+    * video pipeline runs ("a frame every N seconds of media time"),
+    * where [[frameSample]] is its byte-stride cousin: media time
+    * comes from the container ([[mp4Meta]]'s mvhd duration), not from
+    * payload size, so a long low-bitrate clip yields more samples
+    * than a short high-bitrate one of equal bytes. For each full-tree
+    * MP4 payload, emit one row per sample instant t = 0, N, 2N …
+    * ≤ duration, mapping each instant to its frame ordinal and byte
+    * offset by exact integer arithmetic (frame = ⌊t·n_frames /
+    * duration⌋ clamped to the last frame — the constant-frame-rate
+    * model; a real demuxer replaces this with the stts table walk at
+    * the same per-partition batch shape). Payloads without a walked
+    * duration (bare-ftyp, non-video containers, raw) contribute no
+    * rows — absence is the dispatch signal. One mapPartitions pass,
+    * ZERO shuffles; deterministic integers → full DuckDB hash gate
+    * against the recursive-CTE box-walk twin + generate_series. */
+  def mp4TimeSample(spark: SparkSession, dir: String,
+                    intervalMs: Long = timeSampleIntervalMs): DataFrame = {
+    import spark.implicits._
+    require(intervalMs > 0, "intervalMs must be positive")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), taggedPayload.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(decodeBatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, p) =>
+            val f = decodeMedia(id, p)
+            f.duration_ms match {
+              case Some(dur) if f.format == "mp4" && dur > 0 =>
+                val nFrames = math.max(1L, (f.byte_len + frameBytes - 1) / frameBytes)
+                (0L to dur / intervalMs).iterator.map { i =>
+                  val tMs = i * intervalMs
+                  val frameIdx = math.min(nFrames - 1, tMs * nFrames / dur)
+                  (id, i, tMs, frameIdx, frameIdx * frameBytes)
+                }
+              case _ => Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "sample_idx", "t_ms", "frame_idx", "byte_offset")
+  }
+
+  val mp4TimeSampleSql: String =
+    mmPayloadCte + ",\n" + mmMp4WalkCtes + s""",
+      |vids AS (
+      | SELECT d.doc_id, m.mdur_ms,
+      |  greatest(1, (d.n + $frameBytes - 1) // $frameBytes) AS nf
+      | FROM d JOIN mms m USING (doc_id)
+      | WHERE d.is_mp4 AND m.mdur_ms IS NOT NULL AND m.mdur_ms > 0),
+      |s AS (
+      | SELECT doc_id, mdur_ms, nf,
+      |  unnest(generate_series(0, CAST(mdur_ms // $timeSampleIntervalMs AS BIGINT))) AS i
+      | FROM vids)
+      |SELECT doc_id,
+      | CAST(i AS BIGINT) AS sample_idx,
+      | CAST(i * $timeSampleIntervalMs AS BIGINT) AS t_ms,
+      | CAST(least(nf - 1, (i * $timeSampleIntervalMs) * nf // mdur_ms) AS BIGINT) AS frame_idx,
+      | CAST(least(nf - 1, (i * $timeSampleIntervalMs) * nf // mdur_ms) * $frameBytes AS BIGINT) AS byte_offset
+      |FROM s""".stripMargin
+
   val frameSampleSql: String =
     s"""WITH t AS (
        | SELECT doc_id, text,

@@ -234,6 +234,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4TimeSample: one row per media-time instant, frame mapping exact, " +
+    "non-video payloads contribute nothing") {
+    import org.apache.spark.sql.functions.col
+    val rows = MultimodalOps.mp4TimeSample(spark, SparkSpec.sf).collect()
+    assert(rows.nonEmpty, "tag-6 full trees must yield samples")
+    val feats = MultimodalOps.featureExtract(spark, SparkSpec.sf).collect()
+      .map(f => f.doc_id -> f).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    // only full-tree MP4s (walked duration) appear
+    byDoc.keys.foreach { id =>
+      assert(feats(id).format == "mp4" && feats(id).duration_ms.exists(_ > 0),
+        s"doc $id sampled without a walked duration") }
+    val expectedDocs = feats.values
+      .filter(f => f.format == "mp4" && f.duration_ms.exists(_ > 0)).map(_.doc_id).toSet
+    assert(byDoc.keySet === expectedDocs, "every walked video must be sampled")
+    byDoc.foreach { case (id, rs) =>
+      val f = feats(id); val dur = f.duration_ms.get
+      val nf = math.max(1L, (f.byte_len + MultimodalOps.frameBytes - 1) /
+        MultimodalOps.frameBytes)
+      // sample count = one per interval instant, t=0 included
+      assert(rs.length === (dur / MultimodalOps.timeSampleIntervalMs + 1).toInt,
+        s"doc $id sample count")
+      rs.foreach { r =>
+        val (i, t, fi, off) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(t === i * MultimodalOps.timeSampleIntervalMs)
+        assert(fi === math.min(nf - 1, t * nf / dur), s"doc $id frame mapping at $t")
+        assert(off === fi * MultimodalOps.frameBytes)
+        assert(t <= dur)
+      }
+      // frame ordinals are monotone in time and end at/before the last frame
+      val fis = rs.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(fis.zip(fis.tail).forall { case (a, b) => a <= b })
+      assert(fis.last <= nf - 1)
+    }
+  }
+
   test("binaryMeta checksum equals sum of payload bytes") {
     val row = MultimodalOps.binaryMeta(spark, SparkSpec.sf)
       .filter(col("doc_id") === 0).collect()(0)
