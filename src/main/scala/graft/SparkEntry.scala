@@ -126,6 +126,9 @@ object SparkEntry {
       TextOps.docQualityAdaptive(s, d, approx = true)),
     "text_quality"       -> TextOps.textQuality _,
     "lang_id"            -> TextOps.langId _,
+    // per-source language mix (mixture-weight dashboard): classifier
+    // inline on the source-bearing scan, one aggregate + tiny window
+    "source_language_report" -> TextOps.sourceLanguageReport _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "doc_shingle_stats"  -> TextOps.shingleStats _,
     "doc_repetition"     -> TextOps.docRepetition _,
@@ -309,6 +312,7 @@ object SparkEntry {
     "doc_quality_adaptive" -> TextOps.docQualityAdaptiveSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,
+    "source_language_report" -> TextOps.sourceLanguageReportSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
     "doc_repetition"     -> TextOps.docRepetitionSql,

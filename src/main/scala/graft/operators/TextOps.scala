@@ -668,6 +668,60 @@ object TextOps {
        |FROM g""".stripMargin
   }
 
+  /** Per-source LANGUAGE-MIX dashboard — [[langId]] composed the way a
+    * multilingual-corpus curation report consumes it ("what fraction
+    * of each source is which language" drives mixture weights and
+    * per-language quality thresholds): the marker-vote classifier
+    * computes INLINE on the same scan that carries `source` (the
+    * [[sourceQualityReport]] lesson — no doc_id join, no second
+    * corpus pass), then one corpus-scale aggregate to (source,
+    * pred_lang) counts, then a window over the SOURCES-sized result
+    * for the within-source share. Counts are exact integers, share is
+    * ONE IEEE division → full hash gate. */
+  def sourceLanguageReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val counts = markers.map { case (lang, ws) =>
+      size(filter(toks, t => t.isin(ws: _*))).as(s"c_$lang")
+    }
+    val langs = markers.map(_._1)
+    val base = docs(spark, dir).select(col("source") +: counts: _*)
+    val maxC = greatest(langs.map(l => col(s"c_$l")): _*)
+    val pred = langs.foldRight[Column](lit("und")) { (l, els) =>
+      when(col(s"c_$l") === maxC, lit(l)).otherwise(els)
+    }
+    base.withColumn("pred_lang", when(maxC > 0, pred).otherwise(lit("und")))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+  }
+
+  val sourceLanguageReportSql: String = {
+    val cnt = markers.map { case (lang, ws) =>
+      val l = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($l, x))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val maxExpr = "greatest(" + langs.map(l => s"c_$l").mkString(", ") + ")"
+    val pred = langs.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN c_$l = m THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (
+       | SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |c AS (SELECT source,
+       |  $cnt
+       | FROM t),
+       |g AS (SELECT *, $maxExpr AS m FROM c),
+       |d AS (SELECT source,
+       |  CASE WHEN m > 0 THEN $pred ELSE 'und' END AS pred_lang FROM g),
+       |a AS (SELECT source, pred_lang, count(*) AS n_docs
+       |      FROM d GROUP BY source, pred_lang)
+       |SELECT source, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       | CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source) AS share
+       |FROM a""".stripMargin
+  }
+
   /** Canonical md5 fingerprint per document. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

@@ -671,6 +671,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("source_language_report: shares sum to one per source and counts " +
+    "recompose from per-doc langId verdicts") {
+    import org.apache.spark.sql.functions._
+    val rep = operators.TextOps.sourceLanguageReport(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(rep.nonEmpty)
+    // within-source shares sum to 1 (exact integer counts / one total)
+    rep.groupBy(_._1._1).foreach { case (src, rows) =>
+      val tot = rows.map(_._2._2).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"shares of $src sum to $tot")
+    }
+    // composition: the report's counts are exactly the per-doc
+    // classifier's verdicts grouped by the doc's source
+    val perDoc = operators.TextOps.langId(spark, sf)
+      .join(graft.Tables(spark, sf, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy(col("source"), col("pred_lang")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rep.map { case (k, (n, _)) => k -> n }.toMap === perDoc,
+      "report counts must recompose from langId verdicts")
+  }
+
   test("training_pipeline: optional commonness stage composes predicate-exactly") {
     import org.apache.spark.sql.functions.col
     def ids(df: org.apache.spark.sql.DataFrame) =
