@@ -149,24 +149,34 @@ object RecallAudit {
           .withColumn("vec_id", col("vec_id") + lit(span))
           .withColumn("embedding",
             zip_with(col("embedding"), typedlit(scales), (x, s) => x * s))
-        val plantedDir = java.nio.file.Files
-          .createTempDirectory("graft-recall-planted").toString
-        base.unionAll(twin).write.mode("overwrite")
-          .parquet(s"$plantedDir/embeddings.parquet")
-        sizes :+= ("planted_pairs", nBase)
-        def plantedRecall(got: Set[(Long, Long)]): Double = {
-          val hits = base.select("vec_id").collect().map(_.getLong(0))
-            .count(id => got.contains((id, id + span)))
-          hits.toDouble / nBase
+        val plantedPath = java.nio.file.Files
+          .createTempDirectory("graft-recall-planted")
+        val plantedDir = plantedPath.toString
+        try {
+          base.unionAll(twin).write.mode("overwrite")
+            .parquet(s"$plantedDir/embeddings.parquet")
+          sizes :+= ("planted_pairs", nBase)
+          def plantedRecall(got: Set[(Long, Long)]): Double = {
+            val hits = base.select("vec_id").collect().map(_.getLong(0))
+              .count(id => got.contains((id, id + span)))
+            hits.toDouble / nBase
+          }
+          if (want("dedup_embedding_ivf"))
+            entries :+= ("dedup_embedding_ivf_planted",
+              plantedRecall(timed("dedup_embedding_ivf_planted") {
+                idPairs(operators.VectorOps.embeddingNearDupIvf(spark, plantedDir)) }))
+          if (want("dedup_embedding_lsh"))
+            entries :+= ("dedup_embedding_lsh_planted",
+              plantedRecall(timed("dedup_embedding_lsh_planted") {
+                idPairs(operators.VectorOps.embeddingNearDupLsh(spark, plantedDir)) }))
+        } finally {
+          // the 2x corpus copy is sizable at sf10 — never leak it past
+          // the seat, even on a mid-measure failure
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(plantedPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
         }
-        if (want("dedup_embedding_ivf"))
-          entries :+= ("dedup_embedding_ivf_planted",
-            plantedRecall(timed("dedup_embedding_ivf_planted") {
-              idPairs(operators.VectorOps.embeddingNearDupIvf(spark, plantedDir)) }))
-        if (want("dedup_embedding_lsh"))
-          entries :+= ("dedup_embedding_lsh_planted",
-            plantedRecall(timed("dedup_embedding_lsh_planted") {
-              idPairs(operators.VectorOps.embeddingNearDupLsh(spark, plantedDir)) }))
       }
     }
 
@@ -189,8 +199,10 @@ object RecallAudit {
           .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))) }
       // the exact op emits only overlapping pairs; sketch emits all —
       // absent exact pair = true Jaccard 0
-      val maxErr = est.map { case (k, v) =>
-        math.abs(v - exactJ.getOrElse(k, 0.0)) }.max
+      // foldLeft, not .max: a corpus with < 2 sketched sources yields
+      // zero pairs and an empty-collection .max would crash the audit
+      val maxErr = est.foldLeft(0.0) { case (acc, (k, v)) =>
+        math.max(acc, math.abs(v - exactJ.getOrElse(k, 0.0))) }
       entries :+= ("source_jaccard_kmv_maxerr", maxErr)
       sizes :+= ("source_pairs", est.length.toLong)
     }

@@ -1328,12 +1328,24 @@ object DedupOps {
     * assertion against [[sourceJaccard]] plus [0,1] sanity here.
     * Output: (source_a, source_b, k_used, matches, jaccard_est) for
     * EVERY pair (the sketch sees disjoint sources too — est 0). */
+  /** Per-dir cache for the route-picking source count: the count is a
+    * ROUTE input (structural — which pair-generation plan to build),
+    * so it must run eagerly, but repeat calls over the same data dir
+    * (bench loops, Verify, the audit) should not re-pay a corpus scan
+    * for a number that cannot change under them. A corpus regenerated
+    * IN PLACE under the same path within one JVM is outside the
+    * envelope (same stance as the IVF index-dir completion markers —
+    * regeneration gets a new dir). */
+  private val sourceCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def sourceJaccardKmv(spark: SparkSession, dir: String,
                        k: Int = kmvK,
                        oneRowMax: Long = kmvOneRowMaxSources): DataFrame = {
     import graft.functions.TopKColumns.topKStructs
     val docs = Tables(spark, dir, "documents")
-    val nSources = docs.agg(count_distinct(col("source"))).first().getLong(0)
+    val nSources: Long = sourceCountCache.computeIfAbsent(dir,
+      _ => docs.agg(count_distinct(col("source"))).first().getLong(0))
     val sk = docs
       .select(col("source"), explode(distinctShingles3(col("text"))).as("g"))
       .groupBy(col("source"), col("g")).agg(count(lit(1)).as("dup"))

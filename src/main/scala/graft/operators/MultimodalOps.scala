@@ -116,7 +116,14 @@ object MultimodalOps {
       when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
         .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
         .otherwise("raw").as("format"),
-      when(isMp4, substring(bin, 9, 4).cast("string")).as("brand"),
+      // brand gated on the SAME dispatch precedence as format: bytes
+      // 5-8 spelling 'ftyp' must not leak a brand when an earlier
+      // branch wins the format column (e.g. a BMP whose LE32 file-size
+      // field aliases to 0x66747970) — keeps this path and
+      // [[decodeMedia]] (which emits brand only when mp4 dispatch won)
+      // byte-identical on adversarial payloads
+      when(isMp4 && !isPng && !isJpeg && !isGif && !isBmp && !isWav,
+        substring(bin, 9, 4).cast("string")).as("brand"),
       when(isPng, be32e(bin, 17)).when(isGif, le16e(bin, 7))
         .when(isBmp, le32e(bin, 19)).as("width"),
       when(isPng, be32e(bin, 21)).when(isGif, le16e(bin, 9))
@@ -342,10 +349,14 @@ object MultimodalOps {
     * ≤ 64 boxes). Field extractors re-apply the walk's per-box
     * conditions (type match at a VALID visited box, the version-0
     * size minimums, version byte 0) and take the first match
-    * (min pos), operation-for-operation the JVM walk. The JVM's
-    * largesize (size = 1) and to-end (size = 0) escapes are not
-    * mirrored — no gate payload produces them; they are pinned by the
-    * constructed-array unit specs instead. */
+    * (min pos), operation-for-operation the JVM walk. Deliberately
+    * JVM-ONLY branches (the twin does not mirror them; a gate payload
+    * exercising one would diverge BY DESIGN and must extend the twin
+    * first): the largesize (size = 1) and to-end (size = 0) escapes,
+    * AND the version-1 mvhd (64-bit timescale-offset/duration) and
+    * version-1 tkhd (longer fixed header before the 16.16 dims)
+    * layouts — gate payloads are all version 0; the v1 layouts are
+    * pinned by the constructed-array unit specs instead. */
   private val mmMp4WalkCtes: String =
     """mtop(doc_id, pos, it) AS (
       | SELECT doc_id, 1, 0 FROM d WHERE is_mp4
