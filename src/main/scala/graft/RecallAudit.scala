@@ -87,6 +87,16 @@ object RecallAudit {
       sizes :+= ("range_pairs", exactR.size.toLong)
       entries :+= ("ann_range_ivf", recall(timed("ann_range_ivf") {
         idPairs(operators.VectorOps.annRangeIvf(spark, sfDir)) }, exactR))
+      // the adaptive bound's pruning diagnostics: mean probed fraction
+      // (probed/lists per query). 1.0 on this diffuse corpus is the
+      // certificate that no tau-respecting pruning exists at this SF,
+      // not a regression — recall above is exact by construction.
+      val st = timed("ann_range_ivf_probe_stats") {
+        operators.VectorOps.annRangeIvfProbeStats(spark, sfDir).collect()
+          .map(r => (r.getLong(1), r.getLong(2))) }
+      if (st.nonEmpty)
+        entries :+= ("ann_range_ivf_probe_frac",
+          st.map { case (p, l) => p.toDouble / l }.sum / st.length)
     }
 
     // near-dup recall overall AND on high-margin pairs: the LSH mode's

@@ -343,7 +343,10 @@ object SparkEntry {
     "dedup_embedding" -> VectorOps.embeddingNearDupSql,
     "ann_bruteforce"  -> VectorOps.annBruteForceSql,
     "ann_range_exact" -> VectorOps.annRangeExactSql,
-    // ann_range_ivf: recall<1 by design -> rows-only + recall spec
+    // ann_range_ivf is EXACT since round 12 (adaptive angular-radius
+    // bound probes a certified superset; same cosine kernel) -> it
+    // shares the exact twin's oracle and hash-gates fully
+    "ann_range_ivf"   -> VectorOps.annRangeExactSql,
     // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
     "knn_centroid"    -> VectorOps.knnCentroidSql,
     "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,

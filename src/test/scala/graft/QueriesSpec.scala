@@ -1292,20 +1292,75 @@ class QueriesSpec extends AnyFunSuite {
       "a top-k pair above the threshold must be in the range result")
     // every exact row actually clears the threshold
     assert(exact.values.forall(_ >= operators.VectorOps.rangeMinCos))
-    // auto-probed IVF mode: subset with bit-identical cosines + recall
+    // adaptive-bound IVF mode (round 12): EXACT — the angular-radius
+    // bound probes a certified superset of every qualifying pair's
+    // rank-1 list, and the cosine kernel is the twin's, so the result
+    // is the exact set with bit-identical cosines (this is what lets
+    // the entry share annRangeExactSql's full hash gate)
     val ivf = operators.VectorOps.annRangeIvf(spark, sf).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
-    ivf.foreach { case (k, c) =>
-      assert(exact.get(k).contains(c),
-        s"IVF range pair $k must carry the exact twin's cosine bit-for-bit") }
-    val recall = ivf.count { case (k, _) => exact.contains(k) }.toDouble / exact.size
-    assert(recall >= 0.9, s"auto-probed range recall below floor: $recall")
-    // a deliberately starved probe budget still emits only-correct rows
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ivf === exact,
+      "adaptive-bound range mode must equal the exact twin bit-for-bit")
+    // a deliberately starved fixed probe budget still emits only-correct rows
     val starved = operators.VectorOps.annRangeIvf(spark, sf, probes = 2).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     starved.foreach { case (k, c) =>
       assert(exact.get(k).contains(c), "starved-probe rows must still be exact") }
     assert(starved.length <= exact.size)
+  }
+
+  test("ann_range_ivf: the adaptive bound PRUNES on an angularly tight " +
+    "corpus and stays exact — and certifies no-pruning on the diffuse one") {
+    import org.apache.spark.sql.functions.col
+    // 8 tight clusters in 16 dims: center c is one-hot on dims
+    // (2c, 2c+1); members add ±0.02 coordinate noise (~3° angular
+    // spread). ids cycle through clusters so the lowest-id Lloyd
+    // seeds cover every cluster.
+    val rnd = new scala.util.Random(1234)
+    val rows = (0L until 810L).map { id =>
+      val c = (id % 8).toInt
+      val v = Array.tabulate(16) { d =>
+        val base = if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.04f
+      }
+      (id, v, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range-clustered").toString
+    try {
+      val sess = spark
+      import sess.implicits._
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val tau = 0.9 // the semantic-dup regime: cap 25.8° « 90° cluster separation
+      val exact = operators.VectorOps.annRangeExact(spark, tmp, minCos = tau).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(exact.nonEmpty, "same-cluster pairs must qualify at tau=0.9")
+      val ivf = operators.VectorOps.annRangeIvf(spark, tmp, minCos = tau).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(ivf === exact, "pruned range mode must still equal the exact twin")
+      // pruning engages: the bound admits only the query's own
+      // cluster's lists (~k/8), not the whole index
+      val st = operators.VectorOps.annRangeIvfProbeStats(spark, tmp, minCos = tau)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(st.nonEmpty)
+      st.foreach { case (probed, lists) =>
+        assert(probed * 2 <= lists,
+          s"tight-corpus bound should prune most lists: probed $probed of $lists") }
+      // the no-pruning certificate on the diffuse natural corpus: at
+      // tau=0.35 the caps are list-radius-wide, so the bound admits
+      // (nearly) all lists — probed = lists is the measured statement
+      // "no tau-respecting IVF pruning exists here", not a bug
+      val diffuse = operators.VectorOps.annRangeIvfProbeStats(spark, sf)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      diffuse.foreach { case (probed, lists) =>
+        assert(probed >= lists / 2,
+          "diffuse corpus unexpectedly prunable — revisit the scaladoc claim") }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   test("ann_pq: exact re-ranked cosines, useful recall against brute force") {
