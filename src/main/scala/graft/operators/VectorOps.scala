@@ -1070,15 +1070,30 @@ object VectorOps {
     * the Lloyd subtree the centroid write just materialized. */
   def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String,
                     k: Int = 0,
-                    graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
-    val n = corpusN(spark, dir)
+                    graceMs: Long = Snapshot.DefaultGraceMs): Unit =
+    ivfBuildIndexFrom(spark,
+      Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") >= nQueries).select("vec_id", "embedding"),
+      indexDir, k, graceMs)
+
+  /** [[ivfBuildIndex]] over an EXPLICIT (vec_id, embedding) corpus —
+    * the rebuild entry the drift report actually schedules: the
+    * re-train must cover corpus + accepted stream arrivals, which no
+    * data-dir path names (the [[DedupOps.rebuildIndex]] symmetry).
+    * Same snapshot-isolated staging + completion-marker swap. */
+  def ivfBuildIndexFrom(spark: SparkSession, corpusVecs: DataFrame,
+                        indexDir: String, k: Int = 0,
+                        graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
+    val shaped = corpusVecs
+      .select(col("vec_id"), col("embedding").as("vd"))
+      .withColumn("norm", vecNorm(col("vd")))
+    val n = shaped.count()
     val (kk, _) = ivfKnobsFor(n, k, ivfProbes)
-    val (cents, _) = ivfIndex(spark, dir, kk, n)
+    val cents = trainCentroids(shaped, kk, n)
     val rCents = Snapshot.stageReplace(spark, s"$indexDir/centroids",
       cents, graceMs = graceMs)
     val cRead = rCents.staged
-    val corpus = vecs(spark, dir).filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("vd"))
+    val corpus = shaped.select(col("vec_id"), col("vd"))
     val rInv = Snapshot.stageReplace(spark, s"$indexDir/invlist",
       assignMulti(corpus, cRead)
         .select(col("vec_id").as("neighbor_id"), col("cid")),
@@ -1189,6 +1204,35 @@ object VectorOps {
       .agg(count(lit(1)).as("n_build"),
         percentile_approx(col("d2"), lit(0.95), lit(10000)).as("p95_d2"))
 
+  /** Per-vector PQ RECONSTRUCTION (ADC residual) error against frozen
+    * per-subspace codebooks: Σ over subspaces of the squared distance
+    * from the unit-normalized subvector to its nearest codeword —
+    * exactly the error that degrades `codebooks = true` serving when
+    * the RESIDUAL distribution shifts even while coarse assignment
+    * stays clean. Batch × pqk work (the encode pass's cost shape).
+    * The subspace sum is fixed-point-quantized before summing (the
+    * [[annPq]] adist precedent): 8 doubles added in shuffle order
+    * would make a monitoring threshold nondeterministic. */
+  private def pqReconErr(pts: DataFrame, cb: DataFrame): DataFrame =
+    subExplode(pts, "vec_id")
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2", vecDistSq(col("sub"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("d2")).as("sd2"))
+      .groupBy(col("vec_id"))
+      .agg((sum(floor(col("sd2") * 1e12 + 0.5).cast("long"))
+        .cast("double") / 1e12).as("recon_err"))
+
+  /** Build-time reconstruction-error baseline (`pqstats`, 1 row) —
+    * what the [[ivfDriftReport]] ADC-staleness signal compares
+    * arrivals against; the [[distStatsOf]] shape for the codebook
+    * surface. */
+  private def pqStatsOf(pts: DataFrame, cb: DataFrame): DataFrame =
+    pqReconErr(pts, cb)
+      .agg(count(lit(1)).as("n_build"),
+        percentile_approx(col("recon_err"), lit(0.95), lit(10000))
+          .as("p95_recon"))
+
   private def writeIvfDistStats(spark: SparkSession, points: DataFrame,
                                 cents: DataFrame, indexDir: String): Unit =
     distStatsOf(points, cents)
@@ -1202,7 +1246,8 @@ object VectorOps {
     * lifecycle loop (append → measure → rebuild) the minhash index
     * closes with [[DedupOps.rebuildIndex]].
     *
-    * Two independent signals, one report row:
+    * Three independent signals, one report row (the third only on
+    * codebook-carrying indexes — see the ADC-residual block below):
     *  - DISTRIBUTION drift: the incoming batch is rank-1-assigned
     *    against the frozen centroids (batch × k work, the append's
     *    own cost shape) and `frac_beyond_p95` is the fraction landing
@@ -1281,9 +1326,50 @@ object VectorOps {
         .agg(count(lit(1)).as("_n_indexed"))
     val nNewDf = keyed.join(existing, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("_n_new"))
+    // ADC-RESIDUAL staleness (codebook-carrying indexes only): the
+    // batch's unit-normalized vectors are PQ-reconstruction-scored
+    // against the frozen codebooks and compared to the build-time
+    // `pqstats` envelope — the signal that catches a residual shift
+    // the coarse quantizer tolerates (centroid distances clean while
+    // every codeword misfits), which is exactly what silently erodes
+    // `codebooks = true` serving quality. A pre-pqstats legacy index
+    // derives the baseline once from its current membership (the
+    // diststats migration shape — conservative, replaced by the next
+    // rebuild); a legacy index reached with dir = "" (the streaming
+    // sink) reports null recon columns until migrated.
+    val reconDf: Option[DataFrame] =
+      if (!hExists(spark, s"$indexDir/codebook/_SUCCESS")) None
+      else {
+        if (!hExists(spark, s"$indexDir/pqstats/_SUCCESS") && dir.nonEmpty) {
+          val ids = Snapshot.read(spark, s"$indexDir/ids").select("vec_id")
+          val pts = vecs(spark, dir).filter(col("vec_id") >= nQueries)
+            .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+            .select(col("vec_id"), col("vn"))
+            .join(ids, Seq("vec_id"), "left_semi")
+          pqStatsOf(pts, Snapshot.read(spark, s"$indexDir/codebook"))
+            .write.mode("overwrite").parquet(s"$indexDir/pqstats")
+        }
+        if (!hExists(spark, s"$indexDir/pqstats/_SUCCESS")) None
+        else {
+          val pq = Snapshot.read(spark, s"$indexDir/pqstats")
+            .select(col("p95_recon"))
+          val batchVn = batch
+            .select(col("vec_id"), col("embedding").as("vd"))
+            .withColumn("norm", vecNorm(col("vd")))
+            .withColumn("vn", transform(col("vd"), x => x / col("norm")))
+            .select(col("vec_id"), col("vn"))
+          Some(pqReconErr(batchVn, Snapshot.read(spark, s"$indexDir/codebook"))
+            .crossJoin(broadcast(pq))
+            .agg(
+              avg(when(col("recon_err").isNull ||
+                  col("recon_err") > col("p95_recon"), 1.0)
+                .otherwise(0.0)).as("frac_beyond_p95_recon"),
+              first(col("p95_recon")).as("p95_recon")))
+        }
+      }
     // drift measures the WHOLE batch (a redelivered vector scoring
     // in-envelope is correct — redelivery is not drift)
-    assignD2(batch.select(col("vec_id"), col("embedding").as("vd")), cents)
+    val base = assignD2(batch.select(col("vec_id"), col("embedding").as("vd")), cents)
       .crossJoin(broadcast(stats))
       .agg(count(lit(1)).as("n_batch"),
         avg(when(col("d2").isNull || col("d2") > col("p95_d2"), 1.0)
@@ -1292,14 +1378,21 @@ object VectorOps {
       .crossJoin(broadcast(kBuiltDf))
       .crossJoin(broadcast(nIdxDf))
       .crossJoin(broadcast(nNewDf))
+    val withRecon = reconDf.fold(
+      base.withColumn("frac_beyond_p95_recon", lit(null).cast("double"))
+        .withColumn("p95_recon", lit(null).cast("double")))(r =>
+      base.crossJoin(broadcast(r)))
+    withRecon
       .withColumn("k_auto",
         greatest(lit(ivfK),
           ceil(sqrt(col("_n_indexed") + col("_n_new"))).cast("int")))
       .withColumn("drifted",
         // coalesce: an empty batch has a null frac (avg over zero
         // rows) — report "not drifted" rather than a null verdict
-        // that would NPE a Boolean reader
+        // that would NPE a Boolean reader; a null recon frac (no
+        // codebooks / unmigrated legacy) likewise never flags
         coalesce(col("frac_beyond_p95") > lit(driftFrac), lit(false)) ||
+          coalesce(col("frac_beyond_p95_recon") > lit(driftFrac), lit(false)) ||
           col("k_auto") >= col("k_built") * 2)
       .drop("_n_indexed", "_n_new")
   }
@@ -1597,13 +1690,26 @@ object VectorOps {
     * served many times ([[annIvfPqQuery]]). */
   def ivfpqBuildIndex(spark: SparkSession, dir: String, indexDir: String,
                       k: Int = 0,
-                      graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
-    val n = corpusN(spark, dir)
+                      graceMs: Long = Snapshot.DefaultGraceMs): Unit =
+    ivfpqBuildIndexFrom(spark,
+      Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") >= nQueries).select("vec_id", "embedding"),
+      indexDir, k, graceMs)
+
+  /** [[ivfpqBuildIndex]] over an EXPLICIT (vec_id, embedding) corpus —
+    * the IVF-PQ rebuild the drift report schedules (corpus + accepted
+    * arrivals), the [[ivfBuildIndexFrom]] symmetry. */
+  def ivfpqBuildIndexFrom(spark: SparkSession, corpusVecs: DataFrame,
+                          indexDir: String, k: Int = 0,
+                          graceMs: Long = Snapshot.DefaultGraceMs): Unit = {
+    val shaped = corpusVecs
+      .select(col("vec_id"), col("embedding").as("vd"))
+      .withColumn("norm", vecNorm(col("vd")))
+    val n = shaped.count()
     val (kResolved, _) = ivfKnobsFor(n, k, ivfProbes)
-    val (cents, _) = ivfIndex(spark, dir, kResolved, n)
-    val corpus = vecs(spark, dir)
+    val cents = trainCentroids(shaped, kResolved, n)
+    val corpus = shaped
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
-      .filter(col("vec_id") >= nQueries)
     val (cb, pqCodes) = pqEncode(corpus, pqKFor(n), n)
 
     // snapshot-isolated build/rebuild — the [[ivfBuildIndex]] shape:
@@ -1628,16 +1734,21 @@ object VectorOps {
       rCodes.staged.select(col("neighbor_id").as("vec_id")).distinct()
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       partitionCols = Seq("kb"), graceMs = graceMs)
-    // drift baseline: the coarse quantizer is the drift surface the
-    // report measures (codebook drift follows it), so the IVF-PQ
-    // index carries the same diststats an IVF index does
+    // drift baselines: coarse-assignment distances (diststats, the
+    // IVF surface) AND per-vector reconstruction error against the
+    // staged codebooks (pqstats, the ADC surface — residual drift
+    // erodes `codebooks = true` serving even when coarse assignment
+    // stays clean, so it gets its own baseline and report signal)
     val rDist = Snapshot.stageReplace(spark, s"$indexDir/diststats",
       distStatsOf(corpus.select(col("vec_id"), col("vd")), cRead),
+      graceMs = graceMs)
+    val rPq = Snapshot.stageReplace(spark, s"$indexDir/pqstats",
+      pqStatsOf(corpus.select(col("vec_id"), col("vn")), rCb.staged),
       graceMs = graceMs)
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/codes/_SUCCESS")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(marker, false)
-    rCents.commit(); rCb.commit(); rIds.commit(); rDist.commit()
+    rCents.commit(); rCb.commit(); rIds.commit(); rDist.commit(); rPq.commit()
     rCodes.commit()
   }
 

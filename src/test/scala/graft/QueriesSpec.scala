@@ -239,6 +239,72 @@ class QueriesSpec extends AnyFunSuite {
       .getAs[Boolean]("drifted"))
   }
 
+  test("ivfDriftReport ADC-residual staleness: reflected residuals flag while " +
+    "coarse stays clean; legacy index derives pqstats; plain IVF reports null") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val pq = Files.createTempDirectory("graft-ivfpq-adc").toString
+    operators.VectorOps.ivfpqBuildIndex(spark, sf, pq)
+    val base = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries &&
+        pmod(col("vec_id"), lit(3)) === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val sess = spark
+    import sess.implicits._
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+
+    // same-distribution arrivals: BOTH signals inside their envelopes
+    val identity = df(base.toSeq.map { case (id, v) => (1000000L + id, v) })
+    val ok = operators.VectorOps.ivfDriftReport(spark, sf, pq, identity)
+      .collect().head
+    assert(!ok.getAs[Boolean]("drifted"))
+    assert(ok.getAs[Double]("frac_beyond_p95_recon") <= 0.10)
+
+    // REFLECT each vector about its nearest centroid (v' = 2c − v):
+    // the rank-1 assignment distance is PRESERVED — coarse drift is
+    // blind by construction — while the residual direction flips, so
+    // only the ADC-reconstruction signal can catch it (measured:
+    // coarse 0.049 = the identity rate, recon 0.467)
+    val cents = operators.Snapshot.read(spark, s"$pq/centroids")
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    def reflect(v: Array[Float]): Array[Float] = {
+      val c = cents.minBy(cv =>
+        cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      Array.tabulate(v.length)(i => (2.0 * c(i) - v(i)).toFloat)
+    }
+    val reflected = df(base.toSeq.map { case (id, v) => (2000000L + id, reflect(v)) })
+    val bad = operators.VectorOps.ivfDriftReport(spark, sf, pq, reflected)
+      .collect().head
+    assert(bad.getAs[Double]("frac_beyond_p95") <= 0.10,
+      "reflection must leave the coarse signal clean — that blindness is the point")
+    assert(bad.getAs[Double]("frac_beyond_p95_recon") > 0.10,
+      "the ADC-residual signal must catch the flipped residuals")
+    assert(bad.getAs[Boolean]("drifted"))
+
+    // legacy index (pre-pqstats): one dir-bearing call derives the
+    // baseline from current membership; dir-less calls then serve
+    // off the stored baseline (the streaming sink's shape)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(pq + "/pqstats"))
+    val rederived = operators.VectorOps.ivfDriftReport(spark, sf, pq, reflected)
+      .collect().head
+    assert(rederived.getAs[Double]("frac_beyond_p95_recon") > 0.10)
+    val dirless = operators.VectorOps.ivfDriftReport(spark, "", pq, reflected)
+      .collect().head
+    assert(dirless.getAs[Double]("frac_beyond_p95_recon") > 0.10)
+
+    // a codebook-less IVF index reports null recon columns and never
+    // flags on them
+    val ivf = Files.createTempDirectory("graft-ivf-adc").toString
+    operators.VectorOps.ivfBuildIndex(spark, sf, ivf)
+    val plain = operators.VectorOps.ivfDriftReport(spark, sf, ivf, identity)
+      .collect().head
+    assert(plain.isNullAt(plain.fieldIndex("frac_beyond_p95_recon")))
+    assert(!plain.getAs[Boolean]("drifted"))
+  }
+
   test("ivfpqAppend: frozen-codebook encode matches the builder; rebuild re-sizes a drifted quantizer") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val idxFull = Files.createTempDirectory("graft-ivfpq-full").toString

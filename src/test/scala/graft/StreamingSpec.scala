@@ -571,6 +571,122 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.forall(_.getAs[Double]("frac_beyond_p95") > 0.5))
   }
 
+  /** The full drift→rebuild lifecycle through [[Pipelines
+    * .vectorIndexSink]], ONE checkpoint end to end — the vector
+    * symmetry of the minhash drift-rebuild cycle spec: (1)
+    * out-of-distribution arrivals append against the frozen quantizer
+    * and the drift log FLAGS; (2) the operator answers with the
+    * snapshot-isolated rebuild over corpus + accepted arrivals
+    * ([[graft.operators.VectorOps.ivfBuildIndexFrom]] /
+    * `ivfpqBuildIndexFrom`); (3) subsequent triggers on the SAME
+    * checkpoint append against the NEW quantizer, their drift report
+    * goes clean, and the streamed store is bit-identical to a batch
+    * build+append over the same data. */
+  private def vectorDriftRebuildCycle(codebooks: Boolean): Unit = {
+    val broker = tmpDir("graft-broker")
+    val sf = SparkSpec.sf
+    val idx = tmpDir(s"graft-vecidx-cycle$codebooks")
+    val ckpt = tmpDir("graft-ckpt")
+    if (codebooks) operators.VectorOps.ivfpqBuildIndex(spark, sf, idx)
+    else operators.VectorOps.ivfBuildIndex(spark, sf, idx)
+
+    // OOD arrivals: a TIGHT planted cluster far from the corpus (one
+    // base point + deterministic per-id jitter). Tightness is load-
+    // bearing: a diverse shifted COPY of the corpus keeps a 5x-scaled
+    // residual spread, so ~1/3 of it sits beyond the pooled p95 even
+    // after its own rebuild (measured — the first cut of this spec
+    // never went clean); a tight cluster is far from every OLD
+    // centroid (flags) and earns its own centroid on rebuild with
+    // jitter-sized residuals (clean).
+    val dim = Tables(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    val nArr = 38
+    def planted(id: Long): Array[Float] =
+      Array.tabulate(dim)(i => 2.0f + 0.01f * (((id * 31 + i) % 7) - 3))
+    def publish(base: Long): Unit =
+      GraftQueueBroker.publish(broker, "vecs", (1 to nArr).map { j =>
+        val id = base + j
+        GraftQueueBroker.textMsg(id, 1700000000000000L + id, "t/vecs/0",
+          planted(id).mkString(",")) })
+    def drain(): Unit = {
+      val msgs = Pipelines.readQueues(spark, broker, Seq("vecs"),
+        maxRecordsPerTrigger = Some(nArr))
+      val q = Pipelines
+        .vectorIndexSink(msgs, idx, driftEvery = 1, codebooks = codebooks)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: OOD arrivals fold in under the frozen quantizer; FLAG
+    publish(20000000L)
+    drain()
+    assert(Pipelines.driftLog(spark, idx).collect()
+      .exists(_.getAs[Boolean]("drifted")),
+      "out-of-distribution trigger must flag the rebuild")
+
+    // phase 2: the scheduled rebuild — corpus + accepted arrivals —
+    // and the SAME deterministic build into a reference dir (the
+    // streamed lifecycle must stay bit-identical to the batch one)
+    import spark.implicits._
+    def arrivalsDf(base: Long) = (1 to nArr)
+      .map { j => (base + j, planted(base + j)) }
+      .toDF("vec_id", "embedding")
+    val arrivals1 = arrivalsDf(20000000L)
+    val union = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= operators.VectorOps.nQueries)
+      .select("vec_id", "embedding")
+      .unionAll(arrivals1)
+    val idxRef = tmpDir(s"graft-vecidx-cycleref$codebooks")
+    for (d <- Seq(idx, idxRef)) {
+      if (codebooks) operators.VectorOps.ivfpqBuildIndexFrom(spark, union, d)
+      else operators.VectorOps.ivfBuildIndexFrom(spark, union, d)
+    }
+
+    // phase 3: post-rebuild arrivals (the now-in-baseline shifted
+    // distribution, fresh ids) on the SAME checkpoint
+    publish(40000000L)
+    drain()
+    val log = Pipelines.driftLog(spark, idx).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(!log.last.getAs[Boolean]("drifted"),
+      "post-rebuild in-distribution trigger must record clean — drift cleared")
+    assert(log.exists(_.getAs[Boolean]("drifted")),
+      "the flagged pre-rebuild report remains in the log history")
+    if (codebooks)
+      assert(log.forall(r => !r.isNullAt(r.fieldIndex("frac_beyond_p95_recon"))),
+        "codebooks-mode driftlog rows must carry the ADC-residual signal")
+
+    // the streamed appends against the NEW quantizer equal the batch
+    // append API on the reference index, row for row
+    val arrivals2 = arrivalsDf(40000000L)
+    if (codebooks) operators.VectorOps.ivfpqAppend(spark, arrivals2, idxRef)
+    else operators.VectorOps.ivfAppend(spark, arrivals2, idxRef)
+    val listTable = if (codebooks) "codes" else "invlist"
+    def rows(d: String): Set[String] = {
+      val df = operators.Snapshot.read(spark, s"$d/$listTable")
+      df.select(df.columns.sorted.map(col).toSeq: _*)
+        .collect().map(_.mkString("|")).toSet
+    }
+    assert(rows(idx) === rows(idxRef),
+      "streamed lifecycle must equal the batch build+append bit-for-bit")
+
+    // and the rebuilt index serves
+    val served =
+      if (codebooks) operators.VectorOps.annIvfPqQuery(spark, sf, idx)
+      else operators.VectorOps.annIvfQuery(spark, sf, idx)
+    assert(served.count() > 0)
+  }
+
+  test("vector-index sink drift-rebuild cycle: flag -> rebuild -> new " +
+    "quantizer appends -> drift clears (IVF)") {
+    vectorDriftRebuildCycle(codebooks = false)
+  }
+
+  test("vector-index sink drift-rebuild cycle: flag -> rebuild -> new " +
+    "quantizer appends -> drift clears (IVF-PQ codebooks mode)") {
+    vectorDriftRebuildCycle(codebooks = true)
+  }
+
   test("streaming incremental dedup: per-trigger index probe equals the batch probe") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-dedup-table")
