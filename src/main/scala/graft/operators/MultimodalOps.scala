@@ -168,13 +168,16 @@ object MultimodalOps {
     * dims stay null on every path), tag 5 is a REAL JFIF header —
     * full 16-byte APP0 segment followed by an SOF0 frame header with
     * BE16 dims and 3 components — so the [[decodeMedia]] segment
-    * walk has an actual variable-offset SOF to find. Two MP4 variants
-    * under tag 6 (split on id/8 parity): a full spec-shaped box tree
-    * — ftyp(isom) + moov[mvhd(timescale, duration) + trak[tkhd(16.16
-    * dims)]] with proper sizes, versions, and unity matrices — so the
-    * [[mp4Meta]] nested walk has real boxes to descend, and a bare
-    * ftyp(mp42) prefix whose top-level walk runs into text bytes and
-    * must degrade to brand-only. Tag 7 carries no header → raw. */
+    * walk has an actual variable-offset SOF to find. THREE MP4
+    * variants under tag 6 (split on id/8 then id/16 parity): a full
+    * spec-shaped box tree with the SAMPLE-TABLE chain — ftyp(isom) +
+    * moov[mvhd + trak[tkhd + mdia[mdhd(media timescale) +
+    * minf[stbl[stts(3 id-derived run-length entries)]]]]] — so the
+    * VFR media-time mapping has a real table to walk; the same tree
+    * WITHOUT mdia (the constant-frame-rate degrade path stays
+    * hash-gated); and a bare ftyp(mp42) prefix whose top-level walk
+    * runs into text bytes and must degrade to brand-only. Tag 7
+    * carries no header → raw. */
   def taggedPayload: Column = {
     val id = col("doc_id")
     val w = lit(16L) + pmod(id, lit(1000L))
@@ -203,6 +206,37 @@ object MultimodalOps {
       mvhdHex,
       lit("00000064" + "7472616B"), // trak(100) = 8 + tkhd(92)
       tkhdHex)
+    // VFR variant: the trak additionally carries the sample-table
+    // chain mdia[mdhd(media timescale) + minf[stbl[stts(3 run-length
+    // entries, id-derived counts/deltas)]]] — the real media-time
+    // mapping [[mp4TimeSample]] walks; the CFR variant above keeps
+    // the constant-rate degrade path hash-gated
+    val mtsQ = lit(200L) + pmod(id, lit(3L)) * 100L // quarter-delta: 200/300/400
+    val mts = mtsQ * 4L // mdhd timescale 800/1200/1600
+    val c1 = lit(1L) + pmod(id, lit(7L))
+    val c2 = lit(1L) + pmod(id, lit(11L))
+    val c3 = lit(1L) + pmod(id, lit(200L))
+    val d1 = mtsQ * 4L // 1 s/frame
+    val d2 = mtsQ // 0.25 s/frame
+    val d3 = mtsQ * 8L // 2 s/frame
+    val mdurMedia = c1 * d1 + c2 * d2 + c3 * d3
+    val sttsHex = concat(
+      lit("00000028" + "73747473" + "00000000" + "00000003"),
+      be32h(c1), be32h(d1), be32h(c2), be32h(d2), be32h(c3), be32h(d3))
+    val mdiaHex = concat(
+      lit("00000060" + "6D646961" + // mdia(96) = 8 + mdhd(32) + minf(56)
+        "00000020" + "6D646864" + "00000000" + "00000000" + "00000000"),
+      be32h(mts), be32h(mdurMedia),
+      lit("00000000" + // mdhd language/pre_defined
+        "00000038" + "6D696E66" + // minf(56) = 8 + stbl(48)
+        "00000030" + "7374626C"), // stbl(48) = 8 + stts(40)
+      sttsHex)
+    val mp4VfrHex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200" +
+        "00000138" + "6D6F6F76"), // moov(312) = 8 + mvhd(108) + trak(196)
+      mvhdHex,
+      lit("000000C4" + "7472616B"), // trak(196) = 8 + tkhd(92) + mdia(96)
+      tkhdHex, mdiaHex)
     val tag = pmod(id, lit(8L))
     val headerHex =
       when(tag === 0, concat( // PNG signature + IHDR(len 13): w/h BE32, depth 8, color type
@@ -222,6 +256,8 @@ object MultimodalOps {
         lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
           "0001" + "0001" + "00" + "00" + "FFC00011" + "08"),
         be16h(h), be16h(w), lit("03" + "012200" + "021101" + "031101")))
+      .when(tag === 6 && pmod(floor(id / 8).cast("long"), lit(2L)) === 0 &&
+          pmod(floor(id / 16).cast("long"), lit(2L)) === 0, mp4VfrHex)
       .when(tag === 6 && pmod(floor(id / 8).cast("long"), lit(2L)) === 0, mp4Hex)
       .when(tag === 6, // bare ftyp, brand mp42: walk degrades to brand-only
         lit("00000010" + "66747970" + "6D703432" + "00000200"))
@@ -248,8 +284,12 @@ object MultimodalOps {
       |  1 + doc_id % 2 AS wch, 8000 + (doc_id % 5) * 8000 AS rate,
       |  600 * (1 + doc_id % 3) AS ts,
       |  600 * (1 + doc_id % 3) * (1 + doc_id % 300) + doc_id % 97 AS dur,
+      |  200 + (doc_id % 3) * 100 AS mtsq,
+      |  1 + doc_id % 7 AS c1, 1 + doc_id % 11 AS c2, 1 + doc_id % 200 AS c3,
       |  doc_id % 8 AS tag
       | FROM documents),
+      |base2 AS (
+      | SELECT *, (c1*mtsq*4 + c2*mtsq + c3*mtsq*8) AS mdm FROM base),
       |hdr AS (
       | SELECT doc_id, tb, CASE tag
       |  WHEN 0 THEN [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
@@ -267,7 +307,38 @@ object MultimodalOps {
       |   0,1, 0,1, 0, 0,
       |   255,192, 0,17, 8, h//256%256, h%256, w//256%256, w%256,
       |   3, 1,34,0, 2,17,1, 3,17,1]
-      |  WHEN 6 THEN CASE WHEN (doc_id // 8) % 2 = 0 THEN
+      |  WHEN 6 THEN CASE
+      |   WHEN (doc_id // 8) % 2 = 0 AND (doc_id // 16) % 2 = 0 THEN
+      |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
+      |    0,0,1,56, 109,111,111,118,
+      |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    ts//16777216%256, ts//65536%256, ts//256%256, ts%256,
+      |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
+      |    0,1,0,0, 1,0, 0,0, 0,0,0,0, 0,0,0,0,
+      |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 64,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    0,0,0,2,
+      |    0,0,0,196, 116,114,97,107,
+      |    0,0,0,92, 116,107,104,100, 0,0,0,7, 0,0,0,0, 0,0,0,0,
+      |    0,0,0,1, 0,0,0,0,
+      |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
+      |    0,0,0,0, 0,0,0,0, 0,0, 0,0, 0,0, 0,0,
+      |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 64,0,0,0,
+      |    w//256%256, w%256, 0,0, h//256%256, h%256, 0,0,
+      |    0,0,0,96, 109,100,105,97,
+      |    0,0,0,32, 109,100,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    0,0, (mtsq*4)//256%256, (mtsq*4)%256,
+      |    mdm//16777216%256, mdm//65536%256, mdm//256%256, mdm%256,
+      |    0,0,0,0,
+      |    0,0,0,56, 109,105,110,102,
+      |    0,0,0,48, 115,116,98,108,
+      |    0,0,0,40, 115,116,116,115, 0,0,0,0, 0,0,0,3,
+      |    0,0,0,c1, 0,0, (mtsq*4)//256%256, (mtsq*4)%256,
+      |    0,0,0,c2, 0,0, mtsq//256%256, mtsq%256,
+      |    0,0,0,c3, 0,0, (mtsq*8)//256%256, (mtsq*8)%256]
+      |   WHEN (doc_id // 8) % 2 = 0 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
       |    0,0,0,216, 109,111,111,118,
       |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
@@ -288,7 +359,7 @@ object MultimodalOps {
       |    w//256%256, w%256, 0,0, h//256%256, h%256, 0,0]
       |   ELSE [0,0,0,16, 102,116,121,112, 109,112,52,50, 0,0,2,0] END
       |  ELSE CAST([] AS BIGINT[]) END AS hb
-      | FROM base),
+      | FROM base2),
       |p AS (SELECT doc_id, list_concat(hb, tb) AS b FROM hdr),
       |d AS (
       | SELECT doc_id, b, len(b) AS n,
@@ -451,6 +522,113 @@ object MultimodalOps {
       |  CAST((d.b[k.pos+88]*16777216 + d.b[k.pos+89]*65536 + d.b[k.pos+90]*256 + d.b[k.pos+91]) // 65536 AS BIGINT) AS vh
       | FROM mtkhd k JOIN d USING (doc_id))""".stripMargin
 
+  /** DuckDB twin of the sample-table chain — three more chained
+    * recursive-CTE levels below [[mmMp4WalkCtes]]'s trak walk (mdia
+    * children, minf children, stbl children), then the mdhd media
+    * timescale (version 0 — the v1 layout stays JVM-only, pinned by
+    * unit specs like the mvhd/tkhd asymmetry) and the stts run-length
+    * entries under the walk's own validity gates (first box wins,
+    * size ≥ 16, 1 ≤ entry_count ≤ [[sttsMaxEntries]], declared size
+    * covers the entries, every count and delta positive — a failed
+    * gate drops the doc from `sttsok`, the CFR-degrade mirror). */
+  private val mmSttsCtes: String =
+    """mmdia AS (
+      | SELECT doc_id, min(pos) AS pos FROM mtk t JOIN d USING (doc_id)
+      | WHERE t.it < 64 AND t.pos + 8 <= t.endp
+      |  AND d.b[t.pos]*16777216 + d.b[t.pos+1]*65536 + d.b[t.pos+2]*256 + d.b[t.pos+3]
+      |      BETWEEN 8 AND t.endp - t.pos
+      |  AND d.b[t.pos+4]=109 AND d.b[t.pos+5]=100 AND d.b[t.pos+6]=105 AND d.b[t.pos+7]=97
+      | GROUP BY doc_id),
+      |mdch(doc_id, pos, endp, it) AS (
+      | SELECT m.doc_id, m.pos + 8,
+      |  m.pos + (d.b[m.pos]*16777216 + d.b[m.pos+1]*65536 + d.b[m.pos+2]*256 + d.b[m.pos+3]),
+      |  0
+      | FROM mmdia m JOIN d USING (doc_id)
+      | UNION ALL
+      | SELECT c.doc_id,
+      |  c.pos + (d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]),
+      |  c.endp, c.it + 1
+      | FROM mdch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos),
+      |mmdhd AS (
+      | SELECT doc_id, min(pos) AS pos FROM mdch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 24 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=109 AND d.b[c.pos+5]=100 AND d.b[c.pos+6]=104 AND d.b[c.pos+7]=100
+      |  AND d.b[c.pos+8]=0
+      | GROUP BY doc_id),
+      |mmts AS (
+      | SELECT h.doc_id,
+      |  d.b[h.pos+20]*16777216 + d.b[h.pos+21]*65536 + d.b[h.pos+22]*256 + d.b[h.pos+23] AS mts
+      | FROM mmdhd h JOIN d USING (doc_id)),
+      |mminf AS (
+      | SELECT doc_id, min(pos) AS pos FROM mdch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=109 AND d.b[c.pos+5]=105 AND d.b[c.pos+6]=110 AND d.b[c.pos+7]=102
+      | GROUP BY doc_id),
+      |nfch(doc_id, pos, endp, it) AS (
+      | SELECT m.doc_id, m.pos + 8,
+      |  m.pos + (d.b[m.pos]*16777216 + d.b[m.pos+1]*65536 + d.b[m.pos+2]*256 + d.b[m.pos+3]),
+      |  0
+      | FROM mminf m JOIN d USING (doc_id)
+      | UNION ALL
+      | SELECT c.doc_id,
+      |  c.pos + (d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]),
+      |  c.endp, c.it + 1
+      | FROM nfch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos),
+      |mstbl AS (
+      | SELECT doc_id, min(pos) AS pos FROM nfch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=115 AND d.b[c.pos+5]=116 AND d.b[c.pos+6]=98 AND d.b[c.pos+7]=108
+      | GROUP BY doc_id),
+      |sbch(doc_id, pos, endp, it) AS (
+      | SELECT m.doc_id, m.pos + 8,
+      |  m.pos + (d.b[m.pos]*16777216 + d.b[m.pos+1]*65536 + d.b[m.pos+2]*256 + d.b[m.pos+3]),
+      |  0
+      | FROM mstbl m JOIN d USING (doc_id)
+      | UNION ALL
+      | SELECT c.doc_id,
+      |  c.pos + (d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]),
+      |  c.endp, c.it + 1
+      | FROM sbch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 8 AND c.endp - c.pos),
+      |mstts AS (
+      | SELECT doc_id, min(pos) AS pos FROM sbch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 16 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=115 AND d.b[c.pos+5]=116 AND d.b[c.pos+6]=116 AND d.b[c.pos+7]=115
+      | GROUP BY doc_id),
+      |sttse AS (
+      | SELECT s.doc_id, CAST(j AS BIGINT) AS eidx,
+      |  d.b[s.pos+16+8*j]*16777216 + d.b[s.pos+17+8*j]*65536
+      |   + d.b[s.pos+18+8*j]*256 + d.b[s.pos+19+8*j] AS cnt,
+      |  d.b[s.pos+20+8*j]*16777216 + d.b[s.pos+21+8*j]*65536
+      |   + d.b[s.pos+22+8*j]*256 + d.b[s.pos+23+8*j] AS dlt
+      | FROM mstts s JOIN d USING (doc_id),
+      |  LATERAL unnest(generate_series(0,
+      |   d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] - 1))
+      |   AS u(j)
+      | WHERE d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15]
+      |       BETWEEN 1 AND 64
+      |  AND d.b[s.pos]*16777216 + d.b[s.pos+1]*65536 + d.b[s.pos+2]*256 + d.b[s.pos+3]
+      |      >= 16 + 8*(d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15])),
+      |sttsok AS (
+      | SELECT doc_id FROM sttse GROUP BY doc_id
+      | HAVING min(cnt) > 0 AND min(dlt) > 0)""".stripMargin
+
   /** The field select, parameterized on whether the path carries the
     * variable-offset walks (JPEG SOF segments, MP4 nested boxes): the
     * batched JVM path ([[decodeMedia]]) walks both for dims/duration,
@@ -552,7 +730,20 @@ object MultimodalOps {
     * truncated or garbage tail degrades to absent fields, never an
     * OOB read. Returns (brand, width, height, duration_ms) where
     * duration_ms = ⌊duration·1000 / timescale⌋. */
-  private[graft] def mp4Meta(p: Array[Byte]): (Option[String], Option[Long], Option[Long], Option[Long]) = {
+  /** Full result of the bounded box walk: the [[mp4Meta]] surface plus
+    * the sample-timing tables ([[mp4TimeSample]]'s VFR inputs) — mdhd
+    * media timescale and the stts (sample_count, sample_delta)
+    * entries, both None/0 when absent or malformed (CFR degrade). */
+  private[graft] final case class Mp4Walk(
+      brand: Option[String], w: Option[Long], h: Option[Long],
+      durMs: Option[Long], mdhdTs: Long, stts: Option[Array[(Long, Long)]])
+
+  /** stts entry cap: a sample table with more entries than this
+    * degrades to the CFR model rather than an unbounded read — the
+    * ≤ 64-boxes-per-level stance applied to table entries. */
+  private[graft] val sttsMaxEntries = 64
+
+  private[graft] def mp4WalkAll(p: Array[Byte]): Mp4Walk = {
     val n = p.length
     def u(i: Int) = p(i) & 0xFF
     def be32(o: Int): Long = (u(o).toLong << 24) | (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
@@ -563,6 +754,9 @@ object MultimodalOps {
     var h: Option[Long] = None
     var timescale = 0L
     var duration = -1L
+    var mdhdTs = 0L
+    var stts: Option[Array[(Long, Long)]] = None
+    var sttsSeen = false
     def walk(start: Int, end: Int, depth: Int): Unit = {
       var pos = start
       var it = 0
@@ -580,7 +774,10 @@ object MultimodalOps {
         cc(pos + 4) match {
           case "ftyp" if size >= hdr + 4 && brand.isEmpty =>
             brand = Some(cc(pos + hdr))
-          case "moov" | "trak" if depth < 4 =>
+          // the sample-table chain trak→mdia→minf→stbl is three more
+          // pure-container levels below the original moov/trak walk —
+          // same recursion, same bounds, depth cap widened to fit it
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
             walk(pos + hdr, boxEnd, depth + 1)
           case "mvhd" if timescale == 0 =>
             val v = if (size >= hdr + 1) u(pos + hdr) else -1
@@ -596,6 +793,26 @@ object MultimodalOps {
             } else if (v == 1 && size >= hdr + 96) {
               w = Some(be32(pos + hdr + 88) >> 16); h = Some(be32(pos + hdr + 92) >> 16)
             }
+          case "mdhd" if mdhdTs == 0 =>
+            // media timescale — the unit the stts deltas count in
+            // (v1: 64-bit creation/modification push it 8 bytes out)
+            val v = if (size >= hdr + 1) u(pos + hdr) else -1
+            if (v == 0 && size >= hdr + 16) mdhdTs = be32(pos + hdr + 12)
+            else if (v == 1 && size >= hdr + 24) mdhdTs = be32(pos + hdr + 20)
+          case "stts" if !sttsSeen =>
+            sttsSeen = true // first stts decides; a later one never overrides
+            if (size >= hdr + 8) {
+              val entryCount = be32(pos + hdr + 4)
+              if (entryCount >= 1 && entryCount <= sttsMaxEntries &&
+                size >= hdr + 8 + 8 * entryCount) {
+                val es = Array.tabulate(entryCount.toInt) { j =>
+                  (be32(pos + hdr + 8 + 8 * j), be32(pos + hdr + 12 + 8 * j))
+                }
+                // a non-positive count or delta is malformed: degrade
+                // to CFR rather than divide-by-zero or loop forever
+                if (es.forall { case (c, d) => c > 0 && d > 0 }) stts = Some(es)
+              }
+            }
           case _ =>
         }
         pos = boxEnd
@@ -604,7 +821,28 @@ object MultimodalOps {
     }
     walk(0, n, 0)
     val durMs = if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale) else None
-    (brand, w, h, durMs)
+    Mp4Walk(brand, w, h, durMs, mdhdTs, stts)
+  }
+
+  private[graft] def mp4Meta(p: Array[Byte]): (Option[String], Option[Long], Option[Long], Option[Long]) = {
+    val r = mp4WalkAll(p)
+    (r.brand, r.w, r.h, r.durMs)
+  }
+
+  /** Media-time → sample ordinal through the stts table: the index of
+    * the sample whose duration interval contains `tMedia` (in mdhd
+    * units); instants past the table clamp to the last sample. */
+  private[graft] def sttsFrameAt(tMedia: Long, entries: Array[(Long, Long)]): Long = {
+    var cumC = 0L
+    var cumD = 0L
+    var i = 0
+    while (i < entries.length) {
+      val (c, d) = entries(i)
+      if (tMedia < cumD + c * d) return cumC + (tMedia - cumD) / d
+      cumC += c; cumD += c * d
+      i += 1
+    }
+    math.max(0L, cumC - 1)
   }
 
   /** The same codec as [[mediaFields]], as plain JVM byte parsing —
@@ -732,14 +970,25 @@ object MultimodalOps {
     * than a short high-bitrate one of equal bytes. For each full-tree
     * MP4 payload, emit one row per sample instant t = 0, N, 2N …
     * ≤ duration, mapping each instant to its frame ordinal and byte
-    * offset by exact integer arithmetic (frame = ⌊t·n_frames /
-    * duration⌋ clamped to the last frame — the constant-frame-rate
-    * model; a real demuxer replaces this with the stts table walk at
-    * the same per-partition batch shape). Payloads without a walked
-    * duration (bare-ftyp, non-video containers, raw) contribute no
-    * rows — absence is the dispatch signal. One mapPartitions pass,
-    * ZERO shuffles; deterministic integers → full DuckDB hash gate
-    * against the recursive-CTE box-walk twin + generate_series. */
+    * offset by exact integer arithmetic. The TIME→FRAME mapping is
+    * the REAL demuxer mapping when the payload carries a sample
+    * table: instant → media units through the mdhd timescale
+    * (t_media = ⌊t_ms · mdhd_ts / 1000⌋), then the stts
+    * (sample_count, sample_delta) run-length walk picks the sample
+    * whose duration interval contains t_media ([[sttsFrameAt]] —
+    * variable frame durations honored exactly; instants past the
+    * table clamp to the last sample). Payloads WITHOUT a walkable
+    * stts/mdhd (or a malformed one — zero deltas, oversized entry
+    * count) degrade to the constant-frame-rate model (frame =
+    * ⌊t·n_frames / duration⌋ over byte-derived frames) — both paths
+    * hash-gated by their own gate-payload population. The FRAME→BYTE
+    * mapping stays the fixed-stride model on both paths (the honest
+    * next rung is the stsz/stco chunk-offset walk). Payloads without
+    * a walked duration (bare-ftyp, non-video containers, raw)
+    * contribute no rows — absence is the dispatch signal. One
+    * mapPartitions pass, ZERO shuffles; deterministic integers →
+    * full DuckDB hash gate against the recursive-CTE box-walk twin +
+    * generate_series. */
   def mp4TimeSample(spark: SparkSession, dir: String,
                     intervalMs: Long = timeSampleIntervalMs): DataFrame = {
     import spark.implicits._
@@ -753,10 +1002,15 @@ object MultimodalOps {
             val f = decodeMedia(id, p)
             f.duration_ms match {
               case Some(dur) if f.format == "mp4" && dur > 0 =>
+                val wk = mp4WalkAll(p)
+                val vfr = wk.stts.filter(_ => wk.mdhdTs > 0)
                 val nFrames = math.max(1L, (f.byte_len + frameBytes - 1) / frameBytes)
                 (0L to dur / intervalMs).iterator.map { i =>
                   val tMs = i * intervalMs
-                  val frameIdx = math.min(nFrames - 1, tMs * nFrames / dur)
+                  val frameIdx = vfr match {
+                    case Some(es) => sttsFrameAt(tMs * wk.mdhdTs / 1000L, es)
+                    case None => math.min(nFrames - 1, tMs * nFrames / dur)
+                  }
                   (id, i, tMs, frameIdx, frameIdx * frameBytes)
                 }
               case _ => Iterator.empty
@@ -768,22 +1022,51 @@ object MultimodalOps {
   }
 
   val mp4TimeSampleSql: String =
-    mmPayloadCte + ",\n" + mmMp4WalkCtes + s""",
+    mmPayloadCte + ",\n" + mmMp4WalkCtes + ",\n" + mmSttsCtes + s""",
       |vids AS (
       | SELECT d.doc_id, m.mdur_ms,
       |  greatest(1, (d.n + $frameBytes - 1) // $frameBytes) AS nf
       | FROM d JOIN mms m USING (doc_id)
       | WHERE d.is_mp4 AND m.mdur_ms IS NOT NULL AND m.mdur_ms > 0),
-      |s AS (
+      |smp AS (
       | SELECT doc_id, mdur_ms, nf,
       |  unnest(generate_series(0, CAST(mdur_ms // $timeSampleIntervalMs AS BIGINT))) AS i
-      | FROM vids)
+      | FROM vids),
+      |vfr AS (
+      | SELECT e.doc_id, t.mts, e.eidx, e.cnt, e.dlt,
+      |  coalesce(sum(e.cnt) OVER (PARTITION BY e.doc_id ORDER BY e.eidx
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumc,
+      |  coalesce(sum(e.cnt * e.dlt) OVER (PARTITION BY e.doc_id ORDER BY e.eidx
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumd
+      | FROM sttse e
+      |  JOIN sttsok USING (doc_id)
+      |  JOIN mmts t USING (doc_id)
+      | WHERE t.mts > 0),
+      |vtot AS (
+      | SELECT doc_id, max(mts) AS mts, sum(cnt) AS totc, sum(cnt * dlt) AS totd
+      | FROM vfr GROUP BY doc_id),
+      |sv AS (
+      | SELECT smp.doc_id, smp.i, smp.mdur_ms, smp.nf, v.mts, v.totc, v.totd,
+      |  CASE WHEN v.doc_id IS NOT NULL
+      |   THEN (smp.i * $timeSampleIntervalMs * v.mts) // 1000 END AS tmed
+      | FROM smp LEFT JOIN vtot v USING (doc_id)),
+      |fr AS (
+      | SELECT sv.doc_id, sv.i,
+      |  CASE
+      |   WHEN sv.mts IS NULL
+      |    THEN least(sv.nf - 1, (sv.i * $timeSampleIntervalMs) * sv.nf // sv.mdur_ms)
+      |   WHEN sv.tmed >= sv.totd THEN greatest(sv.totc - 1, 0)
+      |   ELSE (SELECT f.cumc + (sv.tmed - f.cumd) // f.dlt FROM vfr f
+      |         WHERE f.doc_id = sv.doc_id
+      |          AND sv.tmed >= f.cumd AND sv.tmed < f.cumd + f.cnt * f.dlt)
+      |  END AS fidx
+      | FROM sv)
       |SELECT doc_id,
       | CAST(i AS BIGINT) AS sample_idx,
       | CAST(i * $timeSampleIntervalMs AS BIGINT) AS t_ms,
-      | CAST(least(nf - 1, (i * $timeSampleIntervalMs) * nf // mdur_ms) AS BIGINT) AS frame_idx,
-      | CAST(least(nf - 1, (i * $timeSampleIntervalMs) * nf // mdur_ms) * $frameBytes AS BIGINT) AS byte_offset
-      |FROM s""".stripMargin
+      | CAST(fidx AS BIGINT) AS frame_idx,
+      | CAST(fidx * $frameBytes AS BIGINT) AS byte_offset
+      |FROM fr""".stripMargin
 
   val frameSampleSql: String =
     s"""WITH t AS (

@@ -249,6 +249,11 @@ class MultimodalSpec extends AnyFunSuite {
     val expectedDocs = feats.values
       .filter(f => f.format == "mp4" && f.duration_ms.exists(_ > 0)).map(_.doc_id).toSet
     assert(byDoc.keySet === expectedDocs, "every walked video must be sampled")
+    val payloads = Tables(spark, SparkSpec.sf, "documents")
+      .select(col("doc_id"), MultimodalOps.taggedPayload.as("p"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    var vfrDocs = 0
+    var cfrDocs = 0
     byDoc.foreach { case (id, rs) =>
       val f = feats(id); val dur = f.duration_ms.get
       val nf = math.max(1L, (f.byte_len + MultimodalOps.frameBytes - 1) /
@@ -256,18 +261,83 @@ class MultimodalSpec extends AnyFunSuite {
       // sample count = one per interval instant, t=0 included
       assert(rs.length === (dur / MultimodalOps.timeSampleIntervalMs + 1).toInt,
         s"doc $id sample count")
+      // the frame mapping is the stts run-length walk when the payload
+      // carries a sample table, the CFR model otherwise
+      val wk = MultimodalOps.mp4WalkAll(payloads(id))
+      val vfr = wk.stts.filter(_ => wk.mdhdTs > 0)
+      if (vfr.isDefined) vfrDocs += 1 else cfrDocs += 1
       rs.foreach { r =>
         val (i, t, fi, off) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
         assert(t === i * MultimodalOps.timeSampleIntervalMs)
-        assert(fi === math.min(nf - 1, t * nf / dur), s"doc $id frame mapping at $t")
+        val expected = vfr match {
+          case Some(es) => MultimodalOps.sttsFrameAt(t * wk.mdhdTs / 1000L, es)
+          case None => math.min(nf - 1, t * nf / dur)
+        }
+        assert(fi === expected, s"doc $id frame mapping at $t")
         assert(off === fi * MultimodalOps.frameBytes)
         assert(t <= dur)
       }
-      // frame ordinals are monotone in time and end at/before the last frame
+      // frame ordinals are monotone in time
       val fis = rs.sortBy(_.getLong(2)).map(_.getLong(3))
       assert(fis.zip(fis.tail).forall { case (a, b) => a <= b })
-      assert(fis.last <= nf - 1)
+      if (vfr.isEmpty) assert(fis.last <= nf - 1)
     }
+    // BOTH mapping paths must stay gate-covered — a payload change
+    // that silently drops one population would make its hash vacuous
+    assert(vfrDocs > 0, "no VFR (stts-carrying) payloads sampled")
+    assert(cfrDocs > 0, "no CFR (sample-table-less) payloads sampled")
+  }
+
+  test("mp4 sample-table walk: stts honored exactly, v1 mdhd, malformed degrades") {
+    def mdhdV0(mts: Long, mdur: Long): Seq[Int] =
+      be32(32) ++ "mdhd".map(_.toInt) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(mts) ++ be32(mdur) ++ be32(0)
+    def mdhdV1(mts: Long, mdur: Long): Seq[Int] =
+      be32(44) ++ "mdhd".map(_.toInt) ++ Seq(1, 0, 0, 0) ++
+        Seq.fill(16)(0) ++ be32(mts) ++
+        be32(0) ++ be32(mdur) ++ be32(0) // 64-bit duration + lang/pre
+    def sttsBox(entries: Seq[(Long, Long)]): Seq[Int] =
+      be32(16 + 8 * entries.size) ++ "stts".map(_.toInt) ++ be32(0) ++
+        be32(entries.size.toLong) ++
+        entries.flatMap { case (c, d) => be32(c) ++ be32(d) }
+    def tree(mdhd: Seq[Int], stts: Seq[Int]): Array[Byte] = {
+      val stbl = be32(8 + stts.size) ++ "stbl".map(_.toInt) ++ stts
+      val minf = be32(8 + stbl.size) ++ "minf".map(_.toInt) ++ stbl
+      val mdia = be32(8 + mdhd.size + minf.size) ++ "mdia".map(_.toInt) ++ mdhd ++ minf
+      val tkhd = tkhdV0(320, 240, 1500)
+      val trak = be32(8 + tkhd.size + mdia.size) ++ "trak".map(_.toInt) ++ tkhd ++ mdia
+      val moov = be32(8 + 108 + trak.size) ++ "moov".map(_.toInt) ++
+        mvhdV0(600, 1500) ++ trak
+      bytes((be32(16) ++ "ftyp".map(_.toInt) ++ "isom".map(_.toInt) ++ be32(0x200) ++
+        moov): _*)
+    }
+    val entries = Seq((2L, 1000L), (3L, 500L))
+    val wk = MultimodalOps.mp4WalkAll(tree(mdhdV0(1000, 3500), sttsBox(entries)))
+    assert(wk.mdhdTs === 1000L)
+    assert(wk.stts.map(_.toSeq) === Some(entries))
+    // run-length mapping: entry 1 covers media [0,2000) at 1000/frame,
+    // entry 2 covers [2000,3500) at 500/frame, past-table clamps
+    val es = wk.stts.get
+    val expect = Seq(0L -> 0L, 999L -> 0L, 1000L -> 1L, 1999L -> 1L,
+      2000L -> 2L, 2499L -> 2L, 2500L -> 3L, 3499L -> 4L,
+      3500L -> 4L, 999999L -> 4L)
+    expect.foreach { case (t, f) =>
+      assert(MultimodalOps.sttsFrameAt(t, es) === f, s"tMedia=$t") }
+    // v1 mdhd: 64-bit creation/modification push the timescale out
+    val wk1 = MultimodalOps.mp4WalkAll(tree(mdhdV1(90000, 450000), sttsBox(entries)))
+    assert(wk1.mdhdTs === 90000L)
+    // malformed tables degrade to None (the CFR path), never throw:
+    // a zero delta, an oversized entry count, a size too small for
+    // its declared entries
+    assert(MultimodalOps.mp4WalkAll(
+      tree(mdhdV0(1000, 0), sttsBox(Seq((2L, 0L))))).stts.isEmpty)
+    assert(MultimodalOps.mp4WalkAll(
+      tree(mdhdV0(1000, 0), sttsBox(Seq.fill(65)((1L, 1L))))).stts.isEmpty)
+    val lying = sttsBox(entries).toArray
+    // claim 3 entries but carry 2 (size says 32, count says 3)
+    val lied = lying.updated(15, 3)
+    assert(MultimodalOps.mp4WalkAll(
+      tree(mdhdV0(1000, 0), lied.toSeq)).stts.isEmpty)
   }
 
   test("binaryMeta checksum equals sum of payload bytes") {
