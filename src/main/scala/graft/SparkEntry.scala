@@ -124,6 +124,12 @@ object SparkEntry {
       TextOps.docQualityAdaptive(s, d)),
     "doc_quality_adaptive_approx" -> ((s: SparkSession, d: String) =>
       TextOps.docQualityAdaptive(s, d, approx = true)),
+    // per-(source, predicted-language) quality-rank keeping — the
+    // multilingual composition of lang_id into the adaptive filter;
+    // composed into training_pipeline as the opt-in qualityByLang
+    // anti-join (approx mode)
+    "doc_quality_by_lang" -> ((s: SparkSession, d: String) =>
+      TextOps.docQualityByLang(s, d)),
     "text_quality"       -> TextOps.textQuality _,
     "lang_id"            -> TextOps.langId _,
     // per-source language mix (mixture-weight dashboard): classifier
@@ -310,6 +316,7 @@ object SparkEntry {
     "doc_lm_score"       -> TextOps.docLmScoreSql,
     "doc_lm_adaptive"    -> TextOps.docLmAdaptiveSql,
     "doc_quality_adaptive" -> TextOps.docQualityAdaptiveSql,
+    "doc_quality_by_lang"  -> TextOps.docQualityByLangSql,
     "text_quality"       -> TextOps.textQualitySql,
     "lang_id"            -> TextOps.langIdSql,
     "source_language_report" -> TextOps.sourceLanguageReportSql,

@@ -553,6 +553,109 @@ object TextOps {
        |FROM r""".stripMargin
   }
 
+  /** [[docQualityAdaptive]] stratified by (source, PREDICTED
+    * LANGUAGE) — the consumption pattern [[sourceLanguageReport]]'s
+    * dashboard scaladoc promises: a per-source quantile POOLS
+    * languages, and because the stopword lists are per-language the
+    * scores are not comparable across them — in a mixed source the
+    * systematically lower-scoring language eats the entire drop
+    * quota while the dominant one sails through. Ranking each
+    * language against itself is the multilingual-curation fix.
+    *
+    * The quality score and the marker-vote classifier both compute
+    * INLINE on one corpus scan (the sourceLanguageReport lesson — no
+    * doc_id join, no second pass), then the [[docQualityAdaptive]]
+    * machinery runs over the composite (source, pred_lang) key:
+    * exact mode = percent_rank window per stratum (deterministic →
+    * full hash gate); `approx = true` = percentile_approx thresholds
+    * broadcast back, the 100 TB path. The finer key only makes
+    * strata SMALLER, so the [[qualityMinStratum]] keep-whole guard
+    * matters more here, not less — both modes keep tiny
+    * (source, lang) strata intact. */
+  def docQualityByLang(spark: SparkSession, dir: String,
+                       approx: Boolean = false): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val totTokChars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val langs = markers.map(_._1)
+    val counts = markers.map { case (lang, ws) =>
+      size(filter(toks, t => t.isin(ws: _*))).as(s"c_$lang")
+    }
+    val maxC = greatest(langs.map(l => col(s"c_$l")): _*)
+    val pred = langs.foldRight[Column](lit("und")) { (l, els) =>
+      when(col(s"c_$l") === maxC, lit(l)).otherwise(els)
+    }
+    val scored = docs(spark, dir)
+      .filter(size(tokens(col("text"))) > 0)
+      .select(Seq(col("doc_id"), col("source"),
+        (lit(1.0) - (nStop / nTok) * 0.5
+          - ((nChars - totTokChars) / nChars) * 0.2).as("quality")) ++ counts: _*)
+      .withColumn("pred_lang", when(maxC > 0, pred).otherwise(lit("und")))
+      .select("doc_id", "source", "pred_lang", "quality")
+    if (!approx) {
+      val w = Window.partitionBy(col("source"), col("pred_lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      val wn = Window.partitionBy(col("source"), col("pred_lang"))
+      scored.withColumn("src_pct", percent_rank().over(w))
+        .withColumn("keep",
+          count(lit(1)).over(wn) < qualityMinStratum ||
+            col("src_pct") >= qualityKeepQuantile)
+    } else {
+      val thr = scored.groupBy(col("source").as("tsrc"), col("pred_lang").as("tlang"))
+        .agg(percentile_approx(col("quality"), lit(qualityKeepQuantile),
+          lit(10000)).as("thr"),
+          count(lit(1)).as("n_src"))
+      scored.join(broadcast(thr),
+          col("source") === col("tsrc") && col("pred_lang") === col("tlang"))
+        .select(col("doc_id"), col("source"), col("pred_lang"), col("quality"),
+          (col("n_src") < qualityMinStratum ||
+            col("quality") >= col("thr")).as("keep"))
+    }
+  }
+
+  // lazy: `markers` is declared further down the object; a strict val
+  // here would initialize against a null forward reference
+  lazy val docQualityByLangSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val cnt = markers.map { case (lang, ws) =>
+      val l = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($l, x))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val maxExpr = "greatest(" + langs.map(l => s"c_$l").mkString(", ") + ")"
+    val pred = langs.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN c_$l = m THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (
+       | SELECT doc_id, source, length(text) AS n_chars,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |m AS (
+       | SELECT doc_id, source, n_chars, len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars,
+       |  $cnt
+       | FROM t WHERE len(toks) > 0),
+       |g AS (SELECT *, $maxExpr AS m FROM m),
+       |s AS (
+       | SELECT doc_id, source,
+       |  CASE WHEN m > 0 THEN $pred ELSE 'und' END AS pred_lang,
+       |  CAST(1.0 AS DOUBLE) - (CAST(n_stop AS DOUBLE)/n_tokens)*0.5
+       |   - ((CAST(n_chars AS DOUBLE)-tok_chars)/n_chars)*0.2 AS quality
+       | FROM g),
+       |r AS (
+       | SELECT doc_id, source, pred_lang, quality,
+       |  percent_rank() OVER (PARTITION BY source, pred_lang
+       |                       ORDER BY quality, doc_id) AS src_pct,
+       |  count(*) OVER (PARTITION BY source, pred_lang) AS n_src
+       | FROM s)
+       |SELECT doc_id, source, pred_lang, quality, src_pct,
+       | (n_src < $qualityMinStratum OR src_pct >= $qualityKeepQuantile) AS keep
+       |FROM r""".stripMargin
+  }
+
   /** Quality scoring: stopword ratio, mean token length, space ratio,
     * and a fixed linear score — all exact-int division. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {

@@ -78,13 +78,22 @@ object TrainingPipeline {
     * than semi on the keep set, so docs the scorer never saw (< 2
     * tokens, no bigram rows) fall through to the quality stage
     * instead of being dropped by a filter that never measured them.
-    * Same opt-in contract as `commonnessFilter`. */
+    * Same opt-in contract as `commonnessFilter`.
+    *
+    * `qualityByLang = true` adds the [[TextOps.docQualityByLang]]
+    * stage (per-(source, predicted-language) quality-rank keeping —
+    * the multilingual fix for the pooled per-source quantile) with
+    * the same measured-bad ANTI polarity: zero-token docs the
+    * stratifier never scored are the absolute quality stage's call,
+    * not this one's. The approx (percentile-threshold broadcast)
+    * mode is the one composed here — this is the 100 TB entry. */
   def survivors(spark: SparkSession, dir: String,
                 exactDedup: Boolean = false,
                 scaleMode: Boolean = true,
                 withText: Boolean = false,
                 commonnessFilter: Boolean = false,
-                lmScoreFilter: Boolean = false): DataFrame = {
+                lmScoreFilter: Boolean = false,
+                qualityByLang: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -125,11 +134,16 @@ object TrainingPipeline {
         base.join(TextOps.docTermCommonness(spark, dir)
           .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
       else base
-    val filtered =
+    val afterLm =
       if (lmScoreFilter)
         afterCommon.join(TextOps.docLmAdaptive(spark, dir)
           .filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
       else afterCommon
+    val filtered =
+      if (qualityByLang)
+        afterLm.join(TextOps.docQualityByLang(spark, dir, approx = true)
+          .filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
+      else afterLm
     filtered
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)

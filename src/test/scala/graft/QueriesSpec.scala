@@ -794,6 +794,87 @@ class QueriesSpec extends AnyFunSuite {
     // by base.diff(dropped) above (unscored ids are never in `dropped`)
   }
 
+  test("doc_quality_by_lang: strata are (source, langId verdict), the rank " +
+    "rule holds per stratum, tiny strata stay whole, approx agrees off-boundary") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextOps.docQualityByLang(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // stratum key recomposes from the standalone classifier
+    val langOf = operators.TextOps.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    rows.foreach { case (id, _, lang, _, _) =>
+      assert(lang === langOf(id), s"doc $id stratified under a different verdict") }
+    // per-stratum: tiny kept whole; larger follow the quantile-rank rule
+    rows.groupBy { case (_, s, l, _, _) => (s, l) }.foreach { case (k, rs) =>
+      if (rs.length < operators.TextOps.qualityMinStratum)
+        assert(rs.forall(_._5), s"tiny stratum $k must keep every doc")
+      else {
+        val sorted = rs.sortBy(r => (r._4, r._1))
+        sorted.zipWithIndex.foreach { case (r, i) =>
+          val pct = i.toDouble / (rs.length - 1)
+          assert(r._5 === (pct >= operators.TextOps.qualityKeepQuantile),
+            s"stratum $k rank rule at doc ${r._1}")
+        }
+      }
+    }
+    // the finer key must actually CHANGE verdicts vs the pooled
+    // per-source rule somewhere — otherwise the operator is vacuous
+    // on this corpus and the gate proves nothing
+    val pooled = operators.TextOps.docQualityAdaptive(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(rows.exists { case (id, _, _, _, keep) => pooled(id) != keep },
+      "per-language stratification never flipped a pooled verdict")
+    // approx mode flips only boundary docs (the docQualityAdaptive
+    // contract, per (source, lang) stratum; tiny strata keep-all in
+    // both modes so they can never disagree)
+    val approx = operators.TextOps.docQualityByLang(spark, sf, approx = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(approx.length === rows.length)
+    val exactOf = rows.map(r => r._1 -> r).toMap
+    val strata = rows.groupBy { case (_, s, l, _, _) => (s, l) }
+    val disagree = approx.filter { case (id, k) => exactOf(id)._5 != k }
+    disagree.foreach { case (id, _) =>
+      val (_, s, l, _, _) = exactOf(id)
+      val rs = strata((s, l))
+      assert(rs.length >= operators.TextOps.qualityMinStratum,
+        s"tiny stratum ($s,$l) disagreed — keep-all must hold in both modes")
+      // "boundary doc" in RANK terms — in a sparse stratum adjacent
+      // quality values can sit arbitrarily far apart, so a quality-
+      // distance epsilon doesn't scope; the flipped doc must sit
+      // within 2 rank positions of the stratum's quantile boundary
+      val rank = rs.sortBy(r => (r._4, r._1)).indexWhere(_._1 == id)
+      val boundary = operators.TextOps.qualityKeepQuantile * (rs.length - 1)
+      assert(math.abs(rank - boundary) <= 2.0,
+        s"doc $id flipped $rank ranks into stratum ($s,$l), boundary at $boundary")
+    }
+    // rate cap scales with stratum GRANULARITY, not corpus size: every
+    // non-tiny stratum owns a ±2-rank boundary band (asserted above),
+    // so fine strata legitimately carry more boundary docs in total
+    val nonTiny = strata.count(_._2.length >= operators.TextOps.qualityMinStratum)
+    assert(disagree.length <= nonTiny * 2,
+      s"approx/exact disagreement beyond the boundary band: " +
+        s"${disagree.length} flips over $nonTiny strata")
+  }
+
+  test("training_pipeline: optional per-language quality stage composes as " +
+    "exactly the anti-predicate of docQualityByLang's drop set") {
+    import org.apache.spark.sql.functions.col
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(operators.TrainingPipeline.survivors(spark, sf))
+    val dropped = ids(operators.TextOps.docQualityByLang(spark, sf, approx = true)
+      .filter(!col("keep")))
+    val withStage = ids(operators.TrainingPipeline
+      .survivors(spark, sf, qualityByLang = true))
+    assert(withStage === base.diff(dropped),
+      "the per-language quality stage must compose as exactly its anti-predicate")
+    assert(withStage.size < base.size,
+      "the stage must actually drop per-language low-quartile docs here")
+    assert(withStage.nonEmpty)
+  }
+
   test("doc_lm_adaptive: rank rule agrees with a direct per-source quantile " +
     "check and the tiny-strata guard keeps small sources whole") {
     import org.apache.spark.sql.functions._
