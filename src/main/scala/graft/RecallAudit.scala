@@ -62,6 +62,18 @@ object RecallAudit {
 
     var entries = Vector.empty[(String, Double)]
     var sizes = Vector.empty[(String, Long)]
+    // temp index dirs cleaned even on mid-measure failure (the
+    // planted-dir lesson)
+    def withTempDir[A](prefix: String)(body: String => A): A = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      try body(p.toString)
+      finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(q => Files.deleteIfExists(q))
+      }
+    }
     val annWanted = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq_query").filter(want)
     if (annWanted.nonEmpty) {
       val bf = timed("ann_bruteforce") {
@@ -69,13 +81,28 @@ object RecallAudit {
       sizes :+= ("ann_bruteforce", bf.size.toLong)
       if (want("ann_lsh")) entries :+= ("ann_lsh", recall(timed("ann_lsh") {
         topkPairs(operators.VectorOps.annLsh(spark, sfDir)) }, bf))
-      if (want("ann_ivf")) entries :+= ("ann_ivf", recall(timed("ann_ivf") {
-        topkPairs(operators.VectorOps.annIvf(spark, sfDir)) }, bf))
+      // the IVF-family seats measure the SERVING paths against a
+      // prebuilt index, with the one-time build timed separately
+      // (ivf_build / ivfpq_build walls): users budget the
+      // recall-vs-SERVING-cost frontier — the fused one-shot entries
+      // re-paid the Lloyd build on every audit (174.7s of the sf10
+      // audit wall) while serving bit-identically (spec-pinned), so
+      // the recall numbers are unchanged by construction.
+      if (want("ann_ivf")) withTempDir("graft-audit-ivf") { idx =>
+        timed("ivf_build") {
+          operators.VectorOps.ivfBuildIndex(spark, sfDir, idx) }
+        entries :+= ("ann_ivf", recall(timed("ann_ivf") {
+          topkPairs(operators.VectorOps.annIvfQuery(spark, sfDir, idx)) }, bf))
+      }
       if (want("ann_pq")) entries :+= ("ann_pq", recall(timed("ann_pq") {
         topkPairs(operators.VectorOps.annPq(spark, sfDir)) }, bf))
-      if (want("ann_ivfpq_query")) entries :+= ("ann_ivfpq_query",
-        recall(timed("ann_ivfpq_query") {
-          topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir)) }, bf))
+      if (want("ann_ivfpq_query")) withTempDir("graft-audit-ivfpq") { idx =>
+        timed("ivfpq_build") {
+          operators.VectorOps.ivfpqBuildIndex(spark, sfDir, idx) }
+        entries :+= ("ann_ivfpq_query",
+          recall(timed("ann_ivfpq_query") {
+            topkPairs(operators.VectorOps.annIvfPqQuery(spark, sfDir, idx)) }, bf))
+      }
     }
 
     // range search: threshold recall vs the exact radius query (a

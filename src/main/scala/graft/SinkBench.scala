@@ -35,7 +35,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * → one JSON line (stdout + artifact), the Bench convention.
   */
 object SinkBench {
+
+  /** Cumulative host CPU-steal ticks (/proc/stat `cpu` line, field 8)
+    * — None off Linux or on an unreadable /proc. */
+  private def readStealTicks(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
+    val stealStart = readStealTicks()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outFile = args.lift(1).getOrElse("sink-bench.json")
     val triggers = args.lift(2).map(_.toInt).getOrElse(40)
@@ -182,12 +194,25 @@ object SinkBench {
         val mid = mean(body.slice(16, 26))
         s""""eq10_mean":${fmt(mid)},"eq_ratio":${fmt(last / mid)},"""
       } else "" // run too short for a trustworthy equilibrium window
+    // host CPU-steal delta over the run (ticks, /proc/stat cpu field
+    // 8) — the shared-host attribution evidence: an isolated 3-10x
+    // trigger episode on a steal-quiet run (delta ≈ 0) would be a
+    // real plan defect, while the same episode under a steal burst is
+    // the box. Absent (null) off Linux.
+    val stealDelta = (for {
+      a <- stealStart
+      b <- readStealTicks()
+    } yield b - a).map(_.toString).getOrElse("null")
+    val med = body.sorted.apply(body.size / 2).toDouble
     val line =
       s"""{"metric":"sink_trigger_ms","sink":"$mode","sf":"$sfDir","triggers":${durs.size},""" +
         s""""grace_ms":$graceMs,"slice_tenths":$sliceTenths,""" +
         s""""rows_per_trigger":$per,"first10_mean":${fmt(first)},""" +
         s""""last10_mean":${fmt(last)},"ratio":${fmt(last / first)},""" +
         eqFields +
+        s""""median_ms":${fmt(med)},"max_ms":${body.max},""" +
+        s""""max_over_median":${fmt(body.max / med)},""" +
+        s""""steal_ticks":$stealDelta,""" +
         s""""per_trigger":[${durs.map(_._2).mkString(",")}]}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
