@@ -223,19 +223,37 @@ object MultimodalOps {
     val sttsHex = concat(
       lit("00000028" + "73747473" + "00000000" + "00000003"),
       be32h(c1), be32h(d1), be32h(c2), be32h(d2), be32h(c3), be32h(d3))
+    // the byte-layout tables (fixed-size stsz + 2-run stsc + 3-chunk
+    // stco with realistic inter-chunk gaps) — what makes the
+    // FRAME→BYTE mapping real file offsets, not a stride model
+    val ss = lit(16L) + pmod(id, lit(17L)) // fixed sample size 16..32
+    val s1 = lit(1L) + pmod(id, lit(9L)) // chunks 1-2 rate
+    val totalSamples = c1 + c2 + c3
+    val o1 = lit(4096L) + pmod(id, lit(97L))
+    val o2 = o1 + s1 * ss + 64L
+    val o3 = o2 + s1 * ss + 128L
+    val stszHex = concat(
+      lit("00000014" + "7374737A" + "00000000"), be32h(ss), be32h(totalSamples))
+    val stscHex = concat(
+      lit("00000028" + "73747363" + "00000000" + "00000002" + "00000001"),
+      be32h(s1),
+      lit("00000001" + "00000003" + "00000100" + "00000001"))
+    val stcoHex = concat(
+      lit("0000001C" + "7374636F" + "00000000" + "00000003"),
+      be32h(o1), be32h(o2), be32h(o3))
     val mdiaHex = concat(
-      lit("00000060" + "6D646961" + // mdia(96) = 8 + mdhd(32) + minf(56)
+      lit("000000B8" + "6D646961" + // mdia(184) = 8 + mdhd(32) + minf(144)
         "00000020" + "6D646864" + "00000000" + "00000000" + "00000000"),
       be32h(mts), be32h(mdurMedia),
       lit("00000000" + // mdhd language/pre_defined
-        "00000038" + "6D696E66" + // minf(56) = 8 + stbl(48)
-        "00000030" + "7374626C"), // stbl(48) = 8 + stts(40)
-      sttsHex)
+        "00000090" + "6D696E66" + // minf(144) = 8 + stbl(136)
+        "00000088" + "7374626C"), // stbl(136) = 8 + stts(40) + stsz(20) + stsc(40) + stco(28)
+      sttsHex, stszHex, stscHex, stcoHex)
     val mp4VfrHex = concat(
       lit("00000010" + "66747970" + "69736F6D" + "00000200" +
-        "00000138" + "6D6F6F76"), // moov(312) = 8 + mvhd(108) + trak(196)
+        "00000190" + "6D6F6F76"), // moov(400) = 8 + mvhd(108) + trak(284)
       mvhdHex,
-      lit("000000C4" + "7472616B"), // trak(196) = 8 + tkhd(92) + mdia(96)
+      lit("0000011C" + "7472616B"), // trak(284) = 8 + tkhd(92) + mdia(184)
       tkhdHex, mdiaHex)
     val tag = pmod(id, lit(8L))
     val headerHex =
@@ -289,7 +307,13 @@ object MultimodalOps {
       |  doc_id % 8 AS tag
       | FROM documents),
       |base2 AS (
-      | SELECT *, (c1*mtsq*4 + c2*mtsq + c3*mtsq*8) AS mdm FROM base),
+      | SELECT *, (c1*mtsq*4 + c2*mtsq + c3*mtsq*8) AS mdm,
+      |  16 + doc_id % 17 AS ss, 1 + doc_id % 9 AS s1,
+      |  (c1 + c2 + c3) AS tots,
+      |  4096 + doc_id % 97 AS o1,
+      |  4096 + doc_id % 97 + (1 + doc_id % 9) * (16 + doc_id % 17) + 64 AS o2,
+      |  4096 + doc_id % 97 + 2 * (1 + doc_id % 9) * (16 + doc_id % 17) + 192 AS o3
+      | FROM base),
       |hdr AS (
       | SELECT doc_id, tb, CASE tag
       |  WHEN 0 THEN [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
@@ -310,7 +334,7 @@ object MultimodalOps {
       |  WHEN 6 THEN CASE
       |   WHEN (doc_id // 8) % 2 = 0 AND (doc_id // 16) % 2 = 0 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
-      |    0,0,1,56, 109,111,111,118,
+      |    0,0,1,144, 109,111,111,118,
       |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
       |    ts//16777216%256, ts//65536%256, ts//256%256, ts%256,
       |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
@@ -319,7 +343,7 @@ object MultimodalOps {
       |    0,0,0,0, 0,0,0,0, 64,0,0,0,
       |    0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
       |    0,0,0,2,
-      |    0,0,0,196, 116,114,97,107,
+      |    0,0,1,28, 116,114,97,107,
       |    0,0,0,92, 116,107,104,100, 0,0,0,7, 0,0,0,0, 0,0,0,0,
       |    0,0,0,1, 0,0,0,0,
       |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
@@ -327,17 +351,24 @@ object MultimodalOps {
       |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
       |    0,0,0,0, 0,0,0,0, 64,0,0,0,
       |    w//256%256, w%256, 0,0, h//256%256, h%256, 0,0,
-      |    0,0,0,96, 109,100,105,97,
+      |    0,0,0,184, 109,100,105,97,
       |    0,0,0,32, 109,100,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
       |    0,0, (mtsq*4)//256%256, (mtsq*4)%256,
       |    mdm//16777216%256, mdm//65536%256, mdm//256%256, mdm%256,
       |    0,0,0,0,
-      |    0,0,0,56, 109,105,110,102,
-      |    0,0,0,48, 115,116,98,108,
+      |    0,0,0,144, 109,105,110,102,
+      |    0,0,0,136, 115,116,98,108,
       |    0,0,0,40, 115,116,116,115, 0,0,0,0, 0,0,0,3,
       |    0,0,0,c1, 0,0, (mtsq*4)//256%256, (mtsq*4)%256,
       |    0,0,0,c2, 0,0, mtsq//256%256, mtsq%256,
-      |    0,0,0,c3, 0,0, (mtsq*8)//256%256, (mtsq*8)%256]
+      |    0,0,0,c3, 0,0, (mtsq*8)//256%256, (mtsq*8)%256,
+      |    0,0,0,20, 115,116,115,122, 0,0,0,0, 0,0,0,ss, 0,0,0,tots,
+      |    0,0,0,40, 115,116,115,99, 0,0,0,0, 0,0,0,2,
+      |    0,0,0,1, 0,0,0,s1, 0,0,0,1,
+      |    0,0,0,3, 0,0,1,0, 0,0,0,1,
+      |    0,0,0,28, 115,116,99,111, 0,0,0,0, 0,0,0,3,
+      |    0,0, o1//256%256, o1%256, 0,0, o2//256%256, o2%256,
+      |    0,0, o3//256%256, o3%256]
       |   WHEN (doc_id // 8) % 2 = 0 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
       |    0,0,0,216, 109,111,111,118,
@@ -627,7 +658,67 @@ object MultimodalOps {
       |      >= 16 + 8*(d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15])),
       |sttsok AS (
       | SELECT doc_id FROM sttse GROUP BY doc_id
-      | HAVING min(cnt) > 0 AND min(dlt) > 0)""".stripMargin
+      | HAVING min(cnt) > 0 AND min(dlt) > 0),
+      |mstsz AS (
+      | SELECT doc_id, min(pos) AS pos FROM sbch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 20 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=115 AND d.b[c.pos+5]=116 AND d.b[c.pos+6]=115 AND d.b[c.pos+7]=122
+      | GROUP BY doc_id),
+      |mfixed AS (
+      | SELECT s.doc_id,
+      |  d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] AS fixed
+      | FROM mstsz s JOIN d USING (doc_id)
+      | WHERE d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] > 0),
+      |mstsc AS (
+      | SELECT doc_id, min(pos) AS pos FROM sbch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 16 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=115 AND d.b[c.pos+5]=116 AND d.b[c.pos+6]=115 AND d.b[c.pos+7]=99
+      | GROUP BY doc_id),
+      |mrsc AS (
+      | SELECT s.doc_id, CAST(j AS BIGINT) AS j,
+      |  d.b[s.pos+16+12*j]*16777216 + d.b[s.pos+17+12*j]*65536
+      |   + d.b[s.pos+18+12*j]*256 + d.b[s.pos+19+12*j] AS fc,
+      |  d.b[s.pos+20+12*j]*16777216 + d.b[s.pos+21+12*j]*65536
+      |   + d.b[s.pos+22+12*j]*256 + d.b[s.pos+23+12*j] AS spc
+      | FROM mstsc s JOIN d USING (doc_id),
+      |  LATERAL unnest(generate_series(0,
+      |   d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] - 1))
+      |   AS u(j)
+      | WHERE d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15]
+      |       BETWEEN 1 AND 64
+      |  AND d.b[s.pos]*16777216 + d.b[s.pos+1]*65536 + d.b[s.pos+2]*256 + d.b[s.pos+3]
+      |      >= 16 + 12*(d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15])),
+      |stscok AS (
+      | SELECT doc_id FROM (
+      |  SELECT doc_id, j, fc, spc,
+      |   lag(fc) OVER (PARTITION BY doc_id ORDER BY j) AS pfc
+      |  FROM mrsc)
+      | GROUP BY doc_id
+      | HAVING min(CASE WHEN j = 0 THEN fc END) = 1 AND min(spc) > 0
+      |  AND min(CASE WHEN pfc IS NULL OR fc > pfc THEN 1 ELSE 0 END) = 1),
+      |mstco AS (
+      | SELECT doc_id, min(pos) AS pos FROM sbch c JOIN d USING (doc_id)
+      | WHERE c.it < 64 AND c.pos + 8 <= c.endp
+      |  AND d.b[c.pos]*16777216 + d.b[c.pos+1]*65536 + d.b[c.pos+2]*256 + d.b[c.pos+3]
+      |      BETWEEN 16 AND c.endp - c.pos
+      |  AND d.b[c.pos+4]=115 AND d.b[c.pos+5]=116 AND d.b[c.pos+6]=99 AND d.b[c.pos+7]=111
+      | GROUP BY doc_id),
+      |mcof AS (
+      | SELECT s.doc_id, CAST(j AS BIGINT) AS j,
+      |  d.b[s.pos+16+4*j]*16777216 + d.b[s.pos+17+4*j]*65536
+      |   + d.b[s.pos+18+4*j]*256 + d.b[s.pos+19+4*j] AS off
+      | FROM mstco s JOIN d USING (doc_id),
+      |  LATERAL unnest(generate_series(0,
+      |   d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] - 1))
+      |   AS u(j)
+      | WHERE d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15]
+      |       BETWEEN 1 AND 64
+      |  AND d.b[s.pos]*16777216 + d.b[s.pos+1]*65536 + d.b[s.pos+2]*256 + d.b[s.pos+3]
+      |      >= 16 + 4*(d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15]))""".stripMargin
 
   /** The field select, parameterized on whether the path carries the
     * variable-offset walks (JPEG SOF segments, MP4 nested boxes): the
@@ -730,13 +821,59 @@ object MultimodalOps {
     * truncated or garbage tail degrades to absent fields, never an
     * OOB read. Returns (brand, width, height, duration_ms) where
     * duration_ms = ⌊duration·1000 / timescale⌋. */
+  /** The sample-table byte layout (stsz + stsc + stco): per-sample
+    * sizes (fixed-size form `sizeFixed > 0`, or the variable table),
+    * the sample→chunk run map, and the chunk file offsets — what a
+    * real demuxer reads to place sample i in the file. */
+  private[graft] final case class ChunkLayout(
+      sizeFixed: Long, sizes: Option[Array[Long]],
+      runs: Array[(Long, Long)], offsets: Array[Long]) {
+    /** samples_per_chunk for 1-based chunk k: the last stsc run whose
+      * first_chunk ≤ k (runs are validated ascending-from-1). */
+    private def spcOf(k: Long): Long = {
+      var r = runs.head._2
+      var i = 0
+      while (i < runs.length && runs(i)._1 <= k) { r = runs(i)._2; i += 1 }
+      r
+    }
+    /** File byte offset of 0-based sample i: walk chunks in order,
+      * assign spc samples to each, then offset = the chunk's stco
+      * base + the sizes of the prior samples in that chunk. None when
+      * i lies beyond the declared chunks' capacity (malformed or
+      * truncated layout — the caller degrades). */
+    def offsetOf(i: Long): Option[Long] = {
+      var acc = 0L
+      var k = 0
+      while (k < offsets.length) {
+        val spc = spcOf(k + 1L)
+        if (i < acc + spc) {
+          val within = sizes match {
+            case Some(sz) =>
+              if (i > sz.length) return None
+              var s = 0L
+              var j = acc
+              while (j < i) { s += sz(j.toInt); j += 1 }
+              s
+            case None => (i - acc) * sizeFixed
+          }
+          return Some(offsets(k) + within)
+        }
+        acc += spc
+        k += 1
+      }
+      None
+    }
+  }
+
   /** Full result of the bounded box walk: the [[mp4Meta]] surface plus
     * the sample-timing tables ([[mp4TimeSample]]'s VFR inputs) — mdhd
     * media timescale and the stts (sample_count, sample_delta)
-    * entries, both None/0 when absent or malformed (CFR degrade). */
+    * entries — and the byte layout ([[ChunkLayout]]), each None/0
+    * when absent or malformed (graceful degrade per surface). */
   private[graft] final case class Mp4Walk(
       brand: Option[String], w: Option[Long], h: Option[Long],
-      durMs: Option[Long], mdhdTs: Long, stts: Option[Array[(Long, Long)]])
+      durMs: Option[Long], mdhdTs: Long, stts: Option[Array[(Long, Long)]],
+      layout: Option[ChunkLayout])
 
   /** stts entry cap: a sample table with more entries than this
     * degrades to the CFR model rather than an unbounded read — the
@@ -757,6 +894,13 @@ object MultimodalOps {
     var mdhdTs = 0L
     var stts: Option[Array[(Long, Long)]] = None
     var sttsSeen = false
+    var stszFixed = 0L
+    var stszSizes: Option[Array[Long]] = None
+    var stszSeen = false
+    var stscRuns: Option[Array[(Long, Long)]] = None
+    var stscSeen = false
+    var stcoOffs: Option[Array[Long]] = None
+    var stcoSeen = false
     def walk(start: Int, end: Int, depth: Int): Unit = {
       var pos = start
       var it = 0
@@ -813,6 +957,44 @@ object MultimodalOps {
                 if (es.forall { case (c, d) => c > 0 && d > 0 }) stts = Some(es)
               }
             }
+          case "stsz" if !stszSeen =>
+            // fullbox: sample_size(4) + sample_count(4); sample_size 0
+            // means a per-sample 32-bit size table follows
+            stszSeen = true
+            if (size >= hdr + 12) {
+              val fixed = be32(pos + hdr + 4)
+              val cnt = be32(pos + hdr + 8)
+              if (fixed > 0) stszFixed = fixed
+              else if (cnt >= 1 && cnt <= 256 && size >= hdr + 12 + 4 * cnt) {
+                val sz = Array.tabulate(cnt.toInt)(j => be32(pos + hdr + 12 + 4 * j))
+                if (sz.forall(_ > 0)) stszSizes = Some(sz)
+              }
+            }
+          case "stsc" if !stscSeen =>
+            // fullbox: entry_count, then (first_chunk, samples_per_chunk,
+            // sample_description_index) runs — sdi ignored
+            stscSeen = true
+            if (size >= hdr + 8) {
+              val cnt = be32(pos + hdr + 4)
+              if (cnt >= 1 && cnt <= 64 && size >= hdr + 8 + 12 * cnt) {
+                val rs = Array.tabulate(cnt.toInt) { j =>
+                  (be32(pos + hdr + 8 + 12 * j), be32(pos + hdr + 12 + 12 * j))
+                }
+                // the run map must start at chunk 1, ascend strictly,
+                // and carry positive rates — anything else degrades
+                val ok = rs.head._1 == 1L && rs.forall(_._2 > 0) &&
+                  rs.zip(rs.tail).forall { case (a, b) => a._1 < b._1 }
+                if (ok) stscRuns = Some(rs)
+              }
+            }
+          case "stco" if !stcoSeen =>
+            stcoSeen = true
+            if (size >= hdr + 8) {
+              val cnt = be32(pos + hdr + 4)
+              if (cnt >= 1 && cnt <= 64 && size >= hdr + 8 + 4 * cnt)
+                stcoOffs = Some(Array.tabulate(cnt.toInt)(j =>
+                  be32(pos + hdr + 8 + 4 * j)))
+            }
           case _ =>
         }
         pos = boxEnd
@@ -821,7 +1003,14 @@ object MultimodalOps {
     }
     walk(0, n, 0)
     val durMs = if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale) else None
-    Mp4Walk(brand, w, h, durMs, mdhdTs, stts)
+    // the byte layout needs all three tables coherent: one size form
+    // (fixed XOR table), a valid run map, and chunk offsets
+    val layout =
+      if ((stszFixed > 0 || stszSizes.isDefined) &&
+        stscRuns.isDefined && stcoOffs.isDefined)
+        Some(ChunkLayout(stszFixed, stszSizes, stscRuns.get, stcoOffs.get))
+      else None
+    Mp4Walk(brand, w, h, durMs, mdhdTs, stts, layout)
   }
 
   private[graft] def mp4Meta(p: Array[Byte]): (Option[String], Option[Long], Option[Long], Option[Long]) = {
@@ -982,8 +1171,15 @@ object MultimodalOps {
     * count) degrade to the constant-frame-rate model (frame =
     * ⌊t·n_frames / duration⌋ over byte-derived frames) — both paths
     * hash-gated by their own gate-payload population. The FRAME→BYTE
-    * mapping stays the fixed-stride model on both paths (the honest
-    * next rung is the stsz/stco chunk-offset walk). Payloads without
+    * mapping is likewise REAL when the payload carries the byte
+    * layout: stsz sample sizes (fixed-size or per-sample table) +
+    * stsc sample→chunk runs + stco chunk file offsets give
+    * `offset = stco[chunk] + sizes of the prior samples in the
+    * chunk` ([[ChunkLayout.offsetOf]]); absent/malformed tables, or
+    * frames beyond the declared chunks, fall back to the
+    * fixed-stride model. Gate payloads carry the fixed-size stsz
+    * form (the per-sample table is JVM-only, unit-spec-pinned — the
+    * v1-box asymmetry precedent). Payloads without
     * a walked duration (bare-ftyp, non-video containers, raw)
     * contribute no rows — absence is the dispatch signal. One
     * mapPartitions pass, ZERO shuffles; deterministic integers →
@@ -1011,7 +1207,13 @@ object MultimodalOps {
                     case Some(es) => sttsFrameAt(tMs * wk.mdhdTs / 1000L, es)
                     case None => math.min(nFrames - 1, tMs * nFrames / dur)
                   }
-                  (id, i, tMs, frameIdx, frameIdx * frameBytes)
+                  // FRAME→BYTE through the real chunk layout when the
+                  // payload carries one (stsz sizes + stsc runs + stco
+                  // chunk offsets); fixed-stride degrade otherwise, or
+                  // for frames beyond the declared chunks' capacity
+                  val byteOff = wk.layout.flatMap(_.offsetOf(frameIdx))
+                    .getOrElse(frameIdx * frameBytes)
+                  (id, i, tMs, frameIdx, byteOff)
                 }
               case _ => Iterator.empty
             }
@@ -1060,13 +1262,32 @@ object MultimodalOps {
       |         WHERE f.doc_id = sv.doc_id
       |          AND sv.tmed >= f.cumd AND sv.tmed < f.cumd + f.cnt * f.dlt)
       |  END AS fidx
-      | FROM sv)
+      | FROM sv),
+      |chk AS (
+      | SELECT o.doc_id, o.j + 1 AS k, o.off, r.spc
+      | FROM mcof o
+      |  JOIN stscok USING (doc_id)
+      |  JOIN mfixed USING (doc_id)
+      |  JOIN mrsc r ON r.doc_id = o.doc_id AND r.fc <= o.j + 1
+      | QUALIFY row_number() OVER (PARTITION BY o.doc_id, o.j ORDER BY r.fc DESC) = 1),
+      |chk2 AS (
+      | SELECT doc_id, k, off, spc,
+      |  coalesce(sum(spc) OVER (PARTITION BY doc_id ORDER BY k
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fs
+      | FROM chk),
+      |fr2 AS (
+      | SELECT fr.doc_id, fr.i, fr.fidx,
+      |  c.off + (fr.fidx - c.fs) * fx.fixed AS real_off
+      | FROM fr
+      |  LEFT JOIN mfixed fx USING (doc_id)
+      |  LEFT JOIN chk2 c ON c.doc_id = fr.doc_id
+      |   AND fr.fidx >= c.fs AND fr.fidx < c.fs + c.spc)
       |SELECT doc_id,
       | CAST(i AS BIGINT) AS sample_idx,
       | CAST(i * $timeSampleIntervalMs AS BIGINT) AS t_ms,
       | CAST(fidx AS BIGINT) AS frame_idx,
-      | CAST(fidx * $frameBytes AS BIGINT) AS byte_offset
-      |FROM fr""".stripMargin
+      | CAST(coalesce(real_off, fidx * $frameBytes) AS BIGINT) AS byte_offset
+      |FROM fr2""".stripMargin
 
   val frameSampleSql: String =
     s"""WITH t AS (

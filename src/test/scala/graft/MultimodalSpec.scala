@@ -274,7 +274,11 @@ class MultimodalSpec extends AnyFunSuite {
           case None => math.min(nf - 1, t * nf / dur)
         }
         assert(fi === expected, s"doc $id frame mapping at $t")
-        assert(off === fi * MultimodalOps.frameBytes)
+        // byte offset: the chunk layout's real file offset when the
+        // payload carries one, the stride model otherwise
+        val expectedOff = wk.layout.flatMap(_.offsetOf(fi))
+          .getOrElse(fi * MultimodalOps.frameBytes)
+        assert(off === expectedOff, s"doc $id byte mapping at frame $fi")
         assert(t <= dur)
       }
       // frame ordinals are monotone in time
@@ -286,6 +290,57 @@ class MultimodalSpec extends AnyFunSuite {
     // that silently drops one population would make its hash vacuous
     assert(vfrDocs > 0, "no VFR (stts-carrying) payloads sampled")
     assert(cfrDocs > 0, "no CFR (sample-table-less) payloads sampled")
+  }
+
+  test("ChunkLayout.offsetOf: chunk-run walk exact for fixed and variable " +
+    "sizes; beyond-capacity and malformed tables degrade") {
+    import graft.operators.MultimodalOps.ChunkLayout
+    // 2 runs (chunks 1-2 at 3/chunk, chunk 3+ at 4/chunk), 3 chunks,
+    // fixed size 10: samples 0-2 in chunk 1, 3-5 in chunk 2, 6-9 in 3
+    val fixed = ChunkLayout(10L, None,
+      Array((1L, 3L), (3L, 4L)), Array(1000L, 2000L, 3000L))
+    assert(fixed.offsetOf(0) === Some(1000L))
+    assert(fixed.offsetOf(2) === Some(1020L))
+    assert(fixed.offsetOf(3) === Some(2000L))
+    assert(fixed.offsetOf(5) === Some(2020L))
+    assert(fixed.offsetOf(6) === Some(3000L))
+    assert(fixed.offsetOf(9) === Some(3030L))
+    assert(fixed.offsetOf(10) === None, "past the chunks' capacity")
+    // variable per-sample sizes: offsets accumulate within the chunk
+    val varSz = ChunkLayout(0L, Some(Array(5L, 7L, 11L, 13L, 17L)),
+      Array((1L, 3L)), Array(500L, 900L))
+    assert(varSz.offsetOf(0) === Some(500L))
+    assert(varSz.offsetOf(1) === Some(505L))
+    assert(varSz.offsetOf(2) === Some(512L))
+    assert(varSz.offsetOf(3) === Some(900L)) // chunk 2 restarts at its stco base
+    assert(varSz.offsetOf(4) === Some(913L))
+    assert(varSz.offsetOf(6) === None, "beyond the size table")
+    // malformed stsc (first run not at chunk 1 / non-ascending /
+    // zero rate) must never produce a layout at parse time
+    def tree2(stbl: Seq[Int]): Array[Byte] = {
+      val minf = be32(8 + stbl.size) ++ "minf".map(_.toInt) ++ stbl
+      val mdia = be32(8 + minf.size) ++ "mdia".map(_.toInt) ++ minf
+      val trak = be32(8 + mdia.size) ++ "trak".map(_.toInt) ++ mdia
+      val moov = be32(8 + trak.size) ++ "moov".map(_.toInt) ++ trak
+      bytes((be32(16) ++ "ftyp".map(_.toInt) ++ "isom".map(_.toInt) ++ be32(0x200) ++
+        moov): _*)
+    }
+    def stscBox(runs: Seq[(Long, Long)]): Seq[Int] =
+      be32(16 + 12 * runs.size) ++ "stsc".map(_.toInt) ++ be32(0) ++
+        be32(runs.size.toLong) ++
+        runs.flatMap { case (fc, spc) => be32(fc) ++ be32(spc) ++ be32(1) }
+    val stszF = be32(20) ++ "stsz".map(_.toInt) ++ be32(0) ++ be32(10) ++ be32(5)
+    val stco2 = be32(16 + 8) ++ "stco".map(_.toInt) ++ be32(0) ++ be32(2) ++
+      be32(100) ++ be32(200)
+    def stblOf(stsc: Seq[Int]): Seq[Int] =
+      be32(8 + stszF.size + stsc.size + stco2.size) ++ "stbl".map(_.toInt) ++
+        stszF ++ stsc ++ stco2
+    val good = MultimodalOps.mp4WalkAll(tree2(stblOf(stscBox(Seq((1L, 2L))))))
+    assert(good.layout.isDefined)
+    assert(good.layout.get.offsetOf(3) === Some(210L))
+    for (bad <- Seq(Seq((2L, 2L)), Seq((1L, 2L), (1L, 3L)), Seq((1L, 0L))))
+      assert(MultimodalOps.mp4WalkAll(tree2(stblOf(stscBox(bad)))).layout.isEmpty,
+        s"malformed stsc $bad must degrade")
   }
 
   test("mp4 sample-table walk: stts honored exactly, v1 mdhd, malformed degrades") {
