@@ -148,6 +148,9 @@ object SparkEntry {
     // source-weighted data mixing: keep thresholds derived from
     // corpus counts in-plan (dimension-sized aggs broadcast back)
     "doc_mixture_sample" -> TextOps.docMixtureSample _,
+    // equal-language target mix via inverse-share rates — the
+    // mixture-side composition of the language report's shares
+    "doc_mixture_by_lang" -> TextOps.docMixtureByLang _,
     // contact-info redaction over deterministically planted PII:
     // map-side codegen regexp, zero shuffles
     "doc_pii_scrub"      -> TextOps.docPiiScrub _,
@@ -328,6 +331,7 @@ object SparkEntry {
     "doc_sample"         -> TextOps.docSampleSql,
     "doc_sample_exact_k" -> TextOps.docSampleExactKSql,
     "doc_mixture_sample" -> TextOps.docMixtureSampleSql,
+    "doc_mixture_by_lang" -> TextOps.docMixtureByLangSql,
     "doc_pii_scrub"      -> TextOps.docPiiScrubSql,
     "source_quality_report" -> TextOps.sourceQualityReportSql,
     "decontamination"    -> TextOps.decontaminationSql,

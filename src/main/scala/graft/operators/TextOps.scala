@@ -1012,6 +1012,77 @@ object TextOps {
         expr("try_cast(substring(source, 4, 10) AS BIGINT)") % 2 === 0,
         lit(3L)).otherwise(lit(1L)))
 
+  /** LANGUAGE-rebalancing mixture sampler — the consumption pattern
+    * [[sourceLanguageReport]]'s shares feed into sampling (the
+    * [[docQualityByLang]] symmetry on the mixture side): an
+    * equal-LANGUAGE target mix via inverse-share rates. Keep ~half
+    * the corpus, allocated EQUALLY across the predicted languages,
+    * each language sampled uniformly at
+    * `rate_l = (n_total/2 / n_langs) / n_l` — a dominant language
+    * downsamples toward the per-language budget, a rare one keeps
+    * everything (thresh capped at the modulus; the cap is the
+    * integer-exact "can't upsample what isn't there" floor). The
+    * classifier computes INLINE on the one corpus scan; rates come
+    * back as a languages-sized broadcast; the keep decision is the
+    * [[docMixtureSample]] deterministic hash — reproducible on any
+    * cluster/partitioning. All-integer arithmetic → full hash gate. */
+  def docMixtureByLang(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val langs = markers.map(_._1)
+    val counts = markers.map { case (lang, ws) =>
+      size(filter(toks, t => t.isin(ws: _*))).as(s"c_$lang")
+    }
+    val maxC = greatest(langs.map(l => col(s"c_$l")): _*)
+    val pred = langs.foldRight[Column](lit("und")) { (l, els) =>
+      when(col(s"c_$l") === maxC, lit(l)).otherwise(els)
+    }
+    val tagged = docs(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++ counts: _*)
+      .withColumn("pred_lang", when(maxC > 0, pred).otherwise(lit("und")))
+      .select("doc_id", "source", "pred_lang")
+    val byLang = tagged.groupBy("pred_lang").agg(count(lit(1)).as("n_l"))
+    val totals = byLang.agg(sum(col("n_l")).as("n_total"),
+      count(lit(1)).as("n_langs"))
+    val rates = byLang.crossJoin(broadcast(totals))
+      .withColumn("thresh", least(lit(sampleMod),
+        expr(s"(((n_total div 2) div n_langs) * $sampleMod) div n_l")))
+      .select("pred_lang", "thresh")
+    tagged.join(broadcast(rates), "pred_lang")
+      .filter(pmod((col("doc_id") % sampleFold) * sampleHashMul,
+        lit(sampleMod)) < col("thresh"))
+      .select("doc_id", "source", "pred_lang")
+  }
+
+  lazy val docMixtureByLangSql: String = {
+    val cnt = markers.map { case (lang, ws) =>
+      val l = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($l, x))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langList = markers.map(_._1)
+    val maxExpr = "greatest(" + langList.map(l => s"c_$l").mkString(", ") + ")"
+    val pred = langList.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN c_$l = m THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (
+       | SELECT doc_id, source,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |c AS (SELECT doc_id, source, $cnt FROM t),
+       |g AS (SELECT *, $maxExpr AS m FROM c),
+       |tg AS (
+       | SELECT doc_id, source,
+       |  CASE WHEN m > 0 THEN $pred ELSE 'und' END AS pred_lang
+       | FROM g),
+       |bl AS (SELECT pred_lang, count(*) AS n_l FROM tg GROUP BY pred_lang),
+       |tot AS (SELECT sum(n_l) AS n_total, count(*) AS n_langs FROM bl),
+       |r AS (SELECT pred_lang,
+       |   least($sampleMod, (((n_total // 2) // n_langs) * $sampleMod) // n_l) AS thresh
+       |  FROM bl, tot)
+       |SELECT tg.doc_id, tg.source, tg.pred_lang
+       |FROM tg JOIN r USING (pred_lang)
+       |WHERE ((tg.doc_id % $sampleFold) * $sampleHashMul) % $sampleMod < r.thresh""".stripMargin
+  }
+
   def docMixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_s"))

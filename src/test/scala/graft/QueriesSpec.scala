@@ -875,6 +875,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(withStage.nonEmpty)
   }
 
+  test("doc_mixture_by_lang: inverse-share rates rebalance toward the " +
+    "equal-language mix; strata recompose from langId; hash is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val kept = operators.TextOps.docMixtureByLang(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.nonEmpty)
+    // stratum key recomposes from the standalone classifier
+    val langOf = operators.TextOps.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    kept.foreach { case (id, l) => assert(l === langOf(id)) }
+    // rate verification: every language's kept count matches the
+    // integer-exact expected rate applied to its population
+    val pop = langOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = pop.values.sum
+    val nLangs = pop.size.toLong
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val mod = operators.TextOps.sampleMod
+    pop.foreach { case (l, nL) =>
+      val thresh = math.min(mod, ((nTotal / 2) / nLangs) * mod / nL)
+      val expect = langOf.collect { case (id, `l`)
+        if ((id % operators.TextOps.sampleFold) *
+          operators.TextOps.sampleHashMul) % mod < thresh => id }.size.toLong
+      assert(keptBy.getOrElse(l, 0L) === expect, s"language $l kept-count")
+      // a language at/below its per-language budget keeps everything
+      if (nL * mod <= ((nTotal / 2) / nLangs) * mod)
+        assert(keptBy(l) === nL, s"rare language $l must keep all docs")
+    }
+    // the REBALANCING property: kept fractions are (weakly) inversely
+    // ordered with language size — the dominant language downsamples
+    // hardest, capped languages keep 100%
+    val fracs = pop.map { case (l, n) => (n, keptBy.getOrElse(l, 0L).toDouble / n) }
+      .toSeq.sortBy(_._1)
+    fracs.zip(fracs.tail).foreach { case ((n1, f1), (n2, f2)) =>
+      if (n1 < n2) assert(f1 >= f2 - 0.15,
+        s"larger language ($n2 docs) kept a higher fraction than smaller ($n1)") }
+  }
+
   test("doc_lm_adaptive: rank rule agrees with a direct per-source quantile " +
     "check and the tiny-strata guard keeps small sources whole") {
     import org.apache.spark.sql.functions._
