@@ -108,18 +108,26 @@ object RecallAudit {
     // range search: threshold recall vs the exact radius query (a
     // different regime than top-k — the qualifying set is
     // data-dependent and probe misses cost whole pairs, not ranks)
-    if (want("ann_range_ivf")) {
+    if (want("ann_range_ivf")) withTempDir("graft-audit-range") { idx =>
       val exactR = timed("ann_range_exact") {
         idPairs(operators.VectorOps.annRangeExact(spark, sfDir)) }
       sizes :+= ("range_pairs", exactR.size.toLong)
-      entries :+= ("ann_range_ivf", recall(timed("ann_range_ivf") {
-        idPairs(operators.VectorOps.annRangeIvf(spark, sfDir)) }, exactR))
+      // serving seat against the PREBUILT radius-carrying index —
+      // the round-13 range split: build timed separately
+      // (range_build), serving wall is what a user pays per query
+      // batch. Probe stats read the same persisted radius, so the
+      // Lloyd build runs ONCE per audit seat (it used to run three
+      // times: fused query + fused stats + nothing reusable).
+      timed("range_build") {
+        operators.VectorOps.ivfBuildIndex(spark, sfDir, idx) }
+      entries :+= ("ann_range_ivf", recall(timed("ann_range_ivf_query") {
+        idPairs(operators.VectorOps.annRangeIvfQuery(spark, sfDir, idx)) }, exactR))
       // the adaptive bound's pruning diagnostics: mean probed fraction
       // (probed/lists per query). 1.0 on this diffuse corpus is the
       // certificate that no tau-respecting pruning exists at this SF,
       // not a regression — recall above is exact by construction.
       val st = timed("ann_range_ivf_probe_stats") {
-        operators.VectorOps.annRangeIvfProbeStats(spark, sfDir).collect()
+        operators.VectorOps.annRangeIvfQueryProbeStats(spark, sfDir, idx).collect()
           .map(r => (r.getLong(1), r.getLong(2))) }
       if (st.nonEmpty)
         entries :+= ("ann_range_ivf_probe_frac",

@@ -154,6 +154,9 @@ object SparkEntry {
     // contact-info redaction over deterministically planted PII:
     // map-side codegen regexp, zero shuffles
     "doc_pii_scrub"      -> TextOps.docPiiScrub _,
+    // HTML/boilerplate extraction (round 13): planted-page gate, the
+    // crawl-to-clean-text ingest stage
+    "doc_html_extract"   -> TextOps.docHtmlExtract _,
     // per-source corpus quality dashboard: integer counts of the
     // quality / repetition / contamination / near-dup flags
     "source_quality_report" -> TextOps.sourceQualityReport _,
@@ -226,6 +229,9 @@ object SparkEntry {
     // (recall spec + bit-parity of emitted cosines vs the exact twin)
     "ann_range_exact" -> ((s: SparkSession, d: String) => VectorOps.annRangeExact(s, d)),
     "ann_range_ivf"   -> ((s: SparkSession, d: String) => VectorOps.annRangeIvf(s, d)),
+    // range-serving split (round 13): same exact result off the
+    // PREBUILT radius-carrying index — no per-call Lloyd build
+    "ann_range_ivf_query" -> ((s: SparkSession, d: String) => VectorOps.annRangeIvfQuery(s, d)),
     "ann_lsh"         -> ((s: SparkSession, d: String) => VectorOps.annLsh(s, d)),
     "ann_ivf"         -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     // deployment split: parquet index built once (first call), query
@@ -237,6 +243,9 @@ object SparkEntry {
     "ann_ivfpq_query" -> ((s: SparkSession, d: String) => VectorOps.annIvfPqQuery(s, d)),
     "knn_centroid"    -> VectorOps.knnCentroid _,
     // Multimodal codec + plumbing
+    // image-content near-dup (round 13): dHash over the BMP payloads'
+    // pixel region, banded like dedup_simhash, planted gradient pairs
+    "dedup_image_phash" -> MultimodalOps.imagePhash _,
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,
     // header codec through the batched mapPartitions path (+ byte-hist
     // feature) — the shape a vectorized native decoder plugs into
@@ -333,6 +342,7 @@ object SparkEntry {
     "doc_mixture_sample" -> TextOps.docMixtureSampleSql,
     "doc_mixture_by_lang" -> TextOps.docMixtureByLangSql,
     "doc_pii_scrub"      -> TextOps.docPiiScrubSql,
+    "doc_html_extract"   -> TextOps.docHtmlExtractSql,
     "source_quality_report" -> TextOps.sourceQualityReportSql,
     "decontamination"    -> TextOps.decontaminationSql,
     "decontamination_bloom" -> TextOps.decontaminationSql,
@@ -358,8 +368,15 @@ object SparkEntry {
     // bound probes a certified superset; same cosine kernel) -> it
     // shares the exact twin's oracle and hash-gates fully
     "ann_range_ivf"   -> VectorOps.annRangeExactSql,
+    // ann_range_ivf_query: the prebuilt-index serving path carries the
+    // same certificate (persisted radius is the build-time statistic,
+    // appends widen it monotonically) -> same full hash gate
+    "ann_range_ivf_query" -> VectorOps.annRangeExactSql,
     // ann_lsh: recall<1 by design -> rows-only + ScalaTest recall spec
     "knn_centroid"    -> VectorOps.knnCentroidSql,
+    // dedup_image_phash: integer sampling + compares only (no xxhash)
+    // -> the one dedup signature with a FULL cross-engine hash gate
+    "dedup_image_phash" -> MultimodalOps.imagePhashSql,
     "mm_binary_meta"  -> MultimodalOps.binaryMetaSql,
     "mm_feature"      -> MultimodalOps.featureSql,
     "mm_media_decode" -> MultimodalOps.mediaDecodeSql,

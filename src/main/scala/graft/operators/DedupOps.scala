@@ -1332,19 +1332,25 @@ object DedupOps {
     * ROUTE input (structural — which pair-generation plan to build),
     * so it must run eagerly, but repeat calls over the same data dir
     * (bench loops, Verify, the audit) should not re-pay a corpus scan
-    * for a number that cannot change under them. A corpus regenerated
-    * IN PLACE under the same path within one JVM is outside the
-    * envelope (same stance as the IVF index-dir completion markers —
-    * regeneration gets a new dir). */
+    * for a number that cannot change under them. Keyed by dir PLUS a
+    * content stamp of documents.parquet (per-file name/length/mtime —
+    * the [[VectorOps]] index-cache freshness signal), so a
+    * corpus regenerated IN PLACE under the same path in one JVM gets
+    * a fresh count instead of silently serving a stale route choice
+    * (one-row vs pair plan). */
   private val sourceCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sourceCountKey(dir: String): String =
+    dir + "#" + java.lang.Long.toHexString(
+      graft.Tables.contentStamp(new java.io.File(s"$dir/documents.parquet")))
 
   def sourceJaccardKmv(spark: SparkSession, dir: String,
                        k: Int = kmvK,
                        oneRowMax: Long = kmvOneRowMaxSources): DataFrame = {
     import graft.functions.TopKColumns.topKStructs
     val docs = Tables(spark, dir, "documents")
-    val nSources: Long = sourceCountCache.computeIfAbsent(dir,
+    val nSources: Long = sourceCountCache.computeIfAbsent(sourceCountKey(dir),
       _ => docs.agg(count_distinct(col("source"))).first().getLong(0))
     val sk = docs
       .select(col("source"), explode(distinctShingles3(col("text"))).as("g"))

@@ -155,6 +155,16 @@ object MultimodalOps {
 
   private def be16h(c: Column) = lpad(hex(c), 4, "0")
 
+  /** The 30-byte constructed BMP header (BM + 12 filler +
+    * BITMAPINFOHEADER(40 declared): w/h LE32, planes 1, bpp 24) —
+    * shared by [[taggedPayload]]'s tag-2 branch and the
+    * [[imagePhash]] planted near-dup payloads, so the planted docs
+    * dispatch as real BMPs through the same codec path. */
+  private val bmpHeaderBytes = 30
+  private def bmpHeaderHex(w: Column, h: Column): Column =
+    concat(lit("424D" + "0" * 24), le32h(lit(40L)), le32h(w), le32h(h),
+      lit("0100"), le16h(lit(24L)))
+
   /** Unity transformation matrix (ISO/IEC 14496-12 §6.2.2) — the 36
     * constant bytes both mvhd and tkhd carry. */
   private val mp4UnityMatrixHex =
@@ -262,9 +272,7 @@ object MultimodalOps {
         be32h(w), be32h(h), lit("08"), hex2(ct)))
       .when(tag === 1, concat( // GIF89a logical screen: w/h LE16
         lit("474946383961"), le16h(w), le16h(h)))
-      .when(tag === 2, concat( // BM + 12 filler + BITMAPINFOHEADER(40): w/h LE32, planes 1, bpp 24
-        lit("424D" + "0" * 24), le32h(lit(40L)), le32h(w), le32h(h),
-        lit("0100"), le16h(lit(24L))))
+      .when(tag === 2, bmpHeaderHex(w, h))
       .when(tag === 3, concat( // RIFF....WAVEfmt (16, PCM): channels LE16, rate LE32
         lit("52494646" + "00000000" + "57415645" + "666D7420" +
           "10000000" + "0100"),
@@ -458,7 +466,13 @@ object MultimodalOps {
     * AND the version-1 mvhd (64-bit timescale-offset/duration) and
     * version-1 tkhd (longer fixed header before the 16.16 dims)
     * layouts — gate payloads are all version 0; the v1 layouts are
-    * pinned by the constructed-array unit specs instead. */
+    * pinned by the constructed-array unit specs instead. Also
+    * JVM-only: the stts oversized-value rejection (count/delta ≥ 2^31
+    * degrades to CFR on the JVM where the twin would compute or
+    * raise — unit-spec'd, unreachable by gate payloads). mvhd/tkhd
+    * match arms are depth-gated to ≤ 2 on the JVM so the
+    * mdia/minf/stbl descent cannot reach an mvhd/tkhd the twin's
+    * moov/trak-level extractors would miss. */
   private val mmMp4WalkCtes: String =
     """mtop(doc_id, pos, it) AS (
       | SELECT doc_id, 1, 0 FROM d WHERE is_mp4
@@ -482,7 +496,8 @@ object MultimodalOps {
       | SELECT f.doc_id,
       |  chr(CAST(d.b[f.pos+8] AS INT)) || chr(CAST(d.b[f.pos+9] AS INT)) ||
       |  chr(CAST(d.b[f.pos+10] AS INT)) || chr(CAST(d.b[f.pos+11] AS INT)) AS brand
-      | FROM mftyp f JOIN d USING (doc_id)),
+      | FROM mftyp f JOIN d USING (doc_id)
+      | WHERE NOT (d.is_png OR d.is_jpeg OR d.is_gif OR d.is_bmp OR d.is_wav)),
       |mmoov AS (
       | SELECT t.doc_id, min(t.pos) AS pos
       | FROM mtop t JOIN d USING (doc_id)
@@ -728,27 +743,36 @@ object MultimodalOps {
     * MP4 brand IS fixed-offset, so both paths carry it) — each oracle
     * mirrors its own path. */
   private def mmSelect(deepWalk: Boolean): String = {
+    // mp4 is the LAST branch of the JVM dispatch chain, so every
+    // mp4-sourced field in the twin must lose to an earlier format —
+    // a BMP whose LE32 size field aliases 'ftyp' at bytes 5-8 must
+    // not leak a brand/duration/dims here when the JVM paths (which
+    // dispatch once, precedence-ordered) emit none (the round-12
+    // expression-path precedence fix, mirrored)
+    val mp4Wins = "is_mp4 AND NOT is_png AND NOT is_jpeg AND NOT is_gif" +
+      " AND NOT is_bmp AND NOT is_wav"
     val jw = if (deepWalk) " WHEN is_jpeg THEN jw" else ""
     val jh = if (deepWalk) " WHEN is_jpeg THEN jh" else ""
     val jc = if (deepWalk) " WHEN is_jpeg THEN jc" else ""
-    val mw = if (deepWalk) " WHEN is_mp4 THEN vw" else ""
-    val mh = if (deepWalk) " WHEN is_mp4 THEN vh" else ""
+    // placed after the bmp arm: SQL CASE order = the JVM chain order
+    val mw = if (deepWalk) s" WHEN $mp4Wins THEN vw" else ""
+    val mh = if (deepWalk) s" WHEN $mp4Wins THEN vh" else ""
     val brand = if (deepWalk) "brand"
-      else "CASE WHEN is_mp4 THEN concat(chr(CAST(b[9] AS INT)), chr(CAST(b[10] AS INT))," +
+      else s"CASE WHEN $mp4Wins THEN concat(chr(CAST(b[9] AS INT)), chr(CAST(b[10] AS INT))," +
         " chr(CAST(b[11] AS INT)), chr(CAST(b[12] AS INT))) END"
-    val dur = if (deepWalk) "CAST(CASE WHEN is_mp4 THEN mdur_ms END AS BIGINT)"
+    val dur = if (deepWalk) s"CAST(CASE WHEN $mp4Wins THEN mdur_ms END AS BIGINT)"
       else "CAST(NULL AS BIGINT)"
     s""" CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
       |  WHEN is_gif THEN 'gif' WHEN is_bmp THEN 'bmp'
       |  WHEN is_wav THEN 'wav' WHEN is_mp4 THEN 'mp4' ELSE 'raw' END AS format,
       | $brand AS brand,
-      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]$jw$mw
+      | CAST(CASE WHEN is_png THEN b[17]*16777216 + b[18]*65536 + b[19]*256 + b[20]$jw
       |  WHEN is_gif THEN b[7] + b[8]*256
-      |  WHEN is_bmp THEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216
+      |  WHEN is_bmp THEN b[19] + b[20]*256 + b[21]*65536 + b[22]*16777216$mw
       |  END AS BIGINT) AS width,
-      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]$jh$mh
+      | CAST(CASE WHEN is_png THEN b[21]*16777216 + b[22]*65536 + b[23]*256 + b[24]$jh
       |  WHEN is_gif THEN b[9] + b[10]*256
-      |  WHEN is_bmp THEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216
+      |  WHEN is_bmp THEN b[23] + b[24]*256 + b[25]*65536 + b[26]*16777216$mh
       |  END AS BIGINT) AS height,
       | CAST(CASE WHEN is_png THEN
       |   CASE b[26] WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
@@ -923,14 +947,19 @@ object MultimodalOps {
           // same recursion, same bounds, depth cap widened to fit it
           case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
             walk(pos + hdr, boxEnd, depth + 1)
-          case "mvhd" if timescale == 0 =>
+          // depth ≤ 2 preserves the pre-stbl-walk reachability (mvhd
+          // under moov = depth 1, tkhd under trak = depth 2): the
+          // DuckDB twin extracts them only from moov/trak-level
+          // children, so a deeper nested mvhd/tkhd (reachable since
+          // the walk descends mdia/minf/stbl) must not win here
+          case "mvhd" if timescale == 0 && depth <= 2 =>
             val v = if (size >= hdr + 1) u(pos + hdr) else -1
             if (v == 0 && size >= hdr + 20) {
               timescale = be32(pos + hdr + 12); duration = be32(pos + hdr + 16)
             } else if (v == 1 && size >= hdr + 32) {
               timescale = be32(pos + hdr + 20); duration = be64(pos + hdr + 24)
             }
-          case "tkhd" if w.isEmpty =>
+          case "tkhd" if w.isEmpty && depth <= 2 =>
             val v = if (size >= hdr + 1) u(pos + hdr) else -1
             if (v == 0 && size >= hdr + 84) {
               w = Some(be32(pos + hdr + 76) >> 16); h = Some(be32(pos + hdr + 80) >> 16)
@@ -953,8 +982,23 @@ object MultimodalOps {
                   (be32(pos + hdr + 8 + 8 * j), be32(pos + hdr + 12 + 8 * j))
                 }
                 // a non-positive count or delta is malformed: degrade
-                // to CFR rather than divide-by-zero or loop forever
-                if (es.forall { case (c, d) => c > 0 && d > 0 }) stts = Some(es)
+                // to CFR rather than divide-by-zero or loop forever.
+                // counts/deltas ≥ 2^31 (raw u32 range) are rejected
+                // too: sttsFrameAt's c*d products and cumulative sums
+                // would silently wrap Long on an adversarial table
+                // (wrong, possibly negative frame indices) where the
+                // oracle would raise — oversized tables degrade to
+                // CFR like the other malformed cases. The < 2^31
+                // bound makes each c*d < 2^62; the cumulative check
+                // below closes the 64-entry sum.
+                var cum = 0L
+                val ok = es.forall { case (c, d) =>
+                  c > 0 && d > 0 && c < (1L << 31) && d < (1L << 31) && {
+                    val cd = c * d
+                    cum <= Long.MaxValue - cd && { cum += cd; true }
+                  }
+                }
+                if (ok) stts = Some(es)
               }
             }
           case "stsz" if !stszSeen =>
@@ -1307,4 +1351,121 @@ object MultimodalOps {
        | CAST(i * $frameStride * $frameBytes AS BIGINT) AS byte_offset,
        | md5(substring(text, CAST(i * $frameStride * $frameBytes + 1 AS INT), $frameBytes)) AS frame_digest
        |FROM f""".stripMargin
+
+  // ---- image-content near-dup (perceptual signature) -------------------
+
+  /** Max differing signature bits for an image near-dup pair. 6 with
+    * the 8×8-bit band join below makes candidate recall EXACT by
+    * pigeonhole (≤ 7 differing bits leave ≥ 1 of 8 bands equal) —
+    * the [[DedupOps.simhashMaxHamming]] geometry, so the banded plan
+    * provably emits the same pair set an all-pairs Hamming join
+    * would, and the DuckDB oracle can verify with the naive join. */
+  val phashMaxHamming = 6
+
+  /** Planted perceptual near-dup pairs: doc_ids ≡ 18 and ≡ 58
+    * (mod 80) — both tag-2/BMP residues — swap their text pixels for
+    * a shared synthetic 256-byte gradient keyed by ⌊id/80⌋, the
+    * ≡ 58 twin with ONE sampled byte perturbed (position 128 =
+    * sample 36 exactly, flipping at most the one dHash bit that
+    * compares samples 36/37) — so every group yields a deterministic
+    * Hamming ≤ 1 pair while the groups stay mutually far. The
+    * synthetic corpus has no natural pixel near-dups ([[DedupOps]]'s
+    * planted-tail idiom, [[graft.operators.TextOps.docPiiScrub]]'s
+    * rationale). */
+  private def phashPlanted(id: Column): Column =
+    pmod(id, lit(80L)) === 18 || pmod(id, lit(80L)) === 58
+
+  private def phashPatternHex(id: Column): Column = {
+    val g = floor(id / 80).cast("long")
+    array_join(transform(sequence(lit(0), lit(255)), j => {
+      val base = pmod(j.cast("long") * 7L + g * 13L, lit(251L))
+      val b = when(pmod(id, lit(80L)) === 58 && j === 128,
+        pmod(base + 125L, lit(251L))).otherwise(base)
+      lpad(hex(b), 2, "0")
+    }), "")
+  }
+
+  /** Image-content near-dup pairs over the decodable raster payloads
+    * — the multimodal twin of [[DedupOps.simhash]]: a 64-bit sampled
+    * difference hash ([[graft.functions.DHashKernel]]) per BMP
+    * payload's pixel region, 8×8-bit band join for candidates, exact
+    * Hamming verify at ≤ [[phashMaxHamming]]. The non-BMP containers
+    * (compressed formats) need a real codec before a perceptual hash
+    * means anything — that boundary is the library's declared decode
+    * stub, so the operator's population is the raster tag. The
+    * signature is pure integer sampling/compares → full DuckDB hash
+    * gate (the one xxhash-free dedup signature in the suite).
+    *
+    * Plan shape: one codegen'd scan projection (dispatch + dhash64),
+    * band explode, one shuffle on (band, bkey), candidate distinct —
+    * the dedup_simhash class; at 100 TB only signatures shuffle,
+    * never payloads. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      when(phashPlanted(id),
+        unhex(concat(
+          bmpHeaderHex(lit(16L) + pmod(id, lit(1000L)),
+            lit(16L) + pmod(id * 7, lit(1000L))),
+          phashPatternHex(id))))
+        .otherwise(taggedPayload).as("bin"))
+    // the raster-dispatch population: real BMP magic at the head
+    // (planted docs carry the same constructed header, so they pass
+    // the same gate), pixel region big enough to sample
+    val n = length(col("bin"))
+    val isBmp = n >= 30 && hex(substring(col("bin"), 1, 2)) === "424D"
+    val sigs = base
+      .filter(isBmp && n >= bmpHeaderBytes + graft.functions.DHashKernel.minPixels)
+      .select(col("doc_id"),
+        graft.functions.DHashColumns.dhash64(col("bin"), bmpHeaderBytes).as("ph"))
+    val bandCols = (0 until 8).map(j =>
+      struct(lit(j).as("band"),
+        shiftright(col("ph"), 8 * j).bitwiseAND(0xFF).as("bkey")))
+    val bands = sigs.select(col("doc_id"), col("ph"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("ph"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val ba = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("ph").as("ph_a"))
+    val bb2 = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("ph").as("ph_b"))
+    ba.join(bb2, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= phashMaxHamming)
+  }
+
+  /** DuckDB twin: identical pixels (planted gradient or text bytes),
+    * identical integer sampling, the SAME 64-bit value assembled as
+    * low-63-bit sum + two's-complement bit 63, then the naive
+    * all-pairs Hamming join the banded plan provably equals. */
+  val imagePhashSql: String = {
+    // sample s of a length-pn pixel list px (1-based list indexing)
+    def g(s: String) = s"px[1 + (($s) * pn) // 72]"
+    val bit = s"CASE WHEN ${g("(k//8)*9 + k%8")} < ${g("(k//8)*9 + k%8 + 1")}" +
+      " THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END"
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 80 IN (18, 58) THEN
+       |   list_transform(range(0, 256), j ->
+       |    CASE WHEN doc_id % 80 = 58 AND j = 128
+       |     THEN (j*7 + (doc_id//80)*13 + 125) % 251
+       |     ELSE (j*7 + (doc_id//80)*13) % 251 END)
+       |  ELSE list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))
+       |  END AS px
+       | FROM documents WHERE doc_id % 8 = 2),
+       |sz AS (SELECT doc_id, px, len(px) AS pn FROM base WHERE len(px) >= 72),
+       |ph AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 63), k -> $bit)) AS BIGINT)
+       |  + CASE WHEN ${g("70")} < ${g("71")}
+       |     THEN -9223372036854775807 - 1 ELSE 0 END AS sig
+       | FROM sz)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $phashMaxHamming""".stripMargin
+  }
 }

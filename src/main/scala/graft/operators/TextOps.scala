@@ -1379,6 +1379,202 @@ object TextOps {
        |      '$piiPhonePat', '<PHONE>', 'g')) AS clean_md5
        |FROM t""".stripMargin
 
+  // ---- HTML / boilerplate extraction -----------------------------------
+
+  /** Minimum visible characters for a block to count as content — the
+    * published jusText/trafilatura short-block heuristic (boilerplate
+    * fragments are short; body prose is not). Integer chars, so the
+    * keep decision is exact cross-engine. */
+  val htmlMinBlockChars = 25
+
+  /** Block-boundary tags: splitting on these (open or close, any
+    * attributes) turns the page into candidate text blocks; inline
+    * markup (<a>, <b>, <span>) stays INSIDE its block so the
+    * link-density measure can see it. */
+  private val htmlBlockTagPat =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|nav|br|body|html|head|title|table|tr|td|footer|header|article|section)[^>]*>"
+
+  /** Non-content elements dropped wholesale before block splitting.
+    * RE2-compatible on purpose (non-greedy + (?s)(?i), no lookaround,
+    * no backrefs) — the Java (Spark) and RE2 (DuckDB) dialects agree
+    * exactly, the [[piiEmailPat]] stance. */
+  private val htmlDropPats = Seq(
+    "(?s)(?i)<script[^>]*>.*?</script>",
+    "(?s)(?i)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+
+  private val htmlAnchorPat = "(?s)(?i)<a[^>]*>.*?</a>"
+  private val htmlTagPat = "<[^>]*>"
+
+  /** Visible text of a block: inline tags stripped to spaces,
+    * whitespace collapsed, the common entities decoded (&amp; LAST,
+    * so a double-escaped entity decodes exactly one level — the HTML
+    * rule; &nbsp; first, before any entity can synthesize one). */
+  private def htmlVisible(b: Column): Column = {
+    val stripped = trim(regexp_replace(
+      regexp_replace(b, htmlTagPat, " "), "\\s+", " "))
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+  }
+
+  /** Per-block (visible, visible-without-anchors) structs for an HTML
+    * string — the shared stem of the clean text, the block counts and
+    * the keep predicate. Scalar-only, map-side: scripts/styles/
+    * comments drop, block tags split, each block scored in place. */
+  private def htmlScoredBlocks(html: Column): Column = {
+    val noHidden = htmlDropPats.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    transform(split(noHidden, htmlBlockTagPat), b =>
+      struct(htmlVisible(b).as("v"),
+        htmlVisible(regexp_replace(b, htmlAnchorPat, "")).as("w")))
+  }
+
+  /** The jusText-style keep rule: enough visible text AND link
+    * density ≤ 1/2 — computed in INTEGER arithmetic
+    * (2·linkChars ≤ chars, linkChars = chars − chars-without-anchors)
+    * so there is no float to disagree about. */
+  private def htmlKeep(s: Column): Column =
+    length(s.getField("v")) >= htmlMinBlockChars &&
+      (length(s.getField("v")) - length(s.getField("w"))) * 2 <=
+        length(s.getField("v"))
+
+  /** Boilerplate-removed main text of an HTML string column — the
+    * composable stage form ([[piiRedact]]'s role for the scrub):
+    * kept blocks joined by newline. Plain text without tags passes
+    * through as one block (whitespace-normalized; dropped entirely
+    * only when shorter than [[htmlMinBlockChars]]). */
+  def htmlExtractClean(html: Column): Column = {
+    val sc = htmlScoredBlocks(html)
+    array_join(transform(filter(sc, htmlKeep _), s => s.getField("v")), "\n")
+  }
+
+  /** The planted-HTML gate page (the [[docPiiScrub]] synthesized-
+    * corpus idiom): the document's text becomes the main <p> content
+    * wrapped in a deterministic page whose boilerplate varies by
+    * doc_id mod 4 — a nav menu (link density 1 → dropped), a short
+    * heading/tag line (length → dropped), a mixed prose+link block
+    * (density below the bar → kept), a majority-anchor long block
+    * (density → dropped), an entity-bearing paragraph (decode path),
+    * a comment + script + style (dropped wholesale), a link-heavy
+    * footer. DuckDB builds the identical page, so every branch of
+    * the extractor is hash-gated. */
+  private def htmlPayload: Column = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val txt = col("text")
+    concat(
+      lit("<html><head><title>doc "), idS, lit(" title</title>"),
+      when(pmod(id, lit(4)) === 2,
+        lit("<style>p{color:red;font-size:14px}</style>")).otherwise(lit("")),
+      lit("</head><body>"),
+      when(pmod(id, lit(4)) === 0,
+        lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about us</a>" +
+          " <a href=\"/contact\">contact page</a></nav>")).otherwise(lit("")),
+      lit("<h1>doc "), idS, lit(" heading</h1>"),
+      lit("<p>"), txt, lit("</p>"),
+      lit("<p>tag "), pmod(id, lit(7)).cast("string"), lit("</p>"),
+      lit("<div><p>"), substring(txt, 1, 80),
+      lit(" see <a href=\"/more\">more item "), pmod(id, lit(5)).cast("string"),
+      lit("</a> for the remaining details</p></div>"),
+      lit("<p><a href=\"/l\">"), substring(txt, 1, 40), lit("</a> ok</p>"),
+      when(pmod(id, lit(4)) === 1,
+        concat(lit("<p>alpha &amp; beta &lt;tag&gt; &quot;quoted&quot;" +
+          " &#39;s&#39; x&nbsp;y "), substring(txt, 1, 30), lit("</p>")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4)) === 1,
+        concat(lit("<!-- hidden note "), idS, lit(" -->"))).otherwise(lit("")),
+      lit("<script>var x = "), idS, lit(";</script>"),
+      when(pmod(id, lit(4)) =!= 3,
+        concat(lit("<div><a href=\"/terms\">terms</a>" +
+          " <a href=\"/privacy\">privacy</a> &copy; "),
+          pmod(id, lit(100)).cast("string"), lit("</div>"))).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  /** HTML → main-text extraction — the ingest stage between "what a
+    * crawl delivers" and the clean-text corpus every other curation
+    * operator assumes (cf. the reference pipelines' text mappers,
+    * SolaceIO.Read.mapRecord → text, which presume decoded payloads).
+    * Tag-aware but parser-free: script/style/comment blocks drop
+    * wholesale, block-level tags split the page into candidate
+    * blocks, and each block survives by the published
+    * jusText/trafilatura heuristics — visible length ≥
+    * [[htmlMinBlockChars]] AND link density ≤ 1/2 (both integer
+    * tests). Pure map-side codegen'd regexp/array expressions over
+    * one scan, zero shuffles — at 100 TB this runs at scan speed,
+    * exactly like [[docPiiScrub]]. Emits per-doc counts + md5 of the
+    * extracted text; the composable column form is
+    * [[htmlExtractClean]] (the `training_pipeline` ingest stage). */
+  def docHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), htmlPayload.as("html"))
+    val sc = htmlScoredBlocks(col("html"))
+    val clean = array_join(transform(filter(sc, htmlKeep _), s => s.getField("v")), "\n")
+    d.select(
+      col("doc_id"),
+      regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+      size(filter(sc, s => length(s.getField("v")) > 0)).cast("long").as("n_blocks"),
+      size(filter(sc, htmlKeep _)).cast("long").as("n_kept"),
+      length(col("html")).cast("long").as("chars_raw"),
+      length(clean).cast("long").as("chars_clean"),
+      md5(clean.cast("binary")).as("clean_md5"))
+  }
+
+  val docHtmlExtractSql: String = {
+    // the identical page, DuckDB-side
+    val page =
+      """'<html><head><title>doc ' || doc_id || ' title</title>' ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '<style>p{color:red;font-size:14px}</style>' ELSE '' END ||
+        |    '</head><body>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<nav><a href="/">home</a> <a href="/about">about us</a> <a href="/contact">contact page</a></nav>' ELSE '' END ||
+        |    '<h1>doc ' || doc_id || ' heading</h1>' ||
+        |    '<p>' || text || '</p>' ||
+        |    '<p>tag ' || doc_id % 7 || '</p>' ||
+        |    '<div><p>' || substr(text, 1, 80) || ' see <a href="/more">more item ' || doc_id % 5 || '</a> for the remaining details</p></div>' ||
+        |    '<p><a href="/l">' || substr(text, 1, 40) || '</a> ok</p>' ||
+        |    CASE WHEN doc_id % 4 = 1 THEN '<p>alpha &amp; beta &lt;tag&gt; &quot;quoted&quot; &#39;s&#39; x&nbsp;y ' || substr(text, 1, 30) || '</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN '<!-- hidden note ' || doc_id || ' -->' ELSE '' END ||
+        |    '<script>var x = ' || doc_id || ';</script>' ||
+        |    CASE WHEN doc_id % 4 <> 3 THEN '<div><a href="/terms">terms</a> <a href="/privacy">privacy</a> &copy; ' || doc_id % 100 || '</div>' ELSE '' END ||
+        |    '</body></html>'""".stripMargin
+    // visible-text chain (tags → spaces, collapse, trim, entities in
+    // the htmlVisible order: &nbsp; first, &amp; last)
+    def visFull(x: String): String =
+      "replace(replace(replace(replace(replace(replace(" +
+        s"trim(regexp_replace(regexp_replace($x, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', ''''), '&amp;', '&')"
+    s"""WITH h AS (
+       |  SELECT doc_id, $page AS html FROM documents),
+       |s AS (SELECT doc_id, html,
+       |  regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?s)(?i)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?s)(?i)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS noh FROM h),
+       |v AS (SELECT doc_id, html,
+       |  list_transform(string_split_regex(noh, '$htmlBlockTagPat'),
+       |    b -> struct_pack(v := ${visFull("b")},
+       |      w := ${visFull("regexp_replace(b, '" + htmlAnchorPat + "', '', 'g')")})) AS sc
+       |  FROM s),
+       |k AS (SELECT doc_id, html, sc,
+       |  array_to_string(list_transform(list_filter(sc,
+       |    s -> len(struct_extract(s, 'v')) >= $htmlMinBlockChars
+       |     AND 2*(len(struct_extract(s, 'v')) - len(struct_extract(s, 'w')))
+       |         <= len(struct_extract(s, 'v'))),
+       |    s -> struct_extract(s, 'v')), chr(10)) AS clean
+       |  FROM v)
+       |SELECT doc_id,
+       |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       |  CAST(len(list_filter(sc, s -> len(struct_extract(s, 'v')) > 0)) AS BIGINT) AS n_blocks,
+       |  CAST(len(list_filter(sc,
+       |    s -> len(struct_extract(s, 'v')) >= $htmlMinBlockChars
+       |     AND 2*(len(struct_extract(s, 'v')) - len(struct_extract(s, 'w')))
+       |         <= len(struct_extract(s, 'v')))) AS BIGINT) AS n_kept,
+       |  CAST(len(html) AS BIGINT) AS chars_raw,
+       |  CAST(len(clean) AS BIGINT) AS chars_clean,
+       |  md5(clean) AS clean_md5
+       |FROM k""".stripMargin
+  }
+
   /** Repetition-quality thresholds (Gopher-rule shape: drop documents
     * dominated by a single token or by repeated n-grams). Chosen to
     * split the test corpus non-trivially (312/500 kept at sf0.01);

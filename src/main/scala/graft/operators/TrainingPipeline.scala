@@ -183,6 +183,34 @@ object TrainingPipeline {
     summarize(spark.read.parquet(out))
   }
 
+  /** Crawl-ingest materialization pass — the stage between "what a
+    * crawl delivers" (HTML) and the clean-text corpus every other
+    * stage assumes: each document's text is replaced by its
+    * [[TextOps.htmlExtractClean]] extraction (script/style/comment
+    * drop, block split, jusText length + link-density keep rules),
+    * documents with no extractable content are dropped, and the
+    * result is written as a `documents.parquet` under `outDir` that
+    * [[Tables]] (and therefore every pipeline stage) reads directly.
+    *
+    * Deliberately a SEPARATE pass, not a `survivors()` flag: at
+    * 100 TB extraction is a scan-speed map over the raw crawl that
+    * every downstream stage (dedup shingles, quality ratios, LM
+    * grams) must consume — materializing once and curating the clean
+    * corpus is the published two-pass shape (CommonCrawl WARC → WET,
+    * then curation over WET), where fusing extraction into each of
+    * the pipeline's 5+ corpus scans would re-pay the regexp walk per
+    * stage. The composition spec pins the contract end to end: a
+    * page-wrapped corpus run through extractCorpus + the pipeline
+    * reproduces the clean-corpus pipeline bit-for-bit. All other
+    * columns (source, ids, timestamps) pass through unchanged. */
+  def extractCorpus(spark: SparkSession, dir: String, outDir: String): Long = {
+    Tables(spark, dir, "documents")
+      .withColumn("text", TextOps.htmlExtractClean(col("text")))
+      .filter(length(col("text")) > 0)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
   /** Deterministic twin of [[run]]: exact-Jaccard dedup, raw-gram
     * decontamination, no write — every stage reproduces bit-for-bit
     * in DuckDB, so the COMPOSED pipeline is hash-gated end to end,

@@ -937,13 +937,20 @@ object VectorOps {
     * rule's 14.3s — the honest price of scoring the full certified
     * candidate set (candidate fraction 1.0 vs 0.57) for recall
     * 1.00 vs 0.92. */
-  private def rangeIndex(spark: SparkSession, dir: String,
-                         kk: Int, n: Long): (DataFrame, DataFrame, DataFrame) = {
-    val corpus = vecs(spark, dir).filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("vd"), col("norm"))
-    val cents = trainCentroids(corpus, kk, n)
-      .withColumn("cnorm", vecNorm(col("cv")))
-    val a1 = corpus.crossJoin(broadcast(cents))
+  /** Rank-1 assignment CARRYING the member→centroid angle — the
+    * radius statistic's raw signal, shared by the fused range index,
+    * the persisted builds ([[ivfBuildIndexFrom]]/[[ivfpqBuildIndexFrom]]),
+    * the appends' monotonic widening, and the legacy-index derive
+    * ([[writeRangeRadius]]) — ONE kernel, so a slack or identity fix
+    * applied anywhere covers every producer of the exactness
+    * certificate. `centsN` must carry (cid, cv, cnorm); the angle
+    * derives from the already-computed d2 by the law-of-cosines
+    * identity (zero extra array kernels in the n × k fan), and the
+    * min-struct keeps the map-side-collapse shape ([[assignTo]]
+    * rationale; ties in (d2, cid) are impossible — cid is distinct
+    * per fan row — so rank-1 cids are bit-identical to assignTo's). */
+  private def assignAng(points: DataFrame, centsN: DataFrame): DataFrame =
+    points.crossJoin(broadcast(centsN))
       .withColumn("d2", vecDistSq(col("vd"), col("cv")))
       .withColumn("ang", acosClamped(
         (col("norm") * col("norm") + col("cnorm") * col("cnorm") - col("d2")) /
@@ -952,6 +959,14 @@ object VectorOps {
       .agg(min(struct(col("d2"), col("cid"), col("ang"), col("vd"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"),
         col("m.ang").as("ang"), col("m.vd").as("vd"))
+
+  private def rangeIndex(spark: SparkSession, dir: String,
+                         kk: Int, n: Long): (DataFrame, DataFrame, DataFrame) = {
+    val corpus = vecs(spark, dir).filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("vd"), col("norm"))
+    val cents = trainCentroids(corpus, kk, n)
+      .withColumn("cnorm", vecNorm(col("cv")))
+    val a1 = assignAng(corpus, cents)
     val invlist = assignMultiFrom(a1.select(col("vec_id"), col("cid"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     val radius = a1.groupBy(col("cid")).agg(max(col("ang")).as("dev"))
@@ -1038,6 +1053,125 @@ object VectorOps {
       .withColumn("lists", lit(kk.toLong))
   }
 
+  /** [[annRangeIvfProbeStats]] against a PREBUILT index — the audit's
+    * pruning-diagnostics seat, reading the persisted per-list radius
+    * the serving path consumes instead of re-paying the fused Lloyd
+    * build the serving split just moved out of the measurements. */
+  def annRangeIvfQueryProbeStats(spark: SparkSession, dir: String,
+                                 indexDir: String,
+                                 minCos: Double = rangeMinCos): DataFrame = {
+    val centsN = Snapshot.read(spark, s"$indexDir/centroids")
+      .withColumn("cnorm", vecNorm(col("cv")))
+    val radius = Snapshot.read(spark, s"$indexDir/radius")
+    val kk = centsN.count()
+    rangeProbes(queriesOf(spark, dir), centsN, radius, minCos)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("probed"))
+      .withColumn("lists", lit(kk))
+  }
+
+  /** Monotonic radius widening for an append batch: max-merge each
+    * arrival's rank-1 angle into the stored per-list radius. Committed
+    * BEFORE any list row lands — the cross-write crash window then
+    * leaves a radius wider than needed (extra probes, still exact),
+    * never an indexed vector outside its list's stored radius (which
+    * would silently void [[annRangeIvfQuery]]'s exactness certificate
+    * for every later range query — exactly the frozen-statistic
+    * staleness class the drift reports exist to catch). full_outer:
+    * an arrival landing rank-1 in a previously-memberless list creates
+    * that list's radius row. Indexes that predate the radius table
+    * skip (the serving path derives over the full membership on first
+    * use, covering these arrivals too). */
+  private def widenRadius(spark: SparkSession, batchVecs: DataFrame,
+                          indexDir: String): Unit = {
+    if (!hExists(spark, s"$indexDir/radius/_SUCCESS")) return
+    val centsN = Snapshot.read(spark, s"$indexDir/centroids")
+      .withColumn("cnorm", vecNorm(col("cv")))
+    val batchRad = assignAng(
+      batchVecs.select(col("vec_id"), col("vd"))
+        .withColumn("norm", vecNorm(col("vd"))), centsN)
+      .groupBy(col("cid")).agg(max(col("ang")).as("bdev"))
+    val widened = Snapshot.read(spark, s"$indexDir/radius")
+      .join(batchRad, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        greatest(coalesce(col("dev"), lit(0.0)),
+          coalesce(col("bdev"), lit(0.0))).as("dev"))
+    Snapshot.stageReplace(spark, s"$indexDir/radius", widened).commit()
+  }
+
+  /** Legacy-index migration: (re)derive the per-list angular radius
+    * for an index written before the radius table existed — rank-1
+    * angles over the index's MEMBERSHIP (`ids` ∩ the data dir's
+    * vectors), the build-time statistic recomputed. Contract: the
+    * data dir must cover the index membership (the [[annIvfQuery]]
+    * build-if-missing contract; an explicit indexDir whose membership
+    * outgrew its data dir must rebuild instead — a member whose
+    * vector the derive can't see could sit outside the derived
+    * radius). */
+  private def writeRangeRadius(spark: SparkSession, dir: String,
+                               indexDir: String): Unit = {
+    val listTable =
+      if (hExists(spark, s"$indexDir/invlist/_SUCCESS")) "invlist" else "codes"
+    if (!hExists(spark, s"$indexDir/ids/_SUCCESS"))
+      writeIvfIds(spark, indexDir, listTable)
+    val pts = vecs(spark, dir).select(col("vec_id"), col("vd"), col("norm"))
+      .join(Snapshot.read(spark, s"$indexDir/ids").select("vec_id"), Seq("vec_id"))
+    val centsN = Snapshot.read(spark, s"$indexDir/centroids")
+      .withColumn("cnorm", vecNorm(col("cv")))
+    Snapshot.stageReplace(spark, s"$indexDir/radius",
+      assignAng(pts, centsN).groupBy(col("cid")).agg(max(col("ang")).as("dev")))
+      .commit()
+  }
+
+  /** Serving half of the RANGE split (benched as `ann_range_ivf_query`):
+    * [[annRangeIvf]]'s adaptive-bound radius query against a PREBUILT
+    * parquet index — the exactness certificate ([[rangeProbes]]) read
+    * off the persisted per-list angular radius instead of a per-call
+    * fused Lloyd build (the round-12 serving-design gap: the fused
+    * mode re-trained the quantizer on every call, Θ(build) per query
+    * batch — 16.4s vs the exact twin's 0.9s at sf10). EXACT like the
+    * fused mode: the radius certifies the probed set a superset of
+    * every qualifying pair's rank-1 list, and the cosine kernel is
+    * the exact twin's → shares [[annRangeExactSql]]'s full DuckDB
+    * hash gate. Serves from either index family's layout (`invlist`,
+    * or the IVF-PQ `codes` table's (neighbor_id, cid) pairs — range
+    * mode exact-scores candidates, so the PQ codes themselves are
+    * not consulted). The certificate survives appends because
+    * [[ivfAppend]]/[[ivfpqAppend]] WIDEN the stored radius
+    * monotonically before any list row lands ([[widenRadius]]);
+    * pre-radius indexes derive it on first use
+    * ([[writeRangeRadius]]). Cache contract = [[annIvfQuery]]'s —
+    * the default key IS annIvfQuery's, so one shared index serves
+    * both the top-k and range modes. */
+  def annRangeIvfQuery(spark: SparkSession, dir: String,
+                       indexDir: String = "",
+                       minCos: Double = rangeMinCos, k: Int = 0): DataFrame = {
+    // resolve before the cache key — the annIvfQuery rule
+    val (kk, _) = ivfKnobs(spark, dir, k, 1)
+    val idx =
+      if (indexDir.nonEmpty) indexDir
+      else sys.props("java.io.tmpdir") + "/graft-ivf-" +
+        graft.Tables.dirKey(dir) + s"-k$kk-a$ivfAssign-" +
+        java.lang.Long.toHexString(
+          graft.Tables.contentStamp(new java.io.File(s"$dir/embeddings.parquet")))
+    if (!hExists(spark, s"$idx/invlist/_SUCCESS") &&
+        !hExists(spark, s"$idx/codes/_SUCCESS"))
+      ivfBuildIndex(spark, dir, idx, kk)
+    if (!hExists(spark, s"$idx/radius/_SUCCESS"))
+      writeRangeRadius(spark, dir, idx)
+    val centsN = Snapshot.read(spark, s"$idx/centroids")
+      .withColumn("cnorm", vecNorm(col("cv")))
+    val radius = Snapshot.read(spark, s"$idx/radius")
+    val lists =
+      if (hExists(spark, s"$idx/invlist/_SUCCESS"))
+        Snapshot.read(spark, s"$idx/invlist")
+      else Snapshot.read(spark, s"$idx/codes").select("neighbor_id", "cid")
+    scoreProbed(spark, dir,
+      rangeProbes(queriesOf(spark, dir), centsN, radius, minCos), lists)
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   def annIvf(spark: SparkSession, dir: String,
              k: Int = 0, probes: Int = 0): DataFrame = {
     val n = corpusN(spark, dir)
@@ -1092,24 +1226,38 @@ object VectorOps {
     val cents = trainCentroids(shaped, kk, n)
     val rCents = Snapshot.stageReplace(spark, s"$indexDir/centroids",
       cents, graceMs = graceMs)
-    val cRead = rCents.staged
+    // one broadcast shape for every staged assignment pass below —
+    // the cnorm rides inside it (the rangeIndex discipline)
+    val cReadN = rCents.staged.withColumn("cnorm", vecNorm(col("cv")))
     val corpus = shaped.select(col("vec_id"), col("vd"))
+    val a1 = assignAng(shaped, cReadN)
     val rInv = Snapshot.stageReplace(spark, s"$indexDir/invlist",
-      assignMulti(corpus, cRead)
+      assignMultiFrom(a1.select(col("vec_id"), col("cid"), col("vd")), cReadN)
         .select(col("vec_id").as("neighbor_id"), col("cid")),
       graceMs = graceMs)
     val rIds = Snapshot.stageReplace(spark, s"$indexDir/ids",
       rInv.staged.select(col("neighbor_id").as("vec_id")).distinct()
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       partitionCols = Seq("kb"), graceMs = graceMs)
+    // per-list angular radius — what [[annRangeIvfQuery]]'s exactness
+    // certificate reads at serving time ([[rangeProbes]]), staged from
+    // the SAME staged centroids as the lists. Build-cost note: each
+    // stageReplace is its own write action, so this pays one extra
+    // rank-1 map-side-collapsing n × k fan over the invlist action's —
+    // the build is the amortized half of the split, and the
+    // alternative (materializing a1 corpus-wide) does not survive
+    // 100 TB.
+    val rRad = Snapshot.stageReplace(spark, s"$indexDir/radius",
+      a1.groupBy(col("cid")).agg(max(col("ang")).as("dev")),
+      graceMs = graceMs)
     // drift baseline for ivfDriftReport — from the staged centroids,
     // so the stats pass can't see a re-planned Lloyd
     val rDist = Snapshot.stageReplace(spark, s"$indexDir/diststats",
-      distStatsOf(corpus, cRead), graceMs = graceMs)
+      distStatsOf(corpus, rCents.staged), graceMs = graceMs)
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/invlist/_SUCCESS")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(marker, false)
-    rCents.commit(); rIds.commit(); rDist.commit()
+    rCents.commit(); rIds.commit(); rRad.commit(); rDist.commit()
     rInv.commit()
   }
 
@@ -1442,6 +1590,9 @@ object VectorOps {
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       indexDir, "invlist")
     val nNew = pts.count() // checkpointed — cheap; sizes the writes too
+    // radius widens BEFORE any list row lands (see widenRadius for
+    // the crash-ordering argument)
+    if (nNew > 0) widenRadius(spark, pts, indexDir)
     assignMulti(pts.select(col("vec_id"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
       .coalesce(appendParts(nNew * ivfAssign))
@@ -1734,6 +1885,14 @@ object VectorOps {
       rCodes.staged.select(col("neighbor_id").as("vec_id")).distinct()
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       partitionCols = Seq("kb"), graceMs = graceMs)
+    // per-list angular radius — the [[ivfBuildIndexFrom]] twin, so
+    // [[annRangeIvfQuery]] serves exact range queries off this
+    // layout too (candidates exact-score from the data dir's floats;
+    // the codes aren't consulted by range mode)
+    val rRad = Snapshot.stageReplace(spark, s"$indexDir/radius",
+      assignAng(shaped, cRead.withColumn("cnorm", vecNorm(col("cv"))))
+        .groupBy(col("cid")).agg(max(col("ang")).as("dev")),
+      graceMs = graceMs)
     // drift baselines: coarse-assignment distances (diststats, the
     // IVF surface) AND per-vector reconstruction error against the
     // staged codebooks (pqstats, the ADC surface — residual drift
@@ -1748,7 +1907,8 @@ object VectorOps {
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/codes/_SUCCESS")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(marker, false)
-    rCents.commit(); rCb.commit(); rIds.commit(); rDist.commit(); rPq.commit()
+    rCents.commit(); rCb.commit(); rIds.commit(); rRad.commit()
+    rDist.commit(); rPq.commit()
     rCodes.commit()
   }
 
@@ -1773,6 +1933,8 @@ object VectorOps {
         .withColumn("kb", DedupOps.keyBucket(col("vec_id"))),
       indexDir, "codes")
     val nNew = pts.count() // checkpointed — cheap; sizes the writes
+    // radius widens BEFORE any code row lands (see widenRadius)
+    if (nNew > 0) widenRadius(spark, pts, indexDir)
     val inv = assignMulti(pts.select(col("vec_id"), col("vd")), cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"))
     pqAssign(subExplode(pts, "vec_id"), cb)

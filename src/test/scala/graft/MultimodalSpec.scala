@@ -393,6 +393,30 @@ class MultimodalSpec extends AnyFunSuite {
     val lied = lying.updated(15, 3)
     assert(MultimodalOps.mp4WalkAll(
       tree(mdhdV0(1000, 0), lied.toSeq)).stts.isEmpty)
+    // oversized raw-u32 values (≥ 2^31) degrade too: sttsFrameAt's
+    // c*d products / cumulative sums would silently wrap Long
+    assert(MultimodalOps.mp4WalkAll(
+      tree(mdhdV0(1000, 0), sttsBox(Seq((0x80000000L, 1000L))))).stts.isEmpty)
+    assert(MultimodalOps.mp4WalkAll(
+      tree(mdhdV0(1000, 0), sttsBox(Seq((2L, 0xFFFFFFFFL))))).stts.isEmpty)
+    // per-entry products in range but the cumulative sum wraps
+    assert(MultimodalOps.mp4WalkAll(
+      tree(mdhdV0(1000, 0),
+        sttsBox(Seq.fill(4)((0x7FFFFFFEL, 0x7FFFFFFEL))))).stts.isEmpty)
+    // nested mvhd beyond depth 2 is invisible (the twin's moov-level
+    // extractor is the contract): one smuggled into stbl must not
+    // set the movie timescale now that the walk descends that deep
+    val smuggledMvhd = {
+      val mv = mvhdV0(600, 1500)
+      val stbl = be32(8 + mv.size) ++ "stbl".map(_.toInt) ++ mv
+      val minf = be32(8 + stbl.size) ++ "minf".map(_.toInt) ++ stbl
+      val mdia = be32(8 + minf.size) ++ "mdia".map(_.toInt) ++ minf
+      val trak = be32(8 + mdia.size) ++ "trak".map(_.toInt) ++ mdia
+      val moov = be32(8 + trak.size) ++ "moov".map(_.toInt) ++ trak
+      bytes((be32(16) ++ "ftyp".map(_.toInt) ++ "isom".map(_.toInt) ++ be32(0x200) ++
+        moov): _*)
+    }
+    assert(MultimodalOps.mp4WalkAll(smuggledMvhd).durMs.isEmpty)
   }
 
   test("binaryMeta checksum equals sum of payload bytes") {
@@ -403,5 +427,47 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()(0).getAs[String]("text")
     assert(row.getAs[Long]("checksum") === text.getBytes("UTF-8").map(_.toLong & 0xFF).sum)
     assert(row.getAs[Long]("byte_len") === text.getBytes("UTF-8").length.toLong)
+  }
+
+  test("dHash kernel: brightness-shift invariant, local-edit robust, " +
+    "content-sensitive") {
+    import graft.functions.DHashKernel
+    val base = Array.tabulate(256)(j => ((j * 7 + 13) % 251).toByte)
+    val h0 = DHashKernel.hash(base, 0)
+    // uniform brightness shift preserves every comparison (pattern
+    // values ≤ 250, so +4 never wraps the unsigned byte range)
+    assert(DHashKernel.hash(base.map(b => ((b & 0xFF) + 4).toByte), 0) === h0,
+      "brightness shift must not move the hash")
+    // one-byte local edit flips at most 2 bits (its two comparisons)
+    val edited = base.clone(); edited(128) = ((base(128) & 0xFF) ^ 0x7F).toByte
+    assert(java.lang.Long.bitCount(DHashKernel.hash(edited, 0) ^ h0) <= 2)
+    // different content diverges far past the near-dup threshold
+    val other = Array.tabulate(256)(j => ((j * 31 + 101) % 249).toByte)
+    assert(java.lang.Long.bitCount(DHashKernel.hash(other, 0) ^ h0) >
+      operators.MultimodalOps.phashMaxHamming)
+    // offset honored: hash over a shifted copy with matching offset
+    val padded = Array.fill[Byte](30)(0) ++ base
+    assert(DHashKernel.hash(padded, 30) === h0)
+  }
+
+  test("dedup_image_phash: every planted gradient pair surfaces at " +
+    "Hamming <= 1; population is the BMP tag; threshold honored") {
+    val rows = operators.MultimodalOps.imagePhash(spark, SparkSpec.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), ham) =>
+      assert(a < b)
+      assert(a % 8 === 2 && b % 8 === 2, "population must be the raster tag")
+      assert(ham <= operators.MultimodalOps.phashMaxHamming)
+    }
+    // planted pairs: (18+80m, 58+80m) for every group inside the corpus
+    val nDocs = Tables(spark, SparkSpec.sf, "documents").count()
+    val planted = (0L until nDocs by 80L).map(m => (m + 18, m + 58))
+      .filter(_._2 < nDocs)
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(rows.contains(p), s"planted pair $p missing")
+      assert(rows(p) <= 1, s"planted pair $p drifted past the one perturbed bit")
+    }
   }
 }

@@ -794,6 +794,89 @@ class QueriesSpec extends AnyFunSuite {
     // by base.diff(dropped) above (unscored ids are never in `dropped`)
   }
 
+  test("doc_html_extract: boilerplate drops, content survives, entities " +
+    "decode, title never leaks into the clean text") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextOps.docHtmlExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, title, nBlocks, nKept, rawLen, cleanLen) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(title === s"doc $id title")
+      assert(nKept >= 1, s"doc $id: the main <p> must survive")
+      assert(nKept < nBlocks,
+        s"doc $id: boilerplate blocks (nav/heading/footer) must drop")
+      assert(cleanLen > 0 && cleanLen < rawLen)
+    }
+    // direct extraction semantics on a constructed page
+    val sess = spark
+    import sess.implicits._
+    val page = "<html><head><title>t</title><style>p{x}</style></head><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/b\">about this site</a></nav>" +
+      "<p>the quick brown fox jumps over the lazy dog repeatedly</p>" +
+      "<p>alpha &amp; beta &lt;x&gt; &quot;q&quot; &#39;s&#39; and more padding words</p>" +
+      "<p>short</p><script>var z=1;</script>" +
+      "<!-- secret comment that must never appear in output text -->" +
+      "<div><a href=\"/l\">anchor text that is long enough alone</a> y</div>" +
+      "</body></html>"
+    val clean = Seq(page).toDF("html")
+      .select(operators.TextOps.htmlExtractClean(col("html")).as("c"))
+      .head.getString(0)
+    val lines = clean.split("\n").toSeq
+    assert(lines === Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly",
+      "alpha & beta <x> \"q\" 's' and more padding words"),
+      s"unexpected extraction: $lines")
+  }
+
+  test("training_pipeline: extractCorpus ingest pass reproduces the " +
+    "clean-corpus pipeline bit-for-bit on a page-wrapped crawl") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    // recoverability preconditions the wrapper relies on: texts are
+    // already whitespace-normalized, long enough to keep, and carry
+    // no markup/entity characters the extractor would rewrite
+    val bad = docs.filter(length(col("text")) < operators.TextOps.htmlMinBlockChars ||
+      col("text").contains("<") || col("text").contains("&") ||
+      col("text").rlike("\\s\\s") || col("text") =!= trim(col("text"))).count()
+    assert(bad === 0, "corpus precondition for the lossless wrapper broke")
+    val in = Files.createTempDirectory("graft-html-in").toString
+    val out = Files.createTempDirectory("graft-html-out").toString
+    try {
+      // the crawl: every doc delivered as a page with nav/script/title
+      // boilerplate around the one content block
+      docs.withColumn("text", concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav><a href=\"/\">home</a> " +
+          "<a href=\"/b\">about</a></nav><p>"), col("text"),
+        lit("</p><script>var a=1;</script></body></html>")))
+        .write.mode("overwrite").parquet(s"$in/documents.parquet")
+      val n = operators.TrainingPipeline.extractCorpus(spark, in, out)
+      assert(n === docs.count(), "lossless wrapper must drop nothing")
+      // extraction recovers the clean corpus exactly
+      val diff = Tables(spark, out, "documents").select("doc_id", "text")
+        .except(docs.select("doc_id", "text")).count()
+      assert(diff === 0, "extracted text must equal the original corpus")
+      // and the composed pipeline over the extracted crawl equals the
+      // clean-corpus pipeline, summary row for summary row
+      val a = operators.TrainingPipeline.runExact(spark, out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val b = operators.TrainingPipeline.runExact(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(a === b, "ingest-from-crawl must reproduce the clean-corpus pipeline")
+    } finally {
+      import java.nio.file.{Path, Paths}
+      import java.util.Comparator
+      Seq(in, out).foreach { d =>
+        Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("doc_quality_by_lang: strata are (source, langId verdict), the rank " +
     "rule holds per stratum, tiny strata stay whole, approx agrees off-boundary") {
     import org.apache.spark.sql.functions._
@@ -1544,6 +1627,118 @@ class QueriesSpec extends AnyFunSuite {
       import java.util.Comparator
       Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("ann_range_ivf_query: serves exactly off the prebuilt radius-carrying " +
+    "layout (both index families); a pre-radius index derives on first use") {
+    val exact = operators.VectorOps.annRangeExact(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    // IVF layout: the build writes the radius table from birth, and
+    // serving off it equals the exact twin bit-for-bit
+    val idxFull = Files.createTempDirectory("graft-range-srv").toString
+    operators.VectorOps.ivfBuildIndex(spark, sf, idxFull)
+    assert(new java.io.File(idxFull + "/radius/_SUCCESS").exists,
+      "the build must persist the per-list angular radius")
+    val served = operators.VectorOps.annRangeIvfQuery(spark, sf, idxFull).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(served === exact,
+      "prebuilt-index range serving must equal the exact twin bit-for-bit")
+    // legacy pre-radius index: delete the radius table; first use
+    // re-derives it over the membership and stays exact
+    import java.nio.file.{Path, Paths}
+    import java.util.Comparator
+    Files.walk(Paths.get(idxFull + "/radius")).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    assert(!new java.io.File(idxFull + "/radius/_SUCCESS").exists)
+    val servedLegacy = operators.VectorOps.annRangeIvfQuery(spark, sf, idxFull).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(servedLegacy === exact, "derive-on-first-use must restore exactness")
+    assert(new java.io.File(idxFull + "/radius/_SUCCESS").exists,
+      "the derive must persist the radius for subsequent calls")
+    // IVF-PQ layout: range mode serves off the codes table's
+    // (neighbor_id, cid) pairs with the same certificate
+    val idxPq = Files.createTempDirectory("graft-range-srv-pq").toString
+    operators.VectorOps.ivfpqBuildIndex(spark, sf, idxPq)
+    assert(new java.io.File(idxPq + "/radius/_SUCCESS").exists)
+    val servedPq = operators.VectorOps.annRangeIvfQuery(spark, sf, idxPq).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(servedPq === exact, "IVF-PQ-layout range serving must be exact too")
+  }
+
+  test("ann_range_ivf_query: ivfAppend widens the stored radius monotonically — " +
+    "an arrival OUTSIDE its list's build-time radius still gets found") {
+    import org.apache.spark.sql.functions.col
+    // 8 tight one-hot-pair clusters (the pruning spec's corpus) plus a
+    // 20-member cluster in the all-ones direction (~69° from every
+    // one-hot-pair center — far outside the ~3° list radii). Query 0
+    // sits in the all-ones direction: without the widen, the bound
+    // test at tau=0.9 rejects the list the arrivals land in
+    // (ang ≈ 69° > 25.8° + 3° + ε) and every (query0, arrival) pair
+    // is silently lost; with it, radius ≈ 69° admits the list.
+    val rnd = new scala.util.Random(4321)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(_ + (rnd.nextFloat() - 0.5f) * 0.04f)
+    def oneHotPair(c: Int): Array[Float] =
+      Array.tabulate(16)(d => if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f)
+    val allOnes = Array.fill(16)(0.25f)
+    val queries = (0L until 10L).map { id =>
+      (id, if (id == 0L) noisy(allOnes) else noisy(oneHotPair((id % 8).toInt)), 0)
+    }
+    val clustered = (10L until 810L).map(id =>
+      (id, noisy(oneHotPair((id % 8).toInt)), (id % 8).toInt))
+    val arrivals = (900L until 920L).map(id => (id, noisy(allOnes), 9))
+    val tmp = Files.createTempDirectory("graft-range-widen").toString
+    val idx = Files.createTempDirectory("graft-range-widen-idx").toString
+    try {
+      val sess = spark
+      import sess.implicits._
+      (queries ++ clustered ++ arrivals).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val tau = 0.9
+      val exact = operators.VectorOps.annRangeExact(spark, tmp, minCos = tau).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(arrivals.forall(a => exact.contains((0L, a._1))),
+        "query 0 must qualify against every all-ones arrival at tau=0.9")
+      // build WITHOUT the arrivals, then append them
+      operators.VectorOps.ivfBuildIndexFrom(spark,
+        clustered.toDF("vec_id", "embedding", "label").select("vec_id", "embedding"),
+        idx)
+      val radBefore = operators.Snapshot.read(spark, s"$idx/radius").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      operators.VectorOps.ivfAppend(spark,
+        arrivals.toDF("vec_id", "embedding", "label").select("vec_id", "embedding"),
+        idx)
+      val radAfter = operators.Snapshot.read(spark, s"$idx/radius").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      // the arrivals' landing list widened past the build-time radius
+      // (they sit ~69° from every build centroid; build radii ≈ 3°)
+      val widened = radAfter.filter { case (cid, dev) =>
+        dev > radBefore.getOrElse(cid, 0.0) + 0.5 }
+      assert(widened.nonEmpty,
+        s"an out-of-radius arrival must widen its list: $radBefore -> $radAfter")
+      radBefore.foreach { case (cid, dev) =>
+        assert(radAfter(cid) >= dev, "widening must be monotonic") }
+      // and the served result over the appended index is still exact
+      val servedA = operators.VectorOps.annRangeIvfQuery(spark, tmp, idx, minCos = tau)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(servedA === exact,
+        "append-then-query must equal the exact twin bit-for-bit")
+      // replay: the anti-join guard makes the radius rewrite a no-op too
+      operators.VectorOps.ivfAppend(spark,
+        arrivals.toDF("vec_id", "embedding", "label").select("vec_id", "embedding"),
+        idx)
+      val radReplay = operators.Snapshot.read(spark, s"$idx/radius").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(radReplay === radAfter, "a replayed batch must not move the radius")
+    } finally {
+      import java.nio.file.{Path, Paths}
+      import java.util.Comparator
+      Seq(tmp, idx).foreach { d =>
+        Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
   }
 
