@@ -265,6 +265,32 @@ object MultimodalOps {
       mvhdHex,
       lit("0000011C" + "7472616B"), // trak(284) = 8 + tkhd(92) + mdia(184)
       tkhdHex, mdiaHex)
+    // PER-SAMPLE stsz variant (ids ≡ 38 mod 64 — the other half of
+    // the VFR population): sample_size 0 + a 4-byte size per sample
+    // (12 + (id+j) % 21), so the variable-size FRAME→BYTE path is
+    // hash-gated, not just unit-spec'd (the mvhd-v1 promotion
+    // precedent). Every enclosing box size recomputes from the
+    // variable stsz length.
+    val stszPsSize = lit(20L) + totalSamples * 4L
+    val stszPsHex = concat(be32h(stszPsSize),
+      lit("7374737A" + "00000000" + "00000000"), be32h(totalSamples),
+      array_join(transform(sequence(lit(0L), totalSamples - 1L),
+        j => be32h(lit(12L) + pmod(id + j, lit(21L)))), ""))
+    val stblPs = stszPsSize + 116L // 8 + stts(40) + stsz + stsc(40) + stco(28)
+    val mdiaPsHex = concat(
+      be32h(stblPs + 48L), lit("6D646961" + // mdia = 8 + mdhd(32) + minf
+        "00000020" + "6D646864" + "00000000" + "00000000" + "00000000"),
+      be32h(mts), be32h(mdurMedia),
+      lit("00000000"),
+      be32h(stblPs + 8L), lit("6D696E66"), // minf = 8 + stbl
+      be32h(stblPs), lit("7374626C"),
+      sttsHex, stszPsHex, stscHex, stcoHex)
+    val mp4VfrPsHex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+      be32h(stblPs + 264L), lit("6D6F6F76"), // moov = 8 + mvhd(108) + trak
+      mvhdHex,
+      be32h(stblPs + 148L), lit("7472616B"), // trak = 8 + tkhd(92) + mdia
+      tkhdHex, mdiaPsHex)
     val tag = pmod(id, lit(8L))
     val headerHex =
       when(tag === 0, concat( // PNG signature + IHDR(len 13): w/h BE32, depth 8, color type
@@ -282,6 +308,9 @@ object MultimodalOps {
         lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
           "0001" + "0001" + "00" + "00" + "FFC00011" + "08"),
         be16h(h), be16h(w), lit("03" + "012200" + "021101" + "031101")))
+      .when(tag === 6 && pmod(floor(id / 8).cast("long"), lit(2L)) === 0 &&
+          pmod(floor(id / 16).cast("long"), lit(2L)) === 0 &&
+          pmod(floor(id / 32).cast("long"), lit(2L)) === 1, mp4VfrPsHex)
       .when(tag === 6 && pmod(floor(id / 8).cast("long"), lit(2L)) === 0 &&
           pmod(floor(id / 16).cast("long"), lit(2L)) === 0, mp4VfrHex)
       .when(tag === 6 && pmod(floor(id / 8).cast("long"), lit(2L)) === 0, mp4Hex)
@@ -318,6 +347,7 @@ object MultimodalOps {
       | SELECT *, (c1*mtsq*4 + c2*mtsq + c3*mtsq*8) AS mdm,
       |  16 + doc_id % 17 AS ss, 1 + doc_id % 9 AS s1,
       |  (c1 + c2 + c3) AS tots,
+      |  20 + 4*(c1 + c2 + c3) AS zps,
       |  4096 + doc_id % 97 AS o1,
       |  4096 + doc_id % 97 + (1 + doc_id % 9) * (16 + doc_id % 17) + 64 AS o2,
       |  4096 + doc_id % 97 + 2 * (1 + doc_id % 9) * (16 + doc_id % 17) + 192 AS o3
@@ -340,6 +370,47 @@ object MultimodalOps {
       |   255,192, 0,17, 8, h//256%256, h%256, w//256%256, w%256,
       |   3, 1,34,0, 2,17,1, 3,17,1]
       |  WHEN 6 THEN CASE
+      |   WHEN (doc_id // 8) % 2 = 0 AND (doc_id // 16) % 2 = 0
+      |        AND (doc_id // 32) % 2 = 1 THEN
+      |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
+      |    0,0, (zps+380)//256%256, (zps+380)%256, 109,111,111,118,
+      |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    ts//16777216%256, ts//65536%256, ts//256%256, ts%256,
+      |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
+      |    0,1,0,0, 1,0, 0,0, 0,0,0,0, 0,0,0,0,
+      |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 64,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    0,0,0,2,
+      |    0,0, (zps+264)//256%256, (zps+264)%256, 116,114,97,107,
+      |    0,0,0,92, 116,107,104,100, 0,0,0,7, 0,0,0,0, 0,0,0,0,
+      |    0,0,0,1, 0,0,0,0,
+      |    dur//16777216%256, dur//65536%256, dur//256%256, dur%256,
+      |    0,0,0,0, 0,0,0,0, 0,0, 0,0, 0,0, 0,0,
+      |    0,1,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,1,0,0, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,0, 64,0,0,0,
+      |    w//256%256, w%256, 0,0, h//256%256, h%256, 0,0,
+      |    0,0, (zps+164)//256%256, (zps+164)%256, 109,100,105,97,
+      |    0,0,0,32, 109,100,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+      |    0,0, (mtsq*4)//256%256, (mtsq*4)%256,
+      |    mdm//16777216%256, mdm//65536%256, mdm//256%256, mdm%256,
+      |    0,0,0,0,
+      |    0,0, (zps+124)//256%256, (zps+124)%256, 109,105,110,102,
+      |    0,0, (zps+116)//256%256, (zps+116)%256, 115,116,98,108,
+      |    0,0,0,40, 115,116,116,115, 0,0,0,0, 0,0,0,3,
+      |    0,0,0,c1, 0,0, (mtsq*4)//256%256, (mtsq*4)%256,
+      |    0,0,0,c2, 0,0, mtsq//256%256, mtsq%256,
+      |    0,0,0,c3, 0,0, (mtsq*8)//256%256, (mtsq*8)%256,
+      |    0,0, zps//256%256, zps%256, 115,116,115,122, 0,0,0,0,
+      |    0,0,0,0, 0,0,0,tots]
+      |   || flatten(list_transform(range(0, tots), j ->
+      |        [CAST(0 AS BIGINT), 0, 0, 12 + (doc_id + j) % 21]))
+      |   || [CAST(0 AS BIGINT),0,0,40, 115,116,115,99, 0,0,0,0, 0,0,0,2,
+      |    0,0,0,1, 0,0,0,s1, 0,0,0,1,
+      |    0,0,0,3, 0,0,1,0, 0,0,0,1,
+      |    0,0,0,28, 115,116,99,111, 0,0,0,0, 0,0,0,3,
+      |    0,0, o1//256%256, o1%256, 0,0, o2//256%256, o2%256,
+      |    0,0, o3//256%256, o3%256]
       |   WHEN (doc_id // 8) % 2 = 0 AND (doc_id // 16) % 2 = 0 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
       |    0,0,1,144, 109,111,111,118,
@@ -686,6 +757,24 @@ object MultimodalOps {
       |  d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] AS fixed
       | FROM mstsz s JOIN d USING (doc_id)
       | WHERE d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] > 0),
+      |mvar AS (
+      | SELECT s.doc_id, s.pos,
+      |  d.b[s.pos+16]*16777216 + d.b[s.pos+17]*65536 + d.b[s.pos+18]*256 + d.b[s.pos+19] AS cnt
+      | FROM mstsz s JOIN d USING (doc_id)
+      | WHERE d.b[s.pos+12]*16777216 + d.b[s.pos+13]*65536 + d.b[s.pos+14]*256 + d.b[s.pos+15] = 0
+      |  AND d.b[s.pos+16]*16777216 + d.b[s.pos+17]*65536 + d.b[s.pos+18]*256 + d.b[s.pos+19]
+      |      BETWEEN 1 AND 256
+      |  AND d.b[s.pos]*16777216 + d.b[s.pos+1]*65536 + d.b[s.pos+2]*256 + d.b[s.pos+3]
+      |      >= 20 + 4*(d.b[s.pos+16]*16777216 + d.b[s.pos+17]*65536 + d.b[s.pos+18]*256 + d.b[s.pos+19])),
+      |mvsz AS (
+      | SELECT v.doc_id, CAST(j AS BIGINT) AS j,
+      |  d.b[v.pos+20+4*j]*16777216 + d.b[v.pos+21+4*j]*65536
+      |   + d.b[v.pos+22+4*j]*256 + d.b[v.pos+23+4*j] AS sz
+      | FROM mvar v JOIN d USING (doc_id),
+      |  LATERAL unnest(generate_series(0, v.cnt - 1)) AS u(j)),
+      |mvok AS (SELECT doc_id FROM mvsz GROUP BY doc_id HAVING min(sz) > 0),
+      |szok AS (
+      | SELECT doc_id FROM mfixed UNION SELECT doc_id FROM mvok),
       |mstsc AS (
       | SELECT doc_id, min(pos) AS pos FROM sbch c JOIN d USING (doc_id)
       | WHERE c.it < 64 AND c.pos + 8 <= c.endp
@@ -1221,9 +1310,11 @@ object MultimodalOps {
     * `offset = stco[chunk] + sizes of the prior samples in the
     * chunk` ([[ChunkLayout.offsetOf]]); absent/malformed tables, or
     * frames beyond the declared chunks, fall back to the
-    * fixed-stride model. Gate payloads carry the fixed-size stsz
-    * form (the per-sample table is JVM-only, unit-spec-pinned — the
-    * v1-box asymmetry precedent). Payloads without
+    * fixed-stride model. Since round 13 BOTH stsz forms are in the
+    * gate payload space (ids ≡ 6 mod 64 fixed-size, ≡ 38 mod 64
+    * per-sample — the mvhd-v1 promotion precedent applied), each
+    * mirrored by its own twin CTE branch (mfixed / mvsz prefix-sum)
+    * and population-asserted in the spec. Payloads without
     * a walked duration (bare-ftyp, non-video containers, raw)
     * contribute no rows — absence is the dispatch signal. One
     * mapPartitions pass, ZERO shuffles; deterministic integers →
@@ -1311,7 +1402,7 @@ object MultimodalOps {
       | SELECT o.doc_id, o.j + 1 AS k, o.off, r.spc
       | FROM mcof o
       |  JOIN stscok USING (doc_id)
-      |  JOIN mfixed USING (doc_id)
+      |  JOIN szok USING (doc_id)
       |  JOIN mrsc r ON r.doc_id = o.doc_id AND r.fc <= o.j + 1
       | QUALIFY row_number() OVER (PARTITION BY o.doc_id, o.j ORDER BY r.fc DESC) = 1),
       |chk2 AS (
@@ -1321,7 +1412,12 @@ object MultimodalOps {
       | FROM chk),
       |fr2 AS (
       | SELECT fr.doc_id, fr.i, fr.fidx,
-      |  c.off + (fr.fidx - c.fs) * fx.fixed AS real_off
+      |  CASE
+      |   WHEN fx.doc_id IS NOT NULL THEN c.off + (fr.fidx - c.fs) * fx.fixed
+      |   WHEN c.doc_id IS NOT NULL THEN c.off + coalesce(
+      |    (SELECT sum(z.sz) FROM mvsz z
+      |     WHERE z.doc_id = fr.doc_id AND z.j >= c.fs AND z.j < fr.fidx), 0)
+      |  END AS real_off
       | FROM fr
       |  LEFT JOIN mfixed fx USING (doc_id)
       |  LEFT JOIN chk2 c ON c.doc_id = fr.doc_id

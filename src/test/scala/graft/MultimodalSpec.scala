@@ -290,6 +290,13 @@ class MultimodalSpec extends AnyFunSuite {
     // that silently drops one population would make its hash vacuous
     assert(vfrDocs > 0, "no VFR (stts-carrying) payloads sampled")
     assert(cfrDocs > 0, "no CFR (sample-table-less) payloads sampled")
+    // and BOTH stsz forms (fixed-size and the r13-promoted per-sample
+    // table) must be present among the walked layouts, each actually
+    // driving the FRAME→BYTE mapping
+    val layouts = byDoc.keys.map(id => MultimodalOps.mp4WalkAll(payloads(id)))
+      .flatMap(_.layout)
+    assert(layouts.exists(_.sizeFixed > 0), "no fixed-size stsz payloads")
+    assert(layouts.exists(_.sizes.isDefined), "no per-sample stsz payloads")
   }
 
   test("ChunkLayout.offsetOf: chunk-run walk exact for fixed and variable " +

@@ -1742,6 +1742,80 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding_lsh cap regime: at the lshMaxTables ceiling's knob " +
+    "values the floor measurably breaks at the 0.7 regime boundary, holds on " +
+    "the contracted envelope, and the declared IVF handoff holds true-dups") {
+    // the ~2^30-vector cap regime is unreachable locally, but its KNOB
+    // VALUES are not: bits = lshMaxBits (16) and tables = lshMaxTables
+    // (64) are exactly what a capped auto-sizing serves there, and the
+    // recall of single-probe LSH at those knobs is a pure function of
+    // pair cosine — measurable on a planted corpus at any n. Predicted
+    // per-pair collision: 1-(1-p^16)^64 with p = 1-acos(c)/pi →
+    // ~0.45 at c=0.72, ~0.94 at c=0.85, ~0.999 at c=0.95. This turns
+    // the "past the cap, hand true-dups to embeddingNearDupIvf"
+    // contract sentence into three measurements.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def pairAt(c: Double): (Array[Float], Array[Float]) = {
+      val v = unit()
+      val r = unit()
+      val dotRv = r.zip(v).map { case (a, b) => a * b }.sum
+      val u0 = r.zip(v).map { case (a, b) => a - dotRv * b }
+      val un = math.sqrt(u0.map(x => x * x).sum)
+      val u = u0.map(_ / un)
+      val w = v.zip(u).map { case (a, b) => c * a + math.sqrt(1 - c * c) * b }
+      (v.map(_.toFloat), w.map(_.toFloat))
+    }
+    val slices = Seq(5000L -> 0.72, 7000L -> 0.85, 9000L -> 0.95)
+    val nPairs = 40
+    val rows = (0L until 3000L).map(id => (id, unit().map(_.toFloat), 0)) ++
+      slices.flatMap { case (base, c) =>
+        (0 until nPairs).flatMap { i =>
+          val (a, b) = pairAt(c)
+          Seq((base + i, a, 1), (base + 1000 + i, b, 1))
+        }
+      }
+    val tmp = Files.createTempDirectory("graft-lsh-cap").toString
+    try {
+      val sess = spark
+      import sess.implicits._
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val found = operators.VectorOps.embeddingNearDupLsh(spark, tmp,
+        tables = operators.VectorOps.lshMaxTables,
+        bits = operators.VectorOps.lshMaxBits).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(got: Set[(Long, Long)], base: Long): Double =
+        (0 until nPairs).count { i =>
+          got((base + i, base + 1000 + i)) || got((base + 1000 + i, base + i))
+        }.toDouble / nPairs
+      val r072 = recallOf(found, 5000L)
+      val r085 = recallOf(found, 7000L)
+      val r095 = recallOf(found, 9000L)
+      assert(r072 > 0.1 && r072 < 0.8,
+        s"cap-regime knobs should measurably break the 0.72 slice (predicted ~0.45): $r072")
+      assert(r085 >= 0.85,
+        s"the contracted envelope (c >= ~0.83) must still hold at 0.85: $r085")
+      assert(r095 >= 0.95, s"true-dups must survive even at the cap knobs: $r095")
+      // the handoff target on the SAME corpus: cluster-bounded near-dup
+      // holds the true-dup slice without any table-count treadmill
+      val ivfFound = operators.VectorOps.embeddingNearDupIvf(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfR095 = recallOf(ivfFound, 9000L)
+      assert(ivfR095 >= 0.9,
+        s"the declared IVF handoff must hold the true-dup slice: $ivfR095")
+    } finally {
+      import java.nio.file.{Path, Paths}
+      import java.util.Comparator
+      Files.walk(Paths.get(tmp)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("ann_pq: exact re-ranked cosines, useful recall against brute force") {
     val bf = operators.VectorOps.annBruteForce(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
