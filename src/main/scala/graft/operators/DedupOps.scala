@@ -585,41 +585,85 @@ object DedupOps {
        |      THEN 'val' ELSE 'train' END AS split
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id""".stripMargin
 
-  /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via 8×8-bit band
-    * join (pigeonhole: ≤7 differing bits leave ≥1 of 8 bands equal,
-    * so recall at the ≤6 threshold is exact). Hashes 3-gram shingles,
-    * not tokens — token SETS collapse on a small vocabulary and lose
-    * all frequency signal. xxhash64 has no DuckDB twin → rows-only
-    * check; the ScalaTest spec pins behavior instead. */
+  /** 64-bit SimHash near-dup pairs (hamming ≤ 6) via the band-PAIR
+    * join ([[hammingBandJoin]] — pigeonhole-exact at the ≤ 6
+    * threshold). Hashes 3-gram shingles, not tokens — token SETS
+    * collapse on a small vocabulary and lose all frequency signal.
+    * xxhash64 has no DuckDB twin → rows-only check; the ScalaTest
+    * spec pins behavior instead. */
   val simhashMaxHamming = 6
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // signature = one-pass scalar kernel over the shingle array: narrow
-    // map-side work in the scan stage, no per-doc aggregate shuffle
-    // (see functions/SimHashSig.scala for the equivalence argument).
-    // Shingle-less docs are excluded — the aggregate formulation had no
-    // rows for them, and an all-zero sig would spuriously pair them.
-    val sigs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), distinctShingles3(col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .select(col("doc_id"),
-        graft.functions.SimHashSigColumns.simhashSig(col("shs")).as("sim"))
-
-    val bandCols = (0 until 8).map(j =>
-      struct(lit(j).as("band"), shiftright(col("sim"), 8 * j).bitwiseAND(0xFF).as("bkey")))
-    val bands = sigs.select(col("doc_id"), col("sim"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-
-    val ba = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val bb2 = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+  /** Banded candidate join + exact Hamming verify for 64-bit
+    * signatures, provably equal to the all-pairs Hamming join at any
+    * threshold ≤ 6 — by pigeonhole over band PAIRS: split the
+    * signature into 8 8-bit bands; ≤ 6 differing bits dirty ≤ 6
+    * bands, leaving ≥ 2 clean bands, so for some i<j the
+    * concatenated 16-bit key bandᵢ‖bandⱼ matches and the pair
+    * surfaces as a candidate (then the exact `bit_count(xor)` verify
+    * decides).
+    *
+    * Why pairs and not single bands: single-band keys give a join
+    * domain of 8 bands × 256 values = 2,048 distinct keys TOTAL, so
+    * per-key bucket population is n/256 and candidate volume is
+    * Θ(n²/256) — a hard scale ceiling that, unlike the minhash band
+    * keys (xxhash64 over 2⁶⁴) or the auto-width embedding LSH,
+    * cannot be out-scaled by data growth. The C(8,2) = 28 pair keys
+    * span 28 × 2¹⁶ ≈ 1.8M values, cutting candidate volume ~73× at
+    * identical (exact, pigeonhole-guaranteed) recall; the explode
+    * costs 28 rows/signature instead of 8 — narrow map-side work,
+    * while only 16-byte signature rows ever shuffle, never payloads.
+    * Measured at 3 SFs in the RECALL artifacts (candidate-volume
+    * seat, RecallAudit.scala).
+    *
+    * `sigs` must have columns (doc_id: long, sig: long); returns
+    * (doc_a, doc_b, hamming: int) with hamming ≤ maxHamming ≤ 6. */
+  def hammingBandJoin(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6,
+      s"band-pair pigeonhole holds only to hamming 6, got $maxHamming")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array(hammingBandPairKeys(col("sig")): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val ba = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val bb2 = bands.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     ba.join(bb2, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
-      .filter(col("hamming") <= simhashMaxHamming)
   }
+
+  /** The 28 band-pair key structs for [[hammingBandJoin]] — band id
+    * 8i+j, key bandᵢ·256 + bandⱼ (i < j). Exposed so the RecallAudit
+    * candidate-volume seat measures Σ C(bucket,2) on the same keys
+    * the join uses. */
+  def hammingBandPairKeys(sig: Column): Seq[Column] = {
+    def band(i: Int): Column = shiftright(sig, 8 * i).bitwiseAND(0xFF)
+    for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+      struct(lit(8 * i + j).as("band"),
+        (band(i) * 256L + band(j)).as("bkey"))
+  }
+
+  /** The per-doc simhash signatures (doc_id, sig) — the map-side half
+    * of [[simhash]], exposed for the RecallAudit band-geometry seat.
+    * Signature = one-pass scalar kernel over the shingle array:
+    * narrow work in the scan stage, no per-doc aggregate shuffle (see
+    * functions/SimHashSig.scala for the equivalence argument).
+    * Shingle-less docs are excluded — the aggregate formulation had
+    * no rows for them, and an all-zero sig would spuriously pair
+    * them. */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), distinctShingles3(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashSigColumns.simhashSig(col("shs")).as("sig"))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    hammingBandJoin(simhashSigs(spark, dir), simhashMaxHamming)
 
   /** Batch slice predicate for the incremental-dedup entry: docs with
     * doc_id ≡ 7 (mod 10) play the "incoming batch" (~10% of the

@@ -1491,10 +1491,47 @@ object MultimodalOps {
     }), "")
   }
 
+  /** The per-doc image signatures (doc_id, sig) — the map-side half
+    * of [[imagePhash]], exposed for the RecallAudit band-geometry
+    * seat and the streaming phash sink.
+    *
+    * Population: the raster tag (doc_id ≡ 2 mod 8 — the only tag
+    * whose payload carries an uncompressed pixel region the stubbed
+    * decoder can sample) with a pixel region big enough for the 72
+    * grid samples. Both gates are on the CHEAP scan columns (doc_id,
+    * text length), for two reasons pinned by the round-13 advice:
+    * (a) a filter on the constructed payload is pushed below its
+    * projection and recomputes the whole header when-chain per row
+    * (the mm_media_decode CaseWhen-CSE class), and (b) a
+    * magic-byte test on the payload diverges from the DuckDB twin's
+    * population on a raw-tag doc whose TEXT happens to start with
+    * 'BM' — gating both engines on (doc_id % 8, length) makes the
+    * two populations provably identical. Planted docs (gradient
+    * pixels, always ≥ 72) are ≡ 18/58 mod 80 ⊂ the mod-8 class. */
+  def imagePhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    Tables(spark, dir, "documents")
+      .filter(pmod(id, lit(8L)) === 2 &&
+        (phashPlanted(id) ||
+          length(col("text")) >= graft.functions.DHashKernel.minPixels))
+      .select(col("doc_id"),
+        when(phashPlanted(id),
+          unhex(concat(
+            bmpHeaderHex(lit(16L) + pmod(id, lit(1000L)),
+              lit(16L) + pmod(id * 7, lit(1000L))),
+            phashPatternHex(id))))
+          .otherwise(taggedPayload).as("bin"))
+      .select(col("doc_id"),
+        graft.functions.DHashColumns.dhash64(col("bin"), bmpHeaderBytes).as("sig"))
+  }
+
   /** Image-content near-dup pairs over the decodable raster payloads
     * — the multimodal twin of [[DedupOps.simhash]]: a 64-bit sampled
     * difference hash ([[graft.functions.DHashKernel]]) per BMP
-    * payload's pixel region, 8×8-bit band join for candidates, exact
+    * payload's pixel region, band-PAIR join for candidates
+    * ([[DedupOps.hammingBandJoin]] — pigeonhole-exact at ≤ 6, 28
+    * 16-bit keys so the join domain scales, see the helper's scaladoc
+    * for the 2,048-key single-band ceiling it replaces), exact
     * Hamming verify at ≤ [[phashMaxHamming]]. The non-BMP containers
     * (compressed formats) need a real codec before a perceptual hash
     * means anything — that boundary is the library's declared decode
@@ -1503,46 +1540,13 @@ object MultimodalOps {
     * gate (the one xxhash-free dedup signature in the suite).
     *
     * Plan shape: one codegen'd scan projection (dispatch + dhash64),
-    * band explode, one shuffle on (band, bkey), candidate distinct —
-    * the dedup_simhash class; at 100 TB only signatures shuffle,
-    * never payloads. */
-  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val base = Tables(spark, dir, "documents").select(
-      col("doc_id"),
-      when(phashPlanted(id),
-        unhex(concat(
-          bmpHeaderHex(lit(16L) + pmod(id, lit(1000L)),
-            lit(16L) + pmod(id * 7, lit(1000L))),
-          phashPatternHex(id))))
-        .otherwise(taggedPayload).as("bin"))
-    // the raster-dispatch population: real BMP magic at the head
-    // (planted docs carry the same constructed header, so they pass
-    // the same gate), pixel region big enough to sample
-    val n = length(col("bin"))
-    val isBmp = n >= 30 && hex(substring(col("bin"), 1, 2)) === "424D"
-    val sigs = base
-      .filter(isBmp && n >= bmpHeaderBytes + graft.functions.DHashKernel.minPixels)
-      .select(col("doc_id"),
-        graft.functions.DHashColumns.dhash64(col("bin"), bmpHeaderBytes).as("ph"))
-    val bandCols = (0 until 8).map(j =>
-      struct(lit(j).as("band"),
-        shiftright(col("ph"), 8 * j).bitwiseAND(0xFF).as("bkey")))
-    val bands = sigs.select(col("doc_id"), col("ph"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("ph"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val ba = bands.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("ph").as("ph_a"))
-    val bb2 = bands.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("ph").as("ph_b"))
-    ba.join(bb2, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    * band-pair explode, one shuffle on (band, bkey), candidate
+    * distinct — the dedup_simhash class; at 100 TB only signatures
+    * shuffle, never payloads. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.hammingBandJoin(imagePhashSigs(spark, dir), phashMaxHamming)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= phashMaxHamming)
-  }
+        col("hamming").cast("long").as("hamming"))
 
   /** DuckDB twin: identical pixels (planted gradient or text bytes),
     * identical integer sampling, the SAME 64-bit value assembled as

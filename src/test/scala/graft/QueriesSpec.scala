@@ -90,6 +90,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"simhash missed strong pairs: $missed")
   }
 
+  test("hammingBandJoin equals the naive all-pairs Hamming join, incl the pigeonhole boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // worst case for the 28 band-pair keys: exactly hamming-6 with the
+    // 6 differing bits in 6 DISTINCT bands — only bands 6,7 stay
+    // clean, so exactly ONE pair key (6‖7) can surface the pair
+    val base = 0x123456789ABCDEF0L
+    val sixBands = base ^ 0x010101010101L // 1 flipped bit in each of bands 0..5
+    // hamming-7 over 7 bands: one clean band left, no clean PAIR —
+    // banding cannot surface it, and naive excludes it too (> 6)
+    val sevenBands = base ^ 0x01010101010101L
+    val oneBand = base ^ 0x3FL // hamming-6 all inside band 0
+    val oneBit = base ^ 0x8000000000000000L // sign bit: the shiftright path
+    val sigs = Seq(
+      1L -> base, 2L -> sixBands, 3L -> sevenBands, 4L -> oneBand,
+      5L -> oneBit, 6L -> 0L, 7L -> -1L, 8L -> 0x5555555555555555L
+    ).toDF("doc_id", "sig")
+    val banded = operators.DedupOps.hammingBandJoin(sigs, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h)).toSet
+    assert(naive.contains((1L, 2L, 6)), "six-band boundary pair must exist")
+    assert(naive.contains((1L, 4L, 6)))
+    assert(naive.contains((1L, 5L, 1)))
+    assert(!naive.exists(p => p._1 == 1L && p._2 == 3L), "hamming-7 excluded")
+    assert(banded == naive, s"banded ${banded} != naive ${naive}")
+  }
+
   test("simhash kernel equals the aggregate formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextKernels.distinctShingles3
