@@ -249,15 +249,26 @@ object SparkEntry {
     "mm_binary_meta"  -> MultimodalOps.binaryMeta _,
     // header codec through the batched mapPartitions path (+ byte-hist
     // feature) — the shape a vectorized native decoder plugs into
-    "mm_feature"      -> MultimodalOps.featureExtractDf _,
+    "mm_feature"      -> ((s: SparkSession, d: String) => MultimodalOps.featureExtractDf(s, d)),
     // the same codec as one codegen'd projection: magic-byte dispatch
     // + fixed-offset header fields, scan-speed
-    "mm_media_decode" -> MultimodalOps.mediaDecode _,
+    "mm_media_decode" -> ((s: SparkSession, d: String) => MultimodalOps.mediaDecode(s, d)),
     "mm_frame_sample" -> MultimodalOps.frameSample _,
     // media-TIME sampling driven by the walked mvhd duration (frame =
     // t*n_frames/duration, exact integers): one mapPartitions pass,
     // zero shuffles; hash-gated against the box-walk CTE twin
     "mm_time_sample" -> ((s: SparkSession, d: String) => MultimodalOps.mp4TimeSample(s, d)),
+    // deterministic ~1/19 population slices of the three recursive-
+    // CTE-twinned operators: the twin cost is per-payload, so the
+    // slice keeps the DuckDB walks inside the big-SF probe budget
+    // while exercising every decode branch (19 coprime to all branch
+    // moduli — MultimodalOps.gateSlice)
+    "mm_media_decode_slice" -> MultimodalOps.mediaDecodeSlice _,
+    "mm_feature_slice"      -> MultimodalOps.featureExtractDfSlice _,
+    "mm_time_sample_slice"  -> MultimodalOps.mp4TimeSampleSlice _,
+    // engine-internal scalar reduction of the interval join — the
+    // sf10 gate form (368M pairs never materialize in the compare)
+    "q_interval_join_agg" -> TemporalJoins.intervalJoinAgg _,
   )
 
   /** DuckDB oracle SQL per query key (same aliases + rounding). */
@@ -382,5 +393,9 @@ object SparkEntry {
     "mm_media_decode" -> MultimodalOps.mediaDecodeSql,
     "mm_frame_sample" -> MultimodalOps.frameSampleSql,
     "mm_time_sample"  -> MultimodalOps.mp4TimeSampleSql,
+    "mm_media_decode_slice" -> MultimodalOps.mediaDecodeSliceSql,
+    "mm_feature_slice"      -> MultimodalOps.featureSliceSql,
+    "mm_time_sample_slice"  -> MultimodalOps.mp4TimeSampleSliceSql,
+    "q_interval_join_agg"   -> TemporalJoins.intervalJoinAggSql,
   )
 }

@@ -323,7 +323,28 @@ object MultimodalOps {
   /** Expression-path gate entry: dispatch + header decode over the
     * mixed-format payloads, one codegen'd projection — scan-speed,
     * zero shuffle. */
-  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+  /** Deterministic population slice for the big-SF oracle gates of
+    * the recursive-CTE-twinned operators (mm_media_decode,
+    * mm_feature, mm_time_sample): both engines keep only
+    * doc_id ≡ [[gateSliceResidue]] (mod [[gateSliceModulus]]) — a
+    * cheap scan-column filter on the JVM side, a WHERE in the twin's
+    * base CTE — so the per-payload twin cost drops ~19× and the
+    * walks fit the DuckDB probe budget at 60M-row scan scale.
+    *
+    * 19 is COPRIME to every payload-branch modulus (the format tag
+    * mod 8, the mp4 sub-branch parities — classes mod 64, the phash
+    * plant mod 80, the dim/rate/timescale params mod
+    * 2/3/5/7/9/11/17/97/200/300/1000), so by CRT every decode branch
+    * keeps ~1/19 of its population: each joint (mod 19, mod 64)
+    * class holds ~41 docs at sf1 and ~411 at sf10 (contiguous ids).
+    * Branch coverage is asserted in MultimodalSpec. */
+  val gateSliceModulus = 19L
+  val gateSliceResidue = 7L
+  def gateSlice: Column = pmod(col("doc_id"), lit(gateSliceModulus)) === gateSliceResidue
+  val gateSliceSqlWhere: String = s" WHERE doc_id % $gateSliceModulus = $gateSliceResidue"
+
+  def mediaDecode(spark: SparkSession, dir: String,
+                  docFilter: Column = lit(true)): DataFrame =
     // the payload lands in its own projection level so the 9 field
     // columns share ONE payload computation per row: codegen's
     // subexpression elimination does not hoist subtrees out of
@@ -333,15 +354,22 @@ object MultimodalOps {
     // shape because the alias is non-cheap and referenced 9 times.
     // Measured at sf0.1: 2.71s -> 0.30s (subset bench, same box,
     // back-to-back).
-    Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents").filter(docFilter)
       .select(col("doc_id"), taggedPayload.as("mm_bin"))
       .select(col("doc_id") +: mediaFields(col("mm_bin")): _*)
 
+  /** [[gateSlice]] entry — identical decode, sliced population. */
+  def mediaDecodeSlice(spark: SparkSession, dir: String): DataFrame =
+    mediaDecode(spark, dir, gateSlice)
+
   /** The oracle's shared prefix: byte list = constructed header ++
     * text bytes, dims derived from doc_id exactly as [[taggedPayload]]
-    * does (ASCII corpus ⇒ ord(char) = byte). */
-  private val mmPayloadCte: String =
-    """WITH RECURSIVE base AS (
+    * does (ASCII corpus ⇒ ord(char) = byte). `where` narrows the
+    * population for the [[gateSlice]] twins (the twin cost is
+    * per-payload, so the slice entries keep the recursive walks
+    * inside the big-SF DuckDB probe budget). */
+  private def mmPayloadCte(where: String = ""): String =
+    s"""WITH RECURSIVE base AS (
       | SELECT doc_id,
       |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb,
       |  16 + doc_id % 1000 AS w, 16 + (doc_id * 7) % 1000 AS h,
@@ -352,7 +380,7 @@ object MultimodalOps {
       |  200 + (doc_id % 3) * 100 AS mtsq,
       |  1 + doc_id % 7 AS c1, 1 + doc_id % 11 AS c2, 1 + doc_id % 200 AS c3,
       |  doc_id % 8 AS tag
-      | FROM documents),
+      | FROM documents$where),
       |base2 AS (
       | SELECT *, (c1*mtsq*4 + c2*mtsq + c3*mtsq*8) AS mdm,
       |  16 + doc_id % 17 AS ss, 1 + doc_id % 9 AS s1,
@@ -886,8 +914,13 @@ object MultimodalOps {
       | CAST(n AS BIGINT) AS byte_len""".stripMargin
   }
 
-  val mediaDecodeSql: String =
-    mmPayloadCte + "\nSELECT doc_id,\n" + mmSelect(deepWalk = false) + "\nFROM d"
+  private def mediaDecodeSqlFor(where: String): String =
+    mmPayloadCte(where) + "\nSELECT doc_id,\n" + mmSelect(deepWalk = false) + "\nFROM d"
+
+  val mediaDecodeSql: String = mediaDecodeSqlFor("")
+
+  /** [[gateSlice]] twin — identical decode, sliced population. */
+  val mediaDecodeSliceSql: String = mediaDecodeSqlFor(gateSliceSqlWhere)
 
   // ---- header codec, batched JVM path ---------------------------------
 
@@ -1229,9 +1262,10 @@ object MultimodalOps {
   /** Batched decode over partitions: the shape a vectorized native
     * decoder needs — fixed-size batches inside each partition, no
     * driver involvement, output is a typed Dataset. */
-  def featureExtract(spark: SparkSession, dir: String): Dataset[MmFeature] = {
+  def featureExtract(spark: SparkSession, dir: String,
+                     docFilter: Column = lit(true)): Dataset[MmFeature] = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents").filter(docFilter)
       .select(col("doc_id"), taggedPayload.as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
@@ -1245,8 +1279,9 @@ object MultimodalOps {
   /** Gate-facing projection: the 16-bin histogram as scalar columns
     * (`hist_0..hist_15`) — array columns are not sortable by the
     * cross-engine comparator, scalars are. */
-  def featureExtractDf(spark: SparkSession, dir: String): DataFrame = {
-    val base = featureExtract(spark, dir).toDF()
+  def featureExtractDf(spark: SparkSession, dir: String,
+                       docFilter: Column = lit(true)): DataFrame = {
+    val base = featureExtract(spark, dir, docFilter).toDF()
     val histCols = (0 until 16).map(i => element_at(col("hist"), i + 1).as(s"hist_$i"))
     base.select(
       Seq(col("doc_id"), col("format"), col("brand"), col("width"), col("height"),
@@ -1254,16 +1289,25 @@ object MultimodalOps {
         ++ histCols: _*)
   }
 
-  val featureSql: String = {
+  private def featureSqlFor(where: String): String = {
     val hist = (0 until 16)
       .map(i => s"CAST(len(list_filter(b, x -> x // 16 = $i)) AS BIGINT) AS hist_$i")
       .mkString(",\n ")
-    mmPayloadCte + ",\n" + mmJpegWalkCtes + ",\n" + mmMp4WalkCtes +
+    mmPayloadCte(where) + ",\n" + mmJpegWalkCtes + ",\n" + mmMp4WalkCtes +
       "\nSELECT doc_id,\n" +
       mmSelect(deepWalk = true) + ",\n " + hist +
       "\nFROM d LEFT JOIN jdim USING (doc_id) LEFT JOIN mbrand USING (doc_id)" +
       "\n LEFT JOIN mms USING (doc_id) LEFT JOIN mdim USING (doc_id)"
   }
+
+  /** [[gateSlice]] entry — identical walks, sliced population. */
+  def featureExtractDfSlice(spark: SparkSession, dir: String): DataFrame =
+    featureExtractDf(spark, dir, gateSlice)
+
+  val featureSql: String = featureSqlFor("")
+
+  /** [[gateSlice]] twin — identical walks, sliced population. */
+  val featureSliceSql: String = featureSqlFor(gateSliceSqlWhere)
 
   /** Frame sampling over an opaque media payload — the video-pipeline
     * plumbing shape: treat the payload as fixed-size frames, keep every
@@ -1331,10 +1375,11 @@ object MultimodalOps {
     * full DuckDB hash gate against the recursive-CTE box-walk twin +
     * generate_series. */
   def mp4TimeSample(spark: SparkSession, dir: String,
-                    intervalMs: Long = timeSampleIntervalMs): DataFrame = {
+                    intervalMs: Long = timeSampleIntervalMs,
+                    docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
     require(intervalMs > 0, "intervalMs must be positive")
-    Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents").filter(docFilter)
       .select(col("doc_id"), taggedPayload.as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
@@ -1368,8 +1413,8 @@ object MultimodalOps {
       .toDF("doc_id", "sample_idx", "t_ms", "frame_idx", "byte_offset")
   }
 
-  val mp4TimeSampleSql: String =
-    mmPayloadCte + ",\n" + mmMp4WalkCtes + ",\n" + mmSttsCtes + s""",
+  private def mp4TimeSampleSqlFor(where: String): String =
+    mmPayloadCte(where) + ",\n" + mmMp4WalkCtes + ",\n" + mmSttsCtes + s""",
       |vids AS (
       | SELECT d.doc_id, m.mdur_ms,
       |  greatest(1, (d.n + $frameBytes - 1) // $frameBytes) AS nf
@@ -1438,6 +1483,15 @@ object MultimodalOps {
       | CAST(fidx AS BIGINT) AS frame_idx,
       | CAST(coalesce(real_off, fidx * $frameBytes) AS BIGINT) AS byte_offset
       |FROM fr2""".stripMargin
+
+  /** [[gateSlice]] entry — identical demux walk, sliced population. */
+  def mp4TimeSampleSlice(spark: SparkSession, dir: String): DataFrame =
+    mp4TimeSample(spark, dir, timeSampleIntervalMs, gateSlice)
+
+  val mp4TimeSampleSql: String = mp4TimeSampleSqlFor("")
+
+  /** [[gateSlice]] twin — identical demux walk, sliced population. */
+  val mp4TimeSampleSliceSql: String = mp4TimeSampleSqlFor(gateSliceSqlWhere)
 
   val frameSampleSql: String =
     s"""WITH t AS (

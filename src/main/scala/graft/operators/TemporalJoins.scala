@@ -133,6 +133,27 @@ object TemporalJoins {
           greatest(col("a_s"), col("b_s"))).as("overlap_us"))
   }
 
+  /** Order-independent reduction of [[intervalJoin]]'s pair stream —
+    * the big-SF gate form: at sf10 the join emits ~368M pairs, too
+    * many to materialize for a row-by-row oracle compare, so both
+    * engines reduce the pair set to (count, modular pair-hash sum)
+    * INSIDE the engine and the gate compares two scalars. A pair
+    * mismatch anywhere perturbs the sum (the hash mixes ids and the
+    * overlap), so the scalar gate has the same evidentiary force as
+    * the materialized compare without the 368M-row transfer.
+    * Pure integer arithmetic, safe under ANSI: each reduced term
+    * < 1e9, the weighted combination < ~1.01e15, and the outer sum
+    * over even 10⁹ pairs stays < 2⁶³. */
+  def intervalJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000000007L
+    val h = pmod(
+      pmod(col("a_id"), lit(m)) * 1000003L +
+        pmod(col("b_id"), lit(m)) * 7919L +
+        pmod(col("overlap_us"), lit(m)), lit(m))
+    intervalJoin(spark, dir)
+      .agg(count(lit(1)).as("n_pairs"), sum(h).as("pair_hash"))
+  }
+
   val intervalJoinSql: String =
     s"""WITH a AS (
        | SELECT event_id AS a_id, epoch_us(ts) AS s,
@@ -145,6 +166,14 @@ object TemporalJoins {
        |SELECT a_id, b_id,
        |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
        |FROM a, b WHERE a.s <= b.e AND b.s <= a.e""".stripMargin
+
+  val intervalJoinAggSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       | CAST(sum(((a_id % 1000000007) * 1000003
+       |   + (b_id % 1000000007) * 7919
+       |   + (overlap_us % 1000000007)) % 1000000007) AS BIGINT) AS pair_hash
+       |FROM ($intervalJoinSql) pairs""".stripMargin
+
 
   val rangeJoinSql: String =
     s"""SELECT e.event_id, e.user_id,

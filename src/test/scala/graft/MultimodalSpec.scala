@@ -477,4 +477,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows(p) <= 1, s"planted pair $p drifted past the one perturbed bit")
     }
   }
+
+  test("gate slice: every decode branch keeps population at the sf1/sf10 " +
+    "id ranges, and the slice entries equal the filtered full operators") {
+    val m = MultimodalOps.gateSliceModulus
+    val r = MultimodalOps.gateSliceResidue
+    // pure arithmetic over the contiguous 0..N-1 id ranges the corpora
+    // carry at every SF (sf1 = 50k docs, sf10 = 500k): the CRT claim
+    // in gateSlice's scaladoc, checked branch by branch
+    for (n <- Seq(50000L, 500000L)) {
+      val inSlice = (0L until n).filter(_ % m == r)
+      for (t <- 0L until 8L)
+        assert(inSlice.exists(_ % 8 == t), s"format tag $t empty at n=$n")
+      // the four tag-6 sub-branches (mod-64 classes): VFR 6, VFR+
+      // per-sample-stsz 38, CFR 22, bare-ftyp 14 — plus the JPEG SOF
+      // walk's tag-5 class and the phash plants mod 80
+      for (c <- Seq(6L, 38L, 22L, 14L))
+        assert(inSlice.exists(_ % 64 == c), s"mp4 sub-branch mod-64=$c empty at n=$n")
+      for (c <- Seq(18L, 58L))
+        assert(inSlice.exists(_ % 80 == c), s"planted class mod-80=$c empty at n=$n")
+    }
+    // wrappers wired to the same code path: slice == full ∩ filter
+    val sf = SparkSpec.sf
+    val full = MultimodalOps.mediaDecode(spark, sf)
+      .filter(col("doc_id") % m === r).collect().map(_.toString).sorted
+    val slice = MultimodalOps.mediaDecodeSlice(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(slice.nonEmpty && slice.sameElements(full))
+  }
 }
