@@ -132,6 +132,13 @@ object TextKernel {
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Valid non-surrogate code point → its string; anything else → ""
+    * (callers pre-gate, the fallback just keeps codegen throw-free). */
+  def codePointChar(cp: Long): UTF8String =
+    if (cp >= 1L && cp <= 0x10FFFFL && !(cp >= 0xD800L && cp <= 0xDFFFL))
+      UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+    else UTF8String.EMPTY_UTF8
 }
 
 case class WsTokens(child: Expression) extends UnaryExpression {
@@ -202,7 +209,32 @@ case class RepetitionKeep(child: Expression, topMax: Double, dupMax: Double)
     copy(child = newChild)
 }
 
+/** Unicode code point → its one-character string — what the HTML
+  * numeric-character-reference decode needs and Spark's builtin `chr`
+  * cannot do (chr is ASCII/mod-256 by contract). Callers gate the
+  * range to valid non-surrogate code points (1..0x10FFFF minus
+  * D800..DFFF); the kernel itself also degrades to "" out of range so
+  * no input can throw inside codegen. */
+case class CodePointChar(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireLong("code_point_char", child.dataType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.codePointChar(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernel$$.MODULE$$.codePointChar($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CodePointChar =
+    copy(child = newChild)
+}
+
 object TextKernels {
+  def codePointChar(cp: Column): Column =
+    GraftBridge.column(CodePointChar(GraftBridge.expression(cp)))
+
   def distinctShingles3(text: Column): Column =
     GraftBridge.column(DistinctShingles3(GraftBridge.expression(text)))
 

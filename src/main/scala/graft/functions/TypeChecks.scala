@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Shared analysis-time input checks for the SQL-registered kernels —
   * a wrong-typed argument must fail analysis, not throw a
@@ -23,5 +23,11 @@ object TypeChecks {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(s"$fn requires binary, got ${other.catalogString}")
+  }
+
+  def requireLong(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$fn requires bigint, got ${other.catalogString}")
   }
 }

@@ -1406,16 +1406,48 @@ object TextOps {
   private val htmlAnchorPat = "(?s)(?i)<a[^>]*>.*?</a>"
   private val htmlTagPat = "<[^>]*>"
 
+  /** Numeric character references (`&#NNN;` / `&#xHH;`) decoded to
+    * their code points — the crawl-reality complement to the named
+    * entity set (real pages are full of `&#8217;`-class refs): split
+    * on the literal "&#", decode a leading valid reference body per
+    * fragment ([[graft.functions.TextKernels.codePointChar]] — the
+    * builtin `chr` is mod-256 and cannot emit Unicode), re-emit
+    * anything malformed or out of range verbatim (no digits, bad hex,
+    * > 7 digits, code point 0, beyond U+10FFFF, surrogates). Pure
+    * map-side split/regexp/transform, RE2-compatible patterns so the
+    * DuckDB twin agrees byte-for-byte. */
+  private def decodeNumericRefs(c: Column): Column = {
+    def piece(p: Column): Column = {
+      val dec = regexp_extract(p, "^([0-9]{1,7});", 1)
+      val hx = regexp_extract(p, "^[xX]([0-9a-fA-F]{1,6});", 1)
+      val v = when(dec =!= "", dec.cast("long"))
+        .when(hx =!= "", conv(hx, 16, 10).cast("long"))
+      val ok = v.isNotNull && v >= 1L && v <= 0x10FFFFL &&
+        !(v >= 0xD800L && v <= 0xDFFFL)
+      val rest = when(dec =!= "", substr(p, length(dec) + 2, length(p)))
+        .otherwise(substr(p, length(hx) + 3, length(p)))
+      when(ok, concat(graft.functions.TextKernels.codePointChar(v), rest))
+        .otherwise(concat(lit("&#"), p))
+    }
+    array_join(
+      transform(split(c, "&#", -1),
+        (p, i) => when(i === 0, p).otherwise(piece(p))), "")
+  }
+
   /** Visible text of a block: inline tags stripped to spaces,
     * whitespace collapsed, the common entities decoded (&amp; LAST,
     * so a double-escaped entity decodes exactly one level — the HTML
-    * rule; &nbsp; first, before any entity can synthesize one). */
+    * rule, and `&amp;#65;` stays the literal `&#65;` because no "&#"
+    * substring exists until the amp decodes; &nbsp; first, before any
+    * entity can synthesize one; numeric refs with the named set,
+    * before the amp pass). */
   private def htmlVisible(b: Column): Column = {
     val stripped = trim(regexp_replace(
       regexp_replace(b, htmlTagPat, " "), "\\s+", " "))
-    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&amp;" -> "&")
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"")
       .foldLeft(stripped) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    replace(decodeNumericRefs(named), lit("&amp;"), lit("&"))
   }
 
   /** Per-block (visible, visible-without-anchors) structs for an HTML
@@ -1479,10 +1511,15 @@ object TextOps {
       lit("<p><a href=\"/l\">"), substring(txt, 1, 40), lit("</a> ok</p>"),
       when(pmod(id, lit(4)) === 1,
         concat(lit("<p>alpha &amp; beta &lt;tag&gt; &quot;quoted&quot;" +
-          " &#39;s&#39; x&nbsp;y "), substring(txt, 1, 30), lit("</p>")))
+          " &#39;s&#39; x&nbsp;y &#233;e em&#8212;dash &#x27;q&#x27;" +
+          " smile &#x1F600; amp-escaped &amp;#65; "),
+          substring(txt, 1, 30), lit("</p>")))
         .otherwise(lit("")),
       when(pmod(id, lit(4)) === 1,
         concat(lit("<!-- hidden note "), idS, lit(" -->"))).otherwise(lit("")),
+      when(pmod(id, lit(4)) === 3,
+        concat(lit("<p>bad refs &#; &#xZZ; &#99999999; &#xD800; &#0; tail "),
+          substring(txt, 1, 40), lit("</p>"))).otherwise(lit("")),
       lit("<script>var x = "), idS, lit(";</script>"),
       when(pmod(id, lit(4)) =!= 3,
         concat(lit("<div><a href=\"/terms\">terms</a>" +
@@ -1531,18 +1568,36 @@ object TextOps {
         |    '<p>tag ' || doc_id % 7 || '</p>' ||
         |    '<div><p>' || substr(text, 1, 80) || ' see <a href="/more">more item ' || doc_id % 5 || '</a> for the remaining details</p></div>' ||
         |    '<p><a href="/l">' || substr(text, 1, 40) || '</a> ok</p>' ||
-        |    CASE WHEN doc_id % 4 = 1 THEN '<p>alpha &amp; beta &lt;tag&gt; &quot;quoted&quot; &#39;s&#39; x&nbsp;y ' || substr(text, 1, 30) || '</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN '<p>alpha &amp; beta &lt;tag&gt; &quot;quoted&quot; &#39;s&#39; x&nbsp;y &#233;e em&#8212;dash &#x27;q&#x27; smile &#x1F600; amp-escaped &amp;#65; ' || substr(text, 1, 30) || '</p>' ELSE '' END ||
         |    CASE WHEN doc_id % 4 = 1 THEN '<!-- hidden note ' || doc_id || ' -->' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 3 THEN '<p>bad refs &#; &#xZZ; &#99999999; &#xD800; &#0; tail ' || substr(text, 1, 40) || '</p>' ELSE '' END ||
         |    '<script>var x = ' || doc_id || ';</script>' ||
         |    CASE WHEN doc_id % 4 <> 3 THEN '<div><a href="/terms">terms</a> <a href="/privacy">privacy</a> &copy; ' || doc_id % 100 || '</div>' ELSE '' END ||
         |    '</body></html>'""".stripMargin
     // visible-text chain (tags → spaces, collapse, trim, entities in
-    // the htmlVisible order: &nbsp; first, &amp; last)
-    def visFull(x: String): String =
-      "replace(replace(replace(replace(replace(replace(" +
+    // the htmlVisible order: &nbsp; first, numeric refs with the named
+    // set, &amp; last)
+    def numRef(y: String): String = {
+      val dec = "regexp_extract(p, '^([0-9]{1,7});', 1)"
+      val hx = "regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1)"
+      val vd = s"CAST($dec AS BIGINT)"
+      val vh = s"CAST('0x' || $hx AS BIGINT)"
+      s"""array_to_string(list_transform(string_split($y, '&#'), (p, i) ->
+         |  CASE WHEN i = 1 THEN p
+         |   WHEN $dec <> '' AND $vd BETWEEN 1 AND 1114111
+         |        AND $vd NOT BETWEEN 55296 AND 57343
+         |     THEN chr(CAST($vd AS INT)) || substr(p, len($dec) + 2)
+         |   WHEN $hx <> '' AND $vh BETWEEN 1 AND 1114111
+         |        AND $vh NOT BETWEEN 55296 AND 57343
+         |     THEN chr(CAST($vh AS INT)) || substr(p, len($hx) + 3)
+         |   ELSE '&#' || p END), '')""".stripMargin
+    }
+    def visFull(x: String): String = {
+      val named = "replace(replace(replace(replace(" +
         s"trim(regexp_replace(regexp_replace($x, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))" +
-        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
-        "'&#39;', ''''), '&amp;', '&')"
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')"
+      s"replace(${numRef(named)}, '&amp;', '&')"
+    }
     s"""WITH h AS (
        |  SELECT doc_id, $page AS html FROM documents),
        |s AS (SELECT doc_id, html,

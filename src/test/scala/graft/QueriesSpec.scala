@@ -859,6 +859,25 @@ class QueriesSpec extends AnyFunSuite {
       "the quick brown fox jumps over the lazy dog repeatedly",
       "alpha & beta <x> \"q\" 's' and more padding words"),
       s"unexpected extraction: $lines")
+    // numeric character references: decimal, hex (incl an astral code
+    // point), the one-level rule for &amp;#NN;, and every malformed/
+    // out-of-range form re-emitted verbatim
+    val page2 = "<html><body>" +
+      "<p>caf&#233; em&#8212;dash &#x27;q&#x27; smile &#x1F600; " +
+      "escaped &amp;#65; filler words keep this block long enough</p>" +
+      "<p>bad &#; &#xZZ; &#99999999; &#xD800; &#0; &#1234567; " +
+      "filler words keep this block long enough too</p>" +
+      "</body></html>"
+    val clean2 = Seq(page2).toDF("html")
+      .select(operators.TextOps.htmlExtractClean(col("html")).as("c"))
+      .head.getString(0)
+    val lines2 = clean2.split("\n").toSeq
+    assert(lines2 === Seq(
+      "café em—dash 'q' smile 😀 escaped &#65; " +
+        "filler words keep this block long enough",
+      "bad &#; &#xZZ; &#99999999; &#xD800; &#0; &#1234567; " +
+        "filler words keep this block long enough too"),
+      s"unexpected numeric-ref decode: $lines2")
   }
 
   test("training_pipeline: extractCorpus ingest pass reproduces the " +
