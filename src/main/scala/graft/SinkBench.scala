@@ -153,9 +153,33 @@ object SinkBench {
           streaming.Pipelines.vectorIndexSink(_, idx, driftEvery = driftEvery,
             graceMs = graceMs))
 
+      case "phash" =>
+        // the dedup-mode setup at the image granularity: signature
+        // index over the corpus minus the streamed residues, the
+        // slice arrives as document messages (the sink's population
+        // filter drops non-raster payloads map-side, the realistic
+        // mixed-ingest shape)
+        val streamed: Column =
+          if (sliceTenths == 1) pmod(col("doc_id"), lit(10)) === 7
+          else pmod(col("doc_id"), lit(10)) >= (10 - sliceTenths)
+        val idx = tmp("graft-sinkbench-phidx")
+        operators.MultimodalOps.phashIndexBuild(spark, sfDir, idx, !streamed)
+        val slice = Tables(spark, sfDir, "documents")
+          .filter(streamed)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val broker = tmp("graft-sinkbench-broker")
+        sources.GraftQueueBroker.publish(broker, "docs", slice.map { case (id, text) =>
+          sources.GraftQueueBroker.textMsg(
+            id, 1700000000000000L + id * 1000L, "t/docs/0", text)
+        })
+        val table = tmp("graft-sinkbench-phtable")
+        stream(broker, "docs", slice.length,
+          streaming.Pipelines.phashIndexSink(_, idx, table, graceMs = graceMs))
+
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode '$other' (dedup | vector | vector-drift)")
+          s"unknown mode '$other' (dedup | vector | vector-drift | phash)")
     }
 
     val durs = q.recentProgress.toSeq

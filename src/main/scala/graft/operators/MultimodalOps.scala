@@ -1562,9 +1562,17 @@ object MultimodalOps {
     * 'BM' — gating both engines on (doc_id % 8, length) makes the
     * two populations provably identical. Planted docs (gradient
     * pixels, always ≥ 72) are ≡ 18/58 mod 80 ⊂ the mod-8 class. */
-  def imagePhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  def imagePhashSigs(spark: SparkSession, dir: String): DataFrame =
+    imagePhashSigsOf(Tables(spark, dir, "documents"))
+
+  /** [[imagePhashSigs]] over an arbitrary (doc_id, text) frame — the
+    * per-batch half the streaming ingestion sink runs
+    * ([[graft.streaming.Pipelines.phashIndexSink]]). Identical
+    * population gates and signature kernel, so stream-folded and
+    * batch-computed signatures are bit-identical. */
+  def imagePhashSigsOf(batch: DataFrame): DataFrame = {
     val id = col("doc_id")
-    Tables(spark, dir, "documents")
+    batch
       .filter(pmod(id, lit(8L)) === 2 &&
         (phashPlanted(id) ||
           length(col("text")) >= graft.functions.DHashKernel.minPixels))
@@ -1631,5 +1639,100 @@ object MultimodalOps {
        | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $phashMaxHamming""".stripMargin
+  }
+
+  // ---- image-signature index (streaming ingestion state) ---------------
+
+  /** The 28-band-pair inverted-index rows of a signature frame —
+    * (band, bkey, doc_id, sig): the signature rides along so a probe
+    * verifies Hamming in the band join itself, no second sets
+    * lookup. */
+  private def phashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(array(DedupOps.hammingBandPairKeys(col("sig")): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+
+  private def requirePhashIndex(spark: SparkSession, idx: String): Unit =
+    require(graft.operators.VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"),
+      s"$idx is not a complete phash index (crashed mid-rebuild? " +
+        "re-run phashRebuildIndex)")
+
+  /** (Re)build the image-signature dedup index from an arbitrary
+    * (doc_id, sig) frame — the state the streaming ingestion sink
+    * ([[graft.streaming.Pipelines.phashIndexSink]]) maintains so NEW
+    * images dedup against the corpus without recomputing corpus-wide
+    * signatures:
+    *  - `ids`: the [[DedupOps.keyBucket]]-partitioned membership
+    *    table (kb-pruned already-indexed checks, the minhash-index
+    *    layout — readable through [[DedupOps.indexedIds]]);
+    *  - `bands`: the band-pair inverted index, written LAST so
+    *    `bands/_SUCCESS` is the build-complete marker.
+    * Single-writer contract per index dir (the minhash rule). Unlike
+    * the minhash index there is NO frozen-universe drift: the
+    * signature kernel is corpus-independent, so incremental folds
+    * never degrade and a rebuild is only ever a compaction concern. */
+  def phashRebuildIndex(spark: SparkSession, sigs: DataFrame, idx: String): Unit = {
+    val s = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = s.count()
+      s.select(col("doc_id"), DedupOps.keyBucket(col("doc_id")).as("kb"))
+        .coalesce(graft.operators.VectorOps.appendParts(n))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$idx/ids")
+      phashBands(s).coalesce(graft.operators.VectorOps.appendParts(n * 28))
+        .write.mode("overwrite").parquet(s"$idx/bands")
+    } finally s.unpersist()
+  }
+
+  /** Build the index over a directory's decodable payloads. */
+  def phashIndexBuild(spark: SparkSession, dir: String, idx: String,
+                      docFilter: Column = lit(true)): Unit =
+    phashRebuildIndex(spark,
+      imagePhashSigsOf(Tables(spark, dir, "documents").filter(docFilter)), idx)
+
+  /** Fold a batch of signatures INTO the index. Crash-safe ordering:
+    * the `ids` membership record lands LAST, after the band rows — a
+    * crash mid-update leaves band rows without membership, so the
+    * replay re-folds (duplicate band rows are tolerated: the probe's
+    * pair set is `distinct()`); the reverse order would be a silent
+    * recall hole. Caller owns the one-copy-per-doc_id contract across
+    * calls (the sink anti-joins [[DedupOps.indexedIds]] first), and
+    * `batchSigs` must not be a plan that reads this index's paths
+    * (localCheckpoint first, as the sink does). */
+  def phashIndexUpdate(spark: SparkSession, batchSigs: DataFrame, idx: String): Unit = {
+    requirePhashIndex(spark, idx)
+    val s = batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = s.count()
+      phashBands(s).coalesce(graft.operators.VectorOps.appendParts(n * 28))
+        .write.mode("append").parquet(s"$idx/bands")
+      s.select(col("doc_id"), DedupOps.keyBucket(col("doc_id")).as("kb"))
+        .coalesce(graft.operators.VectorOps.appendParts(n))
+        .write.mode("append").partitionBy("kb").parquet(s"$idx/ids")
+    } finally s.unpersist()
+  }
+
+  /** Probe a batch of signatures against the index: the batch's 28
+    * pair keys meet the inverted index in one equi-join (batch side
+    * broadcast-sized per trigger), exact Hamming verify at ≤
+    * [[phashMaxHamming]] happens IN the join row (both signatures
+    * present), pairs normalized to doc_a < doc_b and de-duplicated —
+    * so replay-duplicated index rows and both-in-batch double hits
+    * collapse. Output matches [[imagePhash]]'s (doc_a, doc_b,
+    * hamming) exactly: update-before-probe over the whole corpus
+    * reproduces the batch operator's pair set (spec-pinned). */
+  def phashProbeIndex(spark: SparkSession, batchSigs: DataFrame,
+                      idx: String): DataFrame = {
+    requirePhashIndex(spark, idx)
+    val bands = Snapshot.read(spark, s"$idx/bands")
+    phashBands(batchSigs)
+      .join(bands.select(col("band"), col("bkey"),
+        col("doc_id").as("old_id"), col("sig").as("old_sig")), Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(least(col("doc_id"), col("old_id")).as("doc_a"),
+        greatest(col("doc_id"), col("old_id")).as("doc_b"),
+        bit_count(col("sig").bitwiseXOR(col("old_sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= phashMaxHamming)
+      .distinct()
   }
 }

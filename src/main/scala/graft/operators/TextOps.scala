@@ -347,8 +347,19 @@ object TextOps {
     * ANTI-join on the keep=false rows, so unscored docs pass through
     * to the quality stage rather than being silently dropped by a
     * filter that never measured them. */
-  def docLmAdaptive(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docLmScore(spark, dir)
+  def docLmAdaptive(spark: SparkSession, dir: String): DataFrame =
+    docLmAdaptiveFrom(spark, dir, docLmScore(spark, dir))
+
+  /** [[docLmAdaptive]] over an ALREADY-COMPUTED [[docLmScore]] frame —
+    * the clusters-overload precedent (DedupOps.clustersKeepBestFrom):
+    * a composed pipeline that consumes both the scores and the keep
+    * decision hands the SAME frame (persisted, or checkpointed to its
+    * own table) to both consumers and pays the scorer's two corpus-key
+    * shuffles once, instead of re-planning the whole bigram-model
+    * subtree per consumer. Spec-pinned ≡ the inline form. */
+  def docLmAdaptiveFrom(spark: SparkSession, dir: String,
+                        lmScored: DataFrame): DataFrame = {
+    val scored = lmScored
       .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
     val wPred = Window.partitionBy(col("source")).orderBy(col("cond_pred"), col("doc_id"))
     val wNov = Window.partitionBy(col("source")).orderBy(col("novelty"), col("doc_id"))

@@ -814,6 +814,79 @@ object Pipelines {
       }
   }
 
+  /** Ingestion-time IMAGE dedup on the stream — the
+    * [[incrementalDedupSink]] pattern at the image-signature
+    * granularity, closing the minhash(text)/vector(embedding)/
+    * phash(image) symmetry: every micro-batch's decodable payloads
+    * are signed ([[graft.operators.MultimodalOps.imagePhashSigsOf]] —
+    * bit-identical to the batch operator's signatures), FOLDED into
+    * the banded signature index
+    * ([[graft.operators.MultimodalOps.phashIndexUpdate]], ids-last
+    * crash ordering), then PROBED against it
+    * ([[graft.operators.MultimodalOps.phashProbeIndex]]); verified
+    * Hamming-≤6 pairs land in an idempotently-merged parquet table.
+    * Update-before-probe: two near-identical images in one trigger
+    * pair up, and each image pairs against all earlier triggers
+    * without a rebuild.
+    *
+    * Unlike the minhash sink there is no frozen-universe drift (the
+    * signature kernel is corpus-independent), so no driftlog seat —
+    * incremental folds never decay and rebuilds are purely a
+    * compaction concern. Exactly-once pairs under redelivery and
+    * replay, the [[tableSink]] contract: the already-indexed check
+    * prunes the kb-partitioned `ids` table to the batch's buckets
+    * ([[graft.operators.DedupOps.indexedIds]] — the stores share the
+    * minhash layout), the pair table is kb-partitioned on
+    * (doc_a, doc_b) and anti-joined before each append, and a
+    * replayed fold's duplicate band rows collapse in the probe's
+    * distinct. Per-trigger row work is batch-bounded; the file-count
+    * tail is held flat by the same snapshot-isolated tiered
+    * compaction as the other index sinks (`maintain = true`). */
+  def phashIndexSink(messages: DataFrame, indexDir: String,
+                     tablePath: String,
+                     maintain: Boolean = true,
+                     graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
+                     maxMergeJobs: Int = 3): DataStreamWriter[Row] = {
+    val dataPath = tablePath + "/data"
+    messages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tablePath + "/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        // deterministic within-trigger winner, then sign; materialized
+        // because the sigs feed the membership anti-join, the fold,
+        // and the probe — and the fold appends to paths the probe
+        // reads (the incrementalDedupSink self-scan rule)
+        val sigs = graft.operators.MultimodalOps
+          .imagePhashSigsOf(latestDocVersion(batch))
+          .withColumn("kb", graft.operators.DedupOps.keyBucket(col("doc_id")))
+          .localCheckpoint(true)
+        val newSigs = sigs.join(
+          graft.operators.DedupOps.indexedIds(spark, indexDir, bucketsOf(sigs)),
+          Seq("doc_id"), "left_anti").select("doc_id", "sig").localCheckpoint(true)
+        if (!newSigs.isEmpty)
+          graft.operators.MultimodalOps.phashIndexUpdate(spark, newSigs, indexDir)
+        val pairs = graft.operators.MultimodalOps
+          .phashProbeIndex(spark, sigs.select("doc_id", "sig"), indexDir)
+          .withColumn("kb",
+            graft.operators.DedupOps.keyBucket(col("doc_a"), col("doc_b")))
+          .localCheckpoint(true)
+        pairs.join(
+            prunedKeys(spark, dataPath, Seq("doc_a", "doc_b"), bucketsOf(pairs)),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .write.mode("append").partitionBy("kb").parquet(dataPath)
+        if (maintain) {
+          graft.operators.Snapshot.compactTiered(
+            spark, s"$indexDir/bands", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
+          graft.operators.Snapshot.compactTieredPartitioned(
+            spark, s"$indexDir/ids", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
+        }
+        ()
+      }
+  }
+
   /** SolaceIO withMaxReadTime equivalent: start the query with
     * Trigger.AvailableNow — the source freezes the backlog snapshot
     * and the query self-terminates once it is drained — and stop early

@@ -1045,6 +1045,15 @@ class QueriesSpec extends AnyFunSuite {
         s"larger language ($n2 docs) kept a higher fraction than smaller ($n1)") }
   }
 
+  test("docLmAdaptiveFrom(scored) equals the inline form row-for-row") {
+    val inline = operators.TextOps.docLmAdaptive(spark, sf)
+      .collect().map(_.toString).sorted
+    val scored = operators.TextOps.docLmScore(spark, sf)
+    val from = operators.TextOps.docLmAdaptiveFrom(spark, sf, scored)
+      .collect().map(_.toString).sorted
+    assert(from.nonEmpty && from.sameElements(inline))
+  }
+
   test("doc_lm_adaptive: rank rule agrees with a direct per-source quantile " +
     "check and the tiny-strata guard keeps small sources whole") {
     import org.apache.spark.sql.functions._

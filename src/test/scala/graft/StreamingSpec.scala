@@ -733,6 +733,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(table + "/data").count() === streamed.size)
   }
 
+  test("streaming phash ingestion: stream-probed image pairs equal the " +
+    "batch operator on pairs touching the stream, replay is a no-op") {
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-phash-table")
+    val idx = tmpDir("graft-phidx-stream")
+    val sf = SparkSpec.sf
+    val cut = 100L // docs below stream in later; docs under cut pre-build
+    operators.MultimodalOps.phashIndexBuild(spark, sf, idx,
+      col("doc_id") < cut)
+    val incoming = Tables(spark, sf, "documents")
+      .filter(col("doc_id") >= cut).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    GraftQueueBroker.publish(broker, "docs", incoming.map { case (id, text) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L, "t/docs/0", text)
+    })
+    def run(ckpt: String): Unit = {
+      // small trigger cap: planted pairs like (98 prebuilt, 138 streamed)
+      // and cross-trigger arrivals must go through the INDEX, not batch
+      // locality
+      val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+        maxRecordsPerTrigger = Some(100))
+      val q = Pipelines.phashIndexSink(msgs, idx, table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+    def tablePairs() = spark.read.parquet(table + "/data")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // the ingestion contract: every batch pair TOUCHING the streamed
+    // slice (prebuilt-prebuilt pairs were never probed)
+    val batch = operators.MultimodalOps.imagePhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 >= cut || p._2 >= cut).toSet
+    val streamed = tablePairs()
+    assert(batch.nonEmpty && streamed === batch,
+      "stream-probed pairs must equal the batch operator's touching pairs")
+    assert(spark.read.parquet(table + "/data").count() === streamed.size,
+      "duplicate pairs must be merged away")
+    assert(streamed.exists { case (a, b, _) => a < cut && b >= cut },
+      "expected a pair between a prebuilt and a streamed doc (index path)")
+    val idsBefore = operators.Snapshot.read(spark, idx + "/ids").count()
+    // full replay from a fresh checkpoint: pairs re-derive and anti-join
+    // away; already-indexed docs must not re-fold
+    run(tmpDir("graft-ckpt"))
+    assert(tablePairs() === batch)
+    assert(spark.read.parquet(table + "/data").count() === streamed.size)
+    assert(operators.Snapshot.read(spark, idx + "/ids").count() === idsBefore,
+      "replay must not re-fold already-indexed docs")
+  }
+
   test("dedup sink drift log: in-vocabulary triggers record clean, novel-vocabulary ones flag") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-dedup-drift-table")
