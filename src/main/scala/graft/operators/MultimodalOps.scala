@@ -1469,12 +1469,13 @@ object MultimodalOps {
       | SELECT fr.doc_id, fr.i, fr.fidx,
       |  CASE
       |   WHEN fx.doc_id IS NOT NULL THEN c.off + (fr.fidx - c.fs) * fx.fixed
-      |   WHEN c.doc_id IS NOT NULL THEN c.off + coalesce(
+      |   WHEN c.doc_id IS NOT NULL AND fr.fidx <= mv.cnt THEN c.off + coalesce(
       |    (SELECT sum(z.sz) FROM mvsz z
       |     WHERE z.doc_id = fr.doc_id AND z.j >= c.fs AND z.j < fr.fidx), 0)
       |  END AS real_off
       | FROM fr
       |  LEFT JOIN mfixed fx USING (doc_id)
+      |  LEFT JOIN mvar mv USING (doc_id)
       |  LEFT JOIN chk2 c ON c.doc_id = fr.doc_id
       |   AND fr.fidx >= c.fs AND fr.fidx < c.fs + c.spc)
       |SELECT doc_id,

@@ -322,6 +322,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(varSz.offsetOf(3) === Some(900L)) // chunk 2 restarts at its stco base
     assert(varSz.offsetOf(4) === Some(913L))
     assert(varSz.offsetOf(6) === None, "beyond the size table")
+    // stsz SHORTER than the declared chunks' capacity: a sample whose
+    // chunk exists but whose index exceeds the size table degrades
+    // per-sample (i > sz.length → None → fixed-stride fallback); the
+    // DuckDB twin mirrors this with its `fidx <= mvar.cnt` arm guard,
+    // so both engines fall back on the SAME samples of a malformed
+    // payload instead of the twin summing a truncated size table
+    val shortSz = ChunkLayout(0L, Some(Array(5L, 7L, 11L, 13L)),
+      Array((1L, 3L)), Array(500L, 900L))
+    assert(shortSz.offsetOf(4) === Some(913L), "covered by the table")
+    assert(shortSz.offsetOf(5) === None,
+      "inside chunk 2's span but past the 4-entry stsz table")
     // malformed stsc (first run not at chunk 1 / non-ascending /
     // zero rate) must never produce a layout at parse time
     def tree2(stbl: Seq[Int]): Array[Byte] = {
