@@ -307,13 +307,16 @@ object RecallAudit {
 
     def f(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val line =
-      s"""{"metric":"recall","sf":"$sfDir",""" +
-        entries.map { case (n, v) => s""""$n":${f(v)}""" }.mkString(",") +
-        s""","exact_sizes":{""" +
-        sizes.map { case (n, v) => s""""$n":$v""" }.mkString(",") + "}," +
+    // assemble from non-empty parts — a subset run with no recall
+    // entries (e.g. the band-geometry seat alone) must still emit
+    // valid JSON, not a dangling comma
+    val parts = Seq(s""""metric":"recall"""", s""""sf":"$sfDir"""") ++
+      entries.map { case (n, v) => s""""$n":${f(v)}""" } ++
+      Seq(s""""exact_sizes":{""" +
+        sizes.map { case (n, v) => s""""$n":$v""" }.mkString(",") + "}",
         s""""wall_sec":{""" +
-        walls.map { case (n, s) => s""""$n":${f(s)}""" }.mkString(",") + "}}"
+        walls.map { case (n, s) => s""""$n":${f(s)}""" }.mkString(",") + "}")
+    val line = parts.mkString("{", ",", "}")
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[recall] artifact write failed: $e") }

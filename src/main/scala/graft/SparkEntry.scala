@@ -136,6 +136,9 @@ object SparkEntry {
     // inline on the source-bearing scan, one aggregate + tiny window
     "source_language_report" -> TextOps.sourceLanguageReport _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
+    // every map-side curation signal in ONE corpus scan (component
+    // semantics, spec-pinned; at 100 TB the scan is the cost)
+    "doc_signals"        -> TextOps.docSignals _,
     "doc_shingle_stats"  -> TextOps.shingleStats _,
     "doc_repetition"     -> TextOps.docRepetition _,
     "doc_novelty"        -> TextOps.docNovelty _,
@@ -344,6 +347,7 @@ object SparkEntry {
     "lang_id"            -> TextOps.langIdSql,
     "source_language_report" -> TextOps.sourceLanguageReportSql,
     "doc_fingerprint"    -> TextOps.docFingerprintSql,
+    "doc_signals"        -> TextOps.docSignalsSql,
     "doc_shingle_stats"  -> TextOps.shingleStatsSql,
     "doc_repetition"     -> TextOps.docRepetitionSql,
     "doc_novelty"        -> TextOps.docNoveltySql,

@@ -709,6 +709,155 @@ object TextOps {
        |FROM s""".stripMargin
   }
 
+  /** FUSED per-document signals table — every MAP-SIDE curation
+    * signal the suite computes, in ONE scan of the corpus: char/token
+    * counts ([[tokenCount]]), quality ratios ([[textQuality]]),
+    * language vote ([[langId]]), content fingerprint
+    * ([[docFingerprint]]), and repetition stats ([[docRepetition]]).
+    * A real curation run wants ALL of these per doc; computing them
+    * as five separate queries costs five corpus scans — at 100 TB the
+    * scan IS the cost, so the fused entry is the shape a pipeline
+    * should run (the signals-table idiom of public curation stacks:
+    * one pass emits a wide signals row per doc, filters consume the
+    * table afterwards).
+    *
+    * Semantics per signal are the COMPONENT's (same expressions, same
+    * exact-integer-then-one-division arithmetic, spec-pinned equal on
+    * the component's population); the one deliberate difference is
+    * population: the fused table emits EVERY document, with the
+    * token-dependent signals NULL for token-less docs (the component
+    * entries FILTER those out — a signals table that silently drops
+    * rows would make absence ambiguous downstream).
+    *
+    * Plan shape: tokenization lands in its OWN projection level (the
+    * mm_media_decode CaseWhen-CSE lesson — ~10 signal columns each
+    * reference the token array; one level = one tokenize per row),
+    * then exact integer stats, then the ratio arithmetic. ZERO
+    * shuffles, zero joins — the whole operator is scan + two
+    * codegen'd projections, so it scales exactly as the scan does. */
+  def docSignals(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("toks")
+    val g2 = kGrams(w, 2)
+    val g3 = kGrams(w, 3)
+    val langCounts = markers.map { case (l, ws) =>
+      size(filter(w, t => t.isin(ws: _*))).as(s"c_$l")
+    }
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(Seq(
+        col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(w).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("n_re_tokens"),
+        fingerprint(w).as("fp"),
+        size(filter(w, t => t.isin(stopwords: _*))).cast("long").as("n_stop"),
+        aggregate(w, lit(0), (acc, t) => acc + length(t)).cast("long")
+          .as("tok_chars"),
+        topWordCount(w).cast("long").as("top_cnt"),
+        size(g2).cast("long").as("n2"),
+        size(array_distinct(g2)).cast("long").as("u2"),
+        size(g3).cast("long").as("n3"),
+        size(array_distinct(g3)).cast("long").as("u3")) ++ langCounts: _*)
+    // argmax with the fixed priority order — the [[langId]] vote on
+    // the shared [[markers]] list (one source of truth for the sets)
+    val langs = markers.map(_._1)
+    val maxC = greatest(langs.map(l => col(s"c_$l")): _*)
+    val pred = langs.foldRight[Column](lit("und")) { (l, els) =>
+      when(col(s"c_$l") === maxC, lit(l)).otherwise(els)
+    }
+    val hasToks = col("n_ws_tokens") > 0
+    val nTokD = col("n_ws_tokens").cast("double")
+    val stopRatio = col("n_stop").cast("double") / nTokD
+    val spaceRatio =
+      (col("n_chars").cast("double") - col("tok_chars")) / col("n_chars").cast("double")
+    base.select(
+      col("doc_id"), col("source"), col("n_chars"),
+      col("n_ws_tokens"), col("n_re_tokens"), col("fp"),
+      when(maxC > 0, pred).otherwise(lit("und")).as("pred_lang"),
+      when(hasToks, stopRatio).as("stop_ratio"),
+      when(hasToks, col("tok_chars").cast("double") / nTokD).as("mean_tok_len"),
+      when(hasToks, spaceRatio).as("space_ratio"),
+      when(hasToks, lit(1.0) - stopRatio * 0.5 - spaceRatio * 0.2).as("quality"),
+      when(hasToks, col("top_cnt").cast("double") / nTokD).as("top_word_share"),
+      when(col("n2") > 0, (col("n2") - col("u2")).cast("double") / col("n2").cast("double"))
+        .as("dup_2gram_frac"),
+      when(col("n3") > 0, (col("n3") - col("u3")).cast("double") / col("n3").cast("double"))
+        .as("dup_3gram_frac"))
+  }
+
+  /** DuckDB twin of [[docSignals]] — the component twins' expressions
+    * verbatim, joined into one CTE chain over a single tokenize.
+    * lazy: composes [[markers]], which initializes later in the
+    * object (the [[docLmAdaptiveSql]] precedent). */
+  lazy val docSignalsSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val cnt = markers.map { case (lang, ws) =>
+      val l = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($l, x))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val maxExpr = "greatest(" + langs.map(l => s"c_$l").mkString(", ") + ")"
+    val pred = langs.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN c_$l = m THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (
+       | SELECT doc_id, source, text, length(text) AS n_chars,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |topc AS (
+       | SELECT doc_id, max(c) AS top_cnt FROM (
+       |  SELECT doc_id, word, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+       |  GROUP BY doc_id, word)
+       | GROUP BY doc_id),
+       |m AS (
+       | SELECT doc_id, source, n_chars, toks,
+       |  len(toks) AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+       |  md5(array_to_string(toks, ' ')) AS fp,
+       |  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+       |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+       |    AS tok_chars,
+       |  CASE WHEN len(toks) >= 2
+       |   THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+       |   ELSE [] END AS g2,
+       |  CASE WHEN len(toks) >= 3
+       |   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |         FOR i IN range(1, len(toks)-1)]
+       |   ELSE [] END AS g3,
+       |  $cnt
+       | FROM t),
+       |g AS (SELECT *, $maxExpr AS m FROM m),
+       |s AS (
+       | SELECT doc_id, source, n_chars, n_tokens, n_re_tokens, fp,
+       |  CASE WHEN m > 0 THEN $pred ELSE 'und' END AS pred_lang,
+       |  CASE WHEN n_tokens > 0
+       |   THEN CAST(n_stop AS DOUBLE)/n_tokens END AS stop_ratio,
+       |  CASE WHEN n_tokens > 0
+       |   THEN CAST(tok_chars AS DOUBLE)/n_tokens END AS mean_tok_len,
+       |  CASE WHEN n_tokens > 0
+       |   THEN (CAST(n_chars AS DOUBLE)-tok_chars)/n_chars END AS space_ratio,
+       |  g2, g3, top_cnt
+       | FROM g LEFT JOIN topc USING (doc_id))
+       |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       | CAST(n_tokens AS BIGINT) AS n_ws_tokens,
+       | CAST(n_re_tokens AS BIGINT) AS n_re_tokens, fp, pred_lang,
+       | stop_ratio, mean_tok_len, space_ratio,
+       | CASE WHEN n_tokens > 0
+       |  THEN CAST(1.0 AS DOUBLE) - stop_ratio*0.5 - space_ratio*0.2 END AS quality,
+       | CASE WHEN n_tokens > 0
+       |  THEN CAST(top_cnt AS DOUBLE)/n_tokens END AS top_word_share,
+       | CASE WHEN len(g2) > 0
+       |  THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)/len(g2)
+       |  END AS dup_2gram_frac,
+       | CASE WHEN len(g3) > 0
+       |  THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)/len(g3)
+       |  END AS dup_3gram_frac
+       |FROM s""".stripMargin
+  }
+
   /** (doc_id, quality) as an embeddable CTE chain (terminal CTE name
     * `quality`) — the score other oracles compose (dedup_cluster_best).
     * Expressions are verbatim [[textQualitySql]]'s, so the composed

@@ -2244,4 +2244,79 @@ class QueriesSpec extends AnyFunSuite {
     val b = inEnvelope.collect().map(_.mkString("|")).toSet
     assert(a === b, "fallback route changed the estimate rows")
   }
+
+  test("doc_signals: fused scan equals every component on its population") {
+    val sig = operators.TextOps.docSignals(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // population: every document exactly once
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(sig.size.toLong === nDocs, "one signals row per document")
+    def d(r: org.apache.spark.sql.Row, c: String): Double = r.getAs[Double](c)
+    // text_quality (filters token-less docs -> inner compare)
+    operators.TextOps.textQuality(spark, sf).collect().foreach { q =>
+      val s = sig(q.getLong(0))
+      assert(d(s, "stop_ratio") === d(q, "stop_ratio"), s"stop_ratio ${q.getLong(0)}")
+      assert(d(s, "mean_tok_len") === d(q, "mean_tok_len"))
+      assert(d(s, "space_ratio") === d(q, "space_ratio"))
+      assert(d(s, "quality") === d(q, "quality"))
+    }
+    // token_count (all docs)
+    operators.TextOps.tokenCount(spark, sf).collect().foreach { t =>
+      val s = sig(t.getLong(0))
+      assert(s.getAs[Long]("n_ws_tokens") === t.getAs[Long]("n_ws_tokens"))
+      assert(s.getAs[Long]("n_re_tokens") === t.getAs[Long]("n_re_tokens"))
+      assert(s.getAs[Long]("n_chars") === t.getAs[Long]("n_chars_seen"))
+    }
+    // lang_id + fingerprint (all docs)
+    operators.TextOps.langId(spark, sf).collect().foreach { l =>
+      assert(sig(l.getLong(0)).getAs[String]("pred_lang") ===
+        l.getAs[String]("pred_lang"), s"pred_lang ${l.getLong(0)}")
+    }
+    operators.TextOps.docFingerprint(spark, sf).collect().foreach { f =>
+      assert(sig(f.getLong(0)).getAs[String]("fp") === f.getAs[String]("fp"))
+    }
+    // doc_repetition (token-having docs; dup fracs NULL on degenerate
+    // grams in both forms)
+    operators.TextOps.docRepetition(spark, sf).collect().foreach { r =>
+      val s = sig(r.getLong(0))
+      assert(d(s, "top_word_share") === d(r, "top_word_share"))
+      assert(s.isNullAt(s.fieldIndex("dup_2gram_frac")) ===
+        r.isNullAt(r.fieldIndex("dup_2gram_frac")))
+      if (!r.isNullAt(r.fieldIndex("dup_2gram_frac")))
+        assert(d(s, "dup_2gram_frac") === d(r, "dup_2gram_frac"))
+      if (!r.isNullAt(r.fieldIndex("dup_3gram_frac")))
+        assert(d(s, "dup_3gram_frac") === d(r, "dup_3gram_frac"))
+    }
+  }
+
+  test("doc_signals: token-less docs surface with NULL token signals; " +
+    "plan is scan-only (zero exchanges)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-signals").toFile.getAbsolutePath
+    // doc 2 is whitespace-only: zero ws-tokens but 3 chars — the
+    // component entries DROP it (textQuality/docRepetition filter),
+    // the signals table must SURFACE it with NULL token signals
+    Seq((1L, "src", "the data value"), (2L, "src", "   "))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = operators.TextOps.docSignals(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 2, "token-less doc dropped from the signals table")
+    val empty = rows(2L)
+    assert(empty.getAs[Long]("n_ws_tokens") === 0L)
+    assert(empty.getAs[Long]("n_chars") === 3L)
+    Seq("stop_ratio", "mean_tok_len", "space_ratio", "quality",
+      "top_word_share", "dup_2gram_frac", "dup_3gram_frac").foreach { c =>
+      assert(empty.isNullAt(empty.fieldIndex(c)), s"$c not NULL on token-less doc")
+    }
+    assert(empty.getAs[String]("pred_lang") === "und")
+    val full = rows(1L)
+    assert(full.getAs[Long]("n_ws_tokens") === 3L)
+    assert(full.getAs[Double]("stop_ratio") === 1.0) // the, data, value all stopwords
+    // one scan, two codegen'd projections — a fused signals pass that
+    // shuffled would defeat its own reason to exist
+    val plan = operators.TextOps.docSignals(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "doc_signals plans a shuffle")
+  }
 }
