@@ -14,11 +14,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Optional args restrict the run to the named queries (iteration
   * aid); the driver's no-args invocation times the full suite.
+  *
+  * Every recorded wall carries its host-state evidence (the round-14
+  * lesson — recorded ledgers and isolated attribution runs
+  * contradicted each other inside a 2x band with no way to tell a
+  * regression from a degraded host session): the artifact embeds the
+  * host CPU-steal tick delta per query (over its timed runs) and for
+  * the whole run, the SinkBench discipline. A +20% wall with
+  * steal ≈ 0 is a plan change; the same wall under a steal burst is
+  * the box.
   */
 object Bench {
   val timedRuns = 3
 
   def main(args: Array[String]): Unit = {
+    val stealStart = HostStat.readStealTicks()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,14 +54,16 @@ object Bench {
     // A query that throws reports -1 (never a misleading elapsed time)
     // and is listed under "errors".
     val results = queries.map { case (name, fn) =>
+      val qSteal0 = HostStat.readStealTicks()
       val runs = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      if (runs.forall(_._1)) (name, runs.map(_._2).min, runs.map(_._2).max)
-      else (name, -1.0, -1.0)
+      val qSteal = HostStat.deltaJson(qSteal0, HostStat.readStealTicks())
+      if (runs.forall(_._1)) (name, runs.map(_._2).min, runs.map(_._2).max, qSteal)
+      else (name, -1.0, -1.0, qSteal)
     }
     // STDOUT gets a COMPACT line (ms resolution, minima only): the
     // driver keeps a bounded tail of stdout, and both BENCH_r03 and
@@ -61,19 +73,22 @@ object Bench {
     def ms(v: Double): String = // Locale.ROOT: a comma decimal separator is not JSON
       if (v < 0) "-1"
       else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+    val qsCompact = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
+    val spread = results.map { case (k, lo, hi, _) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val steal = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"errors":$errors,"sf":"$sfDir"}""")
+    val stealTotal = HostStat.deltaJson(stealStart, HostStat.readStealTicks())
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","steal_ticks":$stealTotal,"queries":$qsCompact,"errors":$errors,"sf":"$sfDir"}""")
     // Defensive full-precision copy: a truncated stdout capture must
     // not lose the round's numbers.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steal_ticks":$stealTotal,"queries":$qs,"spread":$spread,"steal":$steal,"errors":$errors,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-results.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }

@@ -29,6 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RecallAudit {
   def main(args: Array[String]): Unit = {
+    val stealStart = HostStat.readStealTicks()
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val outFile = args.lift(1).getOrElse("recall-audit.json")
     // optional comma-separated subset (e.g. "ann_pq,ann_ivfpq_query")
@@ -252,6 +253,11 @@ object RecallAudit {
       sizes :+= ("source_pairs", est.length.toLong)
     }
 
+    // when the vs_exact seat materializes the simhash pair set, the
+    // band-geometry seat below reuses its SIZE instead of re-running
+    // the identical corpus-scale join+verify (a duplicated sf10-wall
+    // job the round-14 advice flagged)
+    var simhashPairCount: Option[Long] = None
     if (want("dedup_minhash_pure_lsh") || want("dedup_simhash_vs_exact")) {
       val exactJac = timed("dedup_ngram_jaccard") {
         idPairs(operators.DedupOps.ngramJaccard(spark, sfDir)) }
@@ -263,9 +269,12 @@ object RecallAudit {
       // simhash hunts hamming-close signatures, not a Jaccard threshold —
       // its spec gates STRONG-pair recall; report recall vs the exact
       // J ≥ threshold pair set for the same cross-scale visibility
-      if (want("dedup_simhash_vs_exact"))
-        entries :+= ("dedup_simhash_vs_exact", recall(timed("dedup_simhash") {
-          idPairs(operators.DedupOps.simhash(spark, sfDir)) }, exactJac))
+      if (want("dedup_simhash_vs_exact")) {
+        val got = timed("dedup_simhash") {
+          idPairs(operators.DedupOps.simhash(spark, sfDir)) }
+        simhashPairCount = Some(got.size.toLong)
+        entries :+= ("dedup_simhash_vs_exact", recall(got, exactJac))
+      }
     }
 
     // Band-geometry candidate-volume seat (round 14): the 64-bit
@@ -298,8 +307,9 @@ object RecallAudit {
         } finally s.unpersist()
       }
       volumeSeat(operators.DedupOps.simhashSigs(spark, sfDir), "simhash")
-      sizes :+= ("simhash_verified_pairs", timed("dedup_simhash_pairs") {
-        operators.DedupOps.simhash(spark, sfDir).count() })
+      sizes :+= ("simhash_verified_pairs", simhashPairCount.getOrElse(
+        timed("dedup_simhash_pairs") {
+          operators.DedupOps.simhash(spark, sfDir).count() }))
       volumeSeat(operators.MultimodalOps.imagePhashSigs(spark, sfDir), "phash")
       sizes :+= ("phash_verified_pairs", timed("dedup_image_phash_pairs") {
         operators.MultimodalOps.imagePhash(spark, sfDir).count() })
@@ -310,7 +320,13 @@ object RecallAudit {
     // assemble from non-empty parts — a subset run with no recall
     // entries (e.g. the band-geometry seat alone) must still emit
     // valid JSON, not a dangling comma
-    val parts = Seq(s""""metric":"recall"""", s""""sf":"$sfDir"""") ++
+    // host-state evidence rides every audit artifact (the Bench/
+    // SinkBench discipline): wall_sec entries are single-shot, so a
+    // cross-round wall comparison needs to know whether the run was
+    // steal-quiet before it reads a delta as a regression
+    val stealTotal = HostStat.deltaJson(stealStart, HostStat.readStealTicks())
+    val parts = Seq(s""""metric":"recall"""", s""""sf":"$sfDir"""",
+      s""""steal_ticks":$stealTotal""") ++
       entries.map { case (n, v) => s""""$n":${f(v)}""" } ++
       Seq(s""""exact_sizes":{""" +
         sizes.map { case (n, v) => s""""$n":$v""" }.mkString(",") + "}",

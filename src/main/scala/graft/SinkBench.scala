@@ -36,18 +36,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object SinkBench {
 
-  /** Cumulative host CPU-steal ticks (/proc/stat `cpu` line, field 8)
-    * — None off Linux or on an unreadable /proc. */
-  private def readStealTicks(): Option[Long] =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().find(_.startsWith("cpu "))
-        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
-      finally src.close()
-    } catch { case _: Throwable => None }
-
   def main(args: Array[String]): Unit = {
-    val stealStart = readStealTicks()
+    val stealStart = HostStat.readStealTicks()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outFile = args.lift(1).getOrElse("sink-bench.json")
     val triggers = args.lift(2).map(_.toInt).getOrElse(40)
@@ -223,10 +213,8 @@ object SinkBench {
     // trigger episode on a steal-quiet run (delta ≈ 0) would be a
     // real plan defect, while the same episode under a steal burst is
     // the box. Absent (null) off Linux.
-    val stealDelta = (for {
-      a <- stealStart
-      b <- readStealTicks()
-    } yield b - a).map(_.toString).getOrElse("null")
+    val stealDelta =
+      HostStat.deltaJson(stealStart, HostStat.readStealTicks())
     val med = body.sorted.apply(body.size / 2).toDouble
     val line =
       s"""{"metric":"sink_trigger_ms","sink":"$mode","sf":"$sfDir","triggers":${durs.size},""" +

@@ -54,6 +54,11 @@ def main(sf_dir, out_dir, artifact, excluded_file=None):
             n_fail += 1; print(f"FAIL {name}")
     if excluded_file:
         for name, reason in json.load(open(excluded_file)).items():
+            # idempotent prefixing: an excluded.json regenerated from a
+            # previous ARTIFACT already carries "excluded: " — re-adding
+            # it made reasons non-greppable (round-14 advice)
+            while reason.startswith("excluded: "):
+                reason = reason[len("excluded: "):]
             report[name] = {"rows_match": None, "schema_match": None,
                             "hash_match": None, "spark_rows": None,
                             "oracle_rows": None,
