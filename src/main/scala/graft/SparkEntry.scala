@@ -269,6 +269,12 @@ object SparkEntry {
     "mm_media_decode_slice" -> MultimodalOps.mediaDecodeSlice _,
     "mm_feature_slice"      -> MultimodalOps.featureExtractDfSlice _,
     "mm_time_sample_slice"  -> MultimodalOps.mp4TimeSampleSlice _,
+    // VIDEO near-dup: mp4TimeSample demux picks instants, the phash
+    // kernel signs each 72-byte frame region, slot-keyed band-pair
+    // join + >=2-shared-frames aggregate; planted perturbed-copy
+    // videos (ids = 70/198 mod 320, group-shared surrogate header)
+    "dedup_video_phash" -> ((s: SparkSession, d: String) => MultimodalOps.videoPhash(s, d)),
+    "dedup_video_phash_slice" -> MultimodalOps.videoPhashSlice _,
     // engine-internal scalar reduction of the interval join — the
     // sf10 gate form (368M pairs never materialize in the compare)
     "q_interval_join_agg" -> TemporalJoins.intervalJoinAgg _,
@@ -400,6 +406,8 @@ object SparkEntry {
     "mm_media_decode_slice" -> MultimodalOps.mediaDecodeSliceSql,
     "mm_feature_slice"      -> MultimodalOps.featureSliceSql,
     "mm_time_sample_slice"  -> MultimodalOps.mp4TimeSampleSliceSql,
+    "dedup_video_phash"       -> MultimodalOps.videoPhashSql,
+    "dedup_video_phash_slice" -> MultimodalOps.videoPhashSliceSql,
     "q_interval_join_agg"   -> TemporalJoins.intervalJoinAggSql,
   )
 }

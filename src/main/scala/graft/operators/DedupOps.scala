@@ -615,23 +615,30 @@ object DedupOps {
     * Measured at 3 SFs in the RECALL artifacts (candidate-volume
     * seat, RecallAudit.scala).
     *
-    * `sigs` must have columns (doc_id: long, sig: long); returns
-    * (doc_a, doc_b, hamming: int) with hamming ≤ maxHamming ≤ 6. */
-  def hammingBandJoin(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    * `sigs` must have columns (doc_id: long, sig: long) plus any
+    * `extraKeys`; returns (extraKeys…, doc_a, doc_b, hamming: int)
+    * with hamming ≤ maxHamming ≤ 6. `extraKeys` join ALONGSIDE the
+    * band key — [[graft.operators.MultimodalOps.videoPhash]] passes
+    * its frame slot so only same-instant frames ever become
+    * candidates (the pair-key domain multiplies by the slot
+    * cardinality, never the candidate volume). */
+  def hammingBandJoin(sigs: DataFrame, maxHamming: Int,
+                      extraKeys: Seq[String] = Nil): DataFrame = {
     require(maxHamming <= 6,
       s"band-pair pigeonhole holds only to hamming 6, got $maxHamming")
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(array(hammingBandPairKeys(col("sig")): _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val ba = bands.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val bb2 = bands.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    ba.join(bb2, Seq("band", "bkey"))
+    val ek = extraKeys.map(col)
+    val bands = sigs.select(ek ++ Seq(col("doc_id"), col("sig"),
+        explode(array(hammingBandPairKeys(col("sig")): _*)).as("bb")): _*)
+      .select(ek ++ Seq(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey")): _*)
+    val ba = bands.select(ek ++ Seq(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a")): _*)
+    val bb2 = bands.select(ek ++ Seq(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b")): _*)
+    ba.join(bb2, Seq("band", "bkey") ++ extraKeys)
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .select(ek ++ Seq(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")): _*)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

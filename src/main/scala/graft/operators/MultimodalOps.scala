@@ -188,8 +188,16 @@ object MultimodalOps {
     * hash-gated); and a bare ftyp(mp42) prefix whose top-level walk
     * runs into text bytes and must degrade to brand-only. Tag 7
     * carries no header → raw. */
-  def taggedPayload: Column = {
-    val id = col("doc_id")
+  def taggedPayload: Column =
+    concat(unhex(taggedPayloadHexFor(col("doc_id"))), col("text").cast("binary"))
+
+  /** The header-hex half of [[taggedPayload]], parameterized on the
+    * id the container fields derive from — [[videoPhashSigs]]' planted
+    * near-dup videos build their payload from a GROUP-shared surrogate
+    * id (both members of a planted pair must demux to the identical
+    * sample schedule, which id-derived duration/timescale/sample
+    * tables would otherwise break). */
+  private[operators] def taggedPayloadHexFor(id: Column): Column = {
     val w = lit(16L) + pmod(id, lit(1000L))
     val h = lit(16L) + pmod(id * 7, lit(1000L))
     val ct = when(pmod(id, lit(3L)) === 0, lit(0L))
@@ -317,7 +325,7 @@ object MultimodalOps {
       .when(tag === 6, // bare ftyp, brand mp42: walk degrades to brand-only
         lit("00000010" + "66747970" + "6D703432" + "00000200"))
       .otherwise(lit(""))
-    concat(unhex(headerHex), col("text").cast("binary"))
+    headerHex
   }
 
   /** Expression-path gate entry: dispatch + header decode over the
@@ -368,27 +376,43 @@ object MultimodalOps {
     * population for the [[gateSlice]] twins (the twin cost is
     * per-payload, so the slice entries keep the recursive walks
     * inside the big-SF DuckDB probe budget). */
-  private def mmPayloadCte(where: String = ""): String =
-    s"""WITH RECURSIVE base AS (
-      | SELECT doc_id,
-      |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb,
-      |  16 + doc_id % 1000 AS w, 16 + (doc_id * 7) % 1000 AS h,
-      |  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct,
-      |  1 + doc_id % 2 AS wch, 8000 + (doc_id % 5) * 8000 AS rate,
-      |  600 * (1 + doc_id % 3) AS ts,
-      |  600 * (1 + doc_id % 3) * (1 + doc_id % 300) + doc_id % 97 AS dur,
-      |  200 + (doc_id % 3) * 100 AS mtsq,
-      |  1 + doc_id % 7 AS c1, 1 + doc_id % 11 AS c2, 1 + doc_id % 200 AS c3,
-      |  doc_id % 8 AS tag
-      | FROM documents$where),
+  private def mmPayloadCte(where: String = "", src: String = ""): String = {
+    // `d` is AS MATERIALIZED: DuckDB inlines single-reference CTEs,
+    // and the correlated/recursive consumers downstream re-evaluated
+    // the whole payload-construction chain per outer row — measured
+    // 209s → 2.0s on the mm_time_sample twin at sf0.01 with identical
+    // rows (the effect that priced the walk twins out of the sf10
+    // probe budget; fr2 and vph carry the same hint).
+    // `src` overrides the payload SOURCE CTE: it must yield
+    // (doc_id, pid, tb) where pid is the id the header fields derive
+    // from (default: doc_id) and tb the body byte list (default: text
+    // bytes) — the videoPhash twin substitutes a group-shared
+    // surrogate pid + synthetic body for its planted near-dup videos.
+    val srcSql = if (src.nonEmpty) src else
+      s"""SELECT doc_id, doc_id AS pid,
+      |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb
+      | FROM documents$where""".stripMargin
+    s"""WITH RECURSIVE src AS (
+      |$srcSql),
+      |base AS (
+      | SELECT doc_id, pid, tb,
+      |  16 + pid % 1000 AS w, 16 + (pid * 7) % 1000 AS h,
+      |  CASE pid % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct,
+      |  1 + pid % 2 AS wch, 8000 + (pid % 5) * 8000 AS rate,
+      |  600 * (1 + pid % 3) AS ts,
+      |  600 * (1 + pid % 3) * (1 + pid % 300) + pid % 97 AS dur,
+      |  200 + (pid % 3) * 100 AS mtsq,
+      |  1 + pid % 7 AS c1, 1 + pid % 11 AS c2, 1 + pid % 200 AS c3,
+      |  pid % 8 AS tag
+      | FROM src),
       |base2 AS (
       | SELECT *, (c1*mtsq*4 + c2*mtsq + c3*mtsq*8) AS mdm,
-      |  16 + doc_id % 17 AS ss, 1 + doc_id % 9 AS s1,
+      |  16 + pid % 17 AS ss, 1 + pid % 9 AS s1,
       |  (c1 + c2 + c3) AS tots,
       |  20 + 4*(c1 + c2 + c3) AS zps,
-      |  4096 + doc_id % 97 AS o1,
-      |  4096 + doc_id % 97 + (1 + doc_id % 9) * (16 + doc_id % 17) + 64 AS o2,
-      |  4096 + doc_id % 97 + 2 * (1 + doc_id % 9) * (16 + doc_id % 17) + 192 AS o3
+      |  4096 + pid % 97 AS o1,
+      |  4096 + pid % 97 + (1 + pid % 9) * (16 + pid % 17) + 64 AS o2,
+      |  4096 + pid % 97 + 2 * (1 + pid % 9) * (16 + pid % 17) + 192 AS o3
       | FROM base),
       |hdr AS (
       | SELECT doc_id, tb, CASE tag
@@ -408,8 +432,8 @@ object MultimodalOps {
       |   255,192, 0,17, 8, h//256%256, h%256, w//256%256, w%256,
       |   3, 1,34,0, 2,17,1, 3,17,1]
       |  WHEN 6 THEN CASE
-      |   WHEN (doc_id // 8) % 2 = 0 AND (doc_id // 16) % 2 = 0
-      |        AND (doc_id // 32) % 2 = 1 THEN
+      |   WHEN (pid // 8) % 2 = 0 AND (pid // 16) % 2 = 0
+      |        AND (pid // 32) % 2 = 1 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
       |    0,0, (zps+380)//256%256, (zps+380)%256, 109,111,111,118,
       |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
@@ -442,14 +466,14 @@ object MultimodalOps {
       |    0,0, zps//256%256, zps%256, 115,116,115,122, 0,0,0,0,
       |    0,0,0,0, 0,0,0,tots]
       |   || flatten(list_transform(range(0, tots), j ->
-      |        [CAST(0 AS BIGINT), 0, 0, 12 + (doc_id + j) % 21]))
+      |        [CAST(0 AS BIGINT), 0, 0, 12 + (pid + j) % 21]))
       |   || [CAST(0 AS BIGINT),0,0,40, 115,116,115,99, 0,0,0,0, 0,0,0,2,
       |    0,0,0,1, 0,0,0,s1, 0,0,0,1,
       |    0,0,0,3, 0,0,1,0, 0,0,0,1,
       |    0,0,0,28, 115,116,99,111, 0,0,0,0, 0,0,0,3,
       |    0,0, o1//256%256, o1%256, 0,0, o2//256%256, o2%256,
       |    0,0, o3//256%256, o3%256]
-      |   WHEN (doc_id // 8) % 2 = 0 AND (doc_id // 16) % 2 = 0 THEN
+      |   WHEN (pid // 8) % 2 = 0 AND (pid // 16) % 2 = 0 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
       |    0,0,1,144, 109,111,111,118,
       |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
@@ -486,7 +510,7 @@ object MultimodalOps {
       |    0,0,0,28, 115,116,99,111, 0,0,0,0, 0,0,0,3,
       |    0,0, o1//256%256, o1%256, 0,0, o2//256%256, o2%256,
       |    0,0, o3//256%256, o3%256]
-      |   WHEN (doc_id // 8) % 2 = 0 THEN
+      |   WHEN (pid // 8) % 2 = 0 THEN
       |   [0,0,0,16, 102,116,121,112, 105,115,111,109, 0,0,2,0,
       |    0,0,0,216, 109,111,111,118,
       |    0,0,0,108, 109,118,104,100, 0,0,0,0, 0,0,0,0, 0,0,0,0,
@@ -509,7 +533,7 @@ object MultimodalOps {
       |  ELSE CAST([] AS BIGINT[]) END AS hb
       | FROM base2),
       |p AS (SELECT doc_id, list_concat(hb, tb) AS b FROM hdr),
-      |d AS (
+      |d AS MATERIALIZED (
       | SELECT doc_id, b, len(b) AS n,
       |  (len(b)>=26 AND b[1]=137 AND b[2]=80 AND b[3]=78 AND b[4]=71
       |   AND b[5]=13 AND b[6]=10 AND b[7]=26 AND b[8]=10) AS is_png,
@@ -520,6 +544,7 @@ object MultimodalOps {
       |   AND b[9]=87 AND b[10]=65 AND b[11]=86 AND b[12]=69) AS is_wav,
       |  (len(b)>=16 AND b[5]=102 AND b[6]=116 AND b[7]=121 AND b[8]=112) AS is_mp4
       | FROM p)""".stripMargin
+  }
 
   /** DuckDB twin of [[decodeMedia]]'s bounded JPEG segment walk, as a
     * recursive CTE over (doc_id, pos): advance past APP/comment
@@ -1413,9 +1438,11 @@ object MultimodalOps {
       .toDF("doc_id", "sample_idx", "t_ms", "frame_idx", "byte_offset")
   }
 
-  private def mp4TimeSampleSqlFor(where: String): String =
-    mmPayloadCte(where) + ",\n" + mmMp4WalkCtes + ",\n" + mmSttsCtes + s""",
-      |vids AS (
+  /** The instant→frame→byte sample chain (vids … fr2) shared by the
+    * [[mp4TimeSample]] twin and the [[videoPhash]] twin — both walk
+    * the identical demux arithmetic; only what they do with the
+    * (doc_id, i, fidx, real_off) rows differs. */
+  private val mmSampleChainCtes: String = s"""vids AS (
       | SELECT d.doc_id, m.mdur_ms,
       |  greatest(1, (d.n + $frameBytes - 1) // $frameBytes) AS nf
       | FROM d JOIN mms m USING (doc_id)
@@ -1465,7 +1492,7 @@ object MultimodalOps {
       |  coalesce(sum(spc) OVER (PARTITION BY doc_id ORDER BY k
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fs
       | FROM chk),
-      |fr2 AS (
+      |fr2 AS MATERIALIZED (
       | SELECT fr.doc_id, fr.i, fr.fidx,
       |  CASE
       |   WHEN fx.doc_id IS NOT NULL THEN c.off + (fr.fidx - c.fs) * fx.fixed
@@ -1477,7 +1504,11 @@ object MultimodalOps {
       |  LEFT JOIN mfixed fx USING (doc_id)
       |  LEFT JOIN mvar mv USING (doc_id)
       |  LEFT JOIN chk2 c ON c.doc_id = fr.doc_id
-      |   AND fr.fidx >= c.fs AND fr.fidx < c.fs + c.spc)
+      |   AND fr.fidx >= c.fs AND fr.fidx < c.fs + c.spc)""".stripMargin
+
+  private def mp4TimeSampleSqlFor(where: String): String =
+    mmPayloadCte(where) + ",\n" + mmMp4WalkCtes + ",\n" + mmSttsCtes + ",\n" +
+      mmSampleChainCtes + s"""
       |SELECT doc_id,
       | CAST(i AS BIGINT) AS sample_idx,
       | CAST(i * $timeSampleIntervalMs AS BIGINT) AS t_ms,
@@ -1736,4 +1767,208 @@ object MultimodalOps {
       .filter(col("hamming") <= phashMaxHamming)
       .distinct()
   }
+
+  // ---- video-content near-dup (frame-sampled perceptual signature) -----
+
+  /** Sampling cadence for video signatures — the [[mp4TimeSample]]
+    * interval (one frame per 2 s of media time), so the signature
+    * schedule IS the demuxer schedule the time-sampler gates. */
+  val videoSampleIntervalMs: Long = timeSampleIntervalMs
+
+  /** Minimum hamming-close shared frame slots for a video pair: one
+    * coinciding frame is a still-image coincidence; two instants of
+    * matching content is the video-level signal. */
+  val videoMinSharedFrames = 2
+
+  /** Frame region bytes — exactly [[graft.functions.DHashKernel.minPixels]]
+    * (72), so the kernel's 72-point grid over the region reads 72
+    * CONSECUTIVE bytes (grid sample s = region byte s): the simplest
+    * geometry the DuckDB twin can index directly. A real decoder
+    * replaces the region slice with the decoded frame raster at the
+    * same signature shape (the [[imagePhash]] stub boundary). */
+  val videoFrameRegionBytes: Int = graft.functions.DHashKernel.minPixels
+
+  /** Planted perceptual near-dup VIDEOS — the [[phashPlanted]] recipe
+    * lifted to the demuxed class: ids ≡ 70 and ≡ 198 (mod 320), both
+    * ≡ 6 (mod 64) = the VFR fixed-size-stsz mp4 population. Both
+    * members build their payload from the GROUP-shared surrogate id
+    * 320·⌊id/320⌋ + 70 (identical duration/timescale/sample tables →
+    * identical sample schedule — id-derived headers would misalign
+    * every slot) over a group-keyed 512-byte synthetic body; the
+    * ≡ 198 member perturbs ONE body byte (j = 300), flipping ≤ 2
+    * compare bits in any frame region covering it — so every planted
+    * group pairs with hamming ≤ 2 on every shared slot. Every group
+    * has ≥ 2 sample instants: dur_ms ≥ 2000 ⇔ sid % 300 ≥ 1, and
+    * 320g + 70 ≡ 0 (mod 300) has no solution (gcd(320,300) = 20 does
+    * not divide 230). */
+  private def videoPlanted(id: Column): Column =
+    pmod(id, lit(320L)) === 70 || pmod(id, lit(320L)) === 198
+
+  private def videoSurrogate(id: Column): Column =
+    floor(id / 320).cast("long") * 320L + 70L
+
+  private val videoPlantBodyBytes = 512
+
+  private def videoBodyHex(id: Column): Column = {
+    val g = floor(id / 320).cast("long")
+    array_join(transform(sequence(lit(0), lit(videoPlantBodyBytes - 1)), j => {
+      val base = pmod(j.cast("long") * 7L + g * 13L, lit(251L))
+      val b = when(pmod(id, lit(320L)) === 198 && j === 300,
+        pmod(base + 125L, lit(251L))).otherwise(base)
+      lpad(hex(b), 2, "0")
+    }), "")
+  }
+
+  /** The payload the video dedup signs: [[taggedPayload]], except
+    * planted docs swap in the surrogate-id header + synthetic body
+    * (the substitution lives HERE, not in the shared payload — every
+    * other multimodal entry sees the real corpus payload). */
+  private def videoPayload: Column =
+    when(videoPlanted(col("doc_id")),
+      concat(unhex(taggedPayloadHexFor(videoSurrogate(col("doc_id")))),
+        unhex(videoBodyHex(col("doc_id")))))
+      .otherwise(taggedPayload)
+
+  /** Per-(video, sample instant) frame signatures (doc_id, slot, sig)
+    * — the map-side half of [[videoPhash]]: ONE partition pass runs
+    * the [[mp4TimeSample]] demux (mvhd duration → instants, stts
+    * media-time mapping, stsz/stsc/stco chunk layout → byte offset)
+    * and signs the 72-byte region at each demuxed offset (wrapped
+    * into the payload extent — `off % (len − 71)` — so the stubbed
+    * sampler always reads a full region; a real decoder reads the
+    * actual frame there) with [[graft.functions.DHashKernel]].
+    * Population is the video-tagged class (doc_id ≡ 6 mod 8, a cheap
+    * scan-column gate — the round-13 rule: never filter on the
+    * constructed payload); within it the demux dispatches (only
+    * full-tree MP4s carry a walkable duration — bare-ftyp and
+    * non-mp4 classes contribute no rows, absence is the signal).
+    * Zero shuffles; payloads never leave the scan stage. */
+  def videoPhashSigs(spark: SparkSession, dir: String,
+                     docFilter: Column = lit(true)): DataFrame = {
+    import spark.implicits._
+    val regionB = videoFrameRegionBytes
+    Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(8L)) === 6 && docFilter)
+      .select(col("doc_id"), videoPayload.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.grouped(decodeBatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, p) =>
+            val f = decodeMedia(id, p)
+            f.duration_ms match {
+              case Some(dur) if f.format == "mp4" && dur > 0 &&
+                  p.length >= regionB =>
+                val wk = mp4WalkAll(p)
+                val vfr = wk.stts.filter(_ => wk.mdhdTs > 0)
+                val nFrames = math.max(1L, (f.byte_len + frameBytes - 1) / frameBytes)
+                (0L to dur / videoSampleIntervalMs).iterator.map { i =>
+                  val tMs = i * videoSampleIntervalMs
+                  val frameIdx = vfr match {
+                    case Some(es) => sttsFrameAt(tMs * wk.mdhdTs / 1000L, es)
+                    case None => math.min(nFrames - 1, tMs * nFrames / dur)
+                  }
+                  val byteOff = wk.layout.flatMap(_.offsetOf(frameIdx))
+                    .getOrElse(frameIdx * frameBytes)
+                  val rs = (byteOff % (p.length - regionB + 1)).toInt
+                  (id, i, graft.functions.DHashKernel.hash(
+                    java.util.Arrays.copyOfRange(p, rs, rs + regionB), 0))
+                }
+              case _ => Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "slot", "sig")
+  }
+
+  /** Pair videos from a (doc_id, slot, sig) frame — exposed so the
+    * geometry spec can drive constructed signatures through the
+    * exact production join+aggregate. */
+  def videoPhashFromSigs(sigs: DataFrame): DataFrame =
+    DedupOps.hammingBandJoin(sigs, phashMaxHamming, extraKeys = Seq("slot"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("frames_matched"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+      .filter(col("frames_matched") >= videoMinSharedFrames)
+
+  /** VIDEO-content near-dup pairs — the image→video rung of the
+    * perceptual dedup ladder, composed entirely from hash-gated
+    * parts: the [[mp4TimeSample]] demux picks the instants, the
+    * [[imagePhash]] kernel signs each sampled frame region, and the
+    * shared [[DedupOps.hammingBandJoin]] (slot-keyed) pairs frames,
+    * with a pair emitted when ≥ [[videoMinSharedFrames]] instants
+    * match at hamming ≤ [[phashMaxHamming]]. Candidate recall per
+    * slot is pigeonhole-exact (≤ 6 dirty bits leave ≥ 2 clean
+    * bands), so the plan provably equals the per-slot all-pairs
+    * Hamming join the DuckDB twin runs. Integer-only demux + sampling
+    * + compares → FULL cross-engine hash gate.
+    *
+    * Plan shape: scan+demux projection (zero shuffle), slot-keyed
+    * band-pair join (1 shuffle, 20-byte sig rows only), pair
+    * aggregate (1 shuffle, pair-bounded). At 100 TB: payloads never
+    * shuffle; per-(slot, band, bkey) bucket populations divide the
+    * corpus by slots × ~1.8M keys, and the ≥ k-frames filter runs
+    * AFTER the exact hamming verify, so false band collisions cost
+    * one integer xor each. */
+  def videoPhash(spark: SparkSession, dir: String,
+                 docFilter: Column = lit(true)): DataFrame =
+    videoPhashFromSigs(videoPhashSigs(spark, dir, docFilter))
+
+  /** [[gateSlice]] entry — identical demux/sign/join, sliced
+    * population (the big-SF gate form: the twin's per-slot all-pairs
+    * join is the O(n²)-class cost the slice divides by 361). */
+  def videoPhashSlice(spark: SparkSession, dir: String): DataFrame =
+    videoPhash(spark, dir, gateSlice)
+
+  /** DuckDB twin: the SAME payload CTE chain as [[mp4TimeSample]]'s
+    * twin but sourced with the planted substitution (surrogate pid +
+    * synthetic body — [[videoPlanted]]), the same walk + sample-chain
+    * CTEs, then the 72-byte-region signature assembled exactly like
+    * [[imagePhashSql]] (low-63 sum + two's-complement bit 63, direct
+    * byte indexing since region = grid) and the naive per-slot
+    * Hamming join + ≥ k aggregate the banded plan provably equals. */
+  private def videoPhashSqlFor(slice: Boolean): String = {
+    val andSlice =
+      if (slice) s" AND doc_id % $gateSliceModulus = $gateSliceResidue" else ""
+    val src =
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 320 IN (70, 198)
+         |   THEN (doc_id // 320) * 320 + 70 ELSE doc_id END AS pid,
+         |  CASE WHEN doc_id % 320 IN (70, 198)
+         |   THEN list_transform(range(0, $videoPlantBodyBytes), j ->
+         |    CASE WHEN doc_id % 320 = 198 AND j = 300
+         |     THEN (j*7 + (doc_id//320)*13 + 125) % 251
+         |     ELSE (j*7 + (doc_id//320)*13) % 251 END)
+         |  ELSE list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))
+         |  END AS tb
+         | FROM documents WHERE doc_id % 8 = 6$andSlice""".stripMargin
+    mmPayloadCte(src = src) + ",\n" + mmMp4WalkCtes + ",\n" + mmSttsCtes + ",\n" +
+      mmSampleChainCtes + s""",
+      |sg AS (
+      | SELECT f.doc_id, f.i,
+      |  CAST(coalesce(f.real_off, f.fidx * $frameBytes)
+      |   % (d.n - ${videoFrameRegionBytes - 1}) AS BIGINT) AS rs, d.b
+      | FROM fr2 f JOIN d USING (doc_id) WHERE d.n >= $videoFrameRegionBytes),
+      |vph AS MATERIALIZED (
+      | SELECT doc_id, i,
+      |  CAST(list_sum(list_transform(range(0, 63), k ->
+      |   CASE WHEN b[rs + (k//8)*9 + k%8 + 1] < b[rs + (k//8)*9 + k%8 + 2]
+      |    THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+      |  + CASE WHEN b[rs + 71] < b[rs + 72]
+      |     THEN -9223372036854775807 - 1 ELSE 0 END AS sig
+      | FROM sg),
+      |vpr AS (
+      | SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |  bit_count(xor(a.sig, b2.sig)) AS hm
+      | FROM vph a JOIN vph b2 ON a.i = b2.i AND a.doc_id < b2.doc_id
+      | WHERE bit_count(xor(a.sig, b2.sig)) <= $phashMaxHamming)
+      |SELECT doc_a, doc_b,
+      | CAST(count(*) AS BIGINT) AS frames_matched,
+      | CAST(min(hm) AS BIGINT) AS min_hamming
+      |FROM vpr GROUP BY doc_a, doc_b
+      |HAVING count(*) >= $videoMinSharedFrames""".stripMargin
+  }
+
+  val videoPhashSql: String = videoPhashSqlFor(slice = false)
+  val videoPhashSliceSql: String = videoPhashSqlFor(slice = true)
 }

@@ -87,13 +87,25 @@ object TrainingPipeline {
     * stratifier never scored are the absolute quality stage's call,
     * not this one's. The approx (percentile-threshold broadcast)
     * mode is the one composed here — this is the 100 TB entry. */
+  /** `imageDupFilter = true` adds the [[MultimodalOps.imagePhash]]
+    * stage — the pipeline's first MULTIMODAL filter: docs whose
+    * binary payload is a perceptual near-duplicate of a
+    * smaller-doc_id payload are dropped, the text-dedup keep-rule
+    * (smaller id survives, anti-join on the pair set's doc_b side)
+    * applied to the image signature pairs. Non-decodable payloads
+    * never appear in the pair set and fall through untouched — the
+    * lmScoreFilter polarity rationale: a filter only drops what it
+    * measured. Opt-in like the other extra stages so the established
+    * gate entries keep their oracles; the composition spec pins
+    * predicate-exact equality with the standalone operator. */
   def survivors(spark: SparkSession, dir: String,
                 exactDedup: Boolean = false,
                 scaleMode: Boolean = true,
                 withText: Boolean = false,
                 commonnessFilter: Boolean = false,
                 lmScoreFilter: Boolean = false,
-                qualityByLang: Boolean = false): DataFrame = {
+                qualityByLang: Boolean = false,
+                imageDupFilter: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -139,11 +151,17 @@ object TrainingPipeline {
         afterCommon.join(TextOps.docLmAdaptive(spark, dir)
           .filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
       else afterCommon
-    val filtered =
+    val afterQbl =
       if (qualityByLang)
         afterLm.join(TextOps.docQualityByLang(spark, dir, approx = true)
           .filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
       else afterLm
+    val filtered =
+      if (imageDupFilter)
+        afterQbl.join(MultimodalOps.imagePhash(spark, dir)
+          .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else afterQbl
     filtered
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)

@@ -516,4 +516,68 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(slice.nonEmpty && slice.sameElements(full))
   }
+
+  test("videoPhashFromSigs geometry: slot keying separates instants, " +
+    "and a single shared frame never pairs (k = 2)") {
+    import spark.implicits._
+    // docs 1/2: identical sigs at slots 0 and 1 → the one surviving
+    // pair. doc 3: matches them at slot 0 only (its slot-1 sig is far
+    // past hamming 6) → k = 2 drops it. doc 4: carries doc 1's slot-0
+    // signature at slot 5 — an identical FRAME at a different instant
+    // must never become a candidate (the slot join key).
+    val far = 0x7777777777L // hamming(0x1234, far) = 20 > 6
+    val sigs = Seq(
+      (1L, 0L, 0x0F0FL), (1L, 1L, 0x1234L),
+      (2L, 0L, 0x0F0FL), (2L, 1L, 0x1234L),
+      (3L, 0L, 0x0F0FL), (3L, 1L, far),
+      (4L, 5L, 0x0F0FL)
+    ).toDF("doc_id", "slot", "sig")
+    val got = MultimodalOps.videoPhashFromSigs(sigs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map((1L, 2L) -> ((2L, 0L))))
+  }
+
+  test("dedup_video_phash: every planted perturbed-copy video pairs on " +
+    "ALL of its >= 2 shared instants at hamming <= 2; population is " +
+    "the video tag; slice == filtered full") {
+    // sf0.01: the planted classes (ids ≡ 70/198 mod 320) need ≥ 199
+    // docs — absent from the sf0.001 spec corpus
+    val sf01 = "/root/testdata/sf0.01"
+    val slots = MultimodalOps.videoPhashSigs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nDocs = Tables(spark, sf01, "documents").count()
+    val planted = (0L until nDocs by 320L).map(g => (g + 70, g + 198))
+      .filter(_._2 < nDocs)
+    assert(planted.nonEmpty)
+    val pairs = MultimodalOps.videoPhash(spark, sf01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    pairs.keys.foreach { case (a, b) =>
+      assert(a < b)
+      assert(a % 8 === 6 && b % 8 === 6, "population must be the video tag")
+    }
+    planted.foreach { case (a, b) =>
+      // the surrogate header makes both members demux to the SAME
+      // sample schedule — the construction the plant depends on
+      assert(slots(a) === slots(b), s"planted schedule misaligned ($a,$b)")
+      assert(slots(a).size >= 2, s"planted group ($a,$b) under 2 instants")
+      val (fm, minH) = pairs.getOrElse((a, b),
+        fail(s"planted pair ($a,$b) missing"))
+      assert(fm === slots(a).size.toLong,
+        "a planted pair must match on every shared instant")
+      assert(minH <= 2, "the one perturbed body byte flips <= 2 bits")
+    }
+    // slice entry ≡ full pairs with both ends in the slice (signatures
+    // are per-doc, so restricting the population restricts the pairs)
+    val m = MultimodalOps.gateSliceModulus
+    val r = MultimodalOps.gateSliceResidue
+    val slicePairs = MultimodalOps.videoPhashSlice(spark, sf01).collect()
+      .map(_.toString).sorted
+    val fullRestricted = MultimodalOps.videoPhash(spark, sf01)
+      .filter(col("doc_a") % m === r && col("doc_b") % m === r)
+      .collect().map(_.toString).sorted
+    assert(slicePairs.sameElements(fullRestricted))
+  }
 }
