@@ -307,9 +307,15 @@ object RecallAudit {
         } finally s.unpersist()
       }
       volumeSeat(operators.DedupOps.simhashSigs(spark, sfDir), "simhash")
-      sizes :+= ("simhash_verified_pairs", simhashPairCount.getOrElse(
-        timed("dedup_simhash_pairs") {
-          operators.DedupOps.simhash(spark, sfDir).count() }))
+      sizes :+= ("simhash_verified_pairs", simhashPairCount match {
+        // reuse from the vs_exact seat: keep the wall_sec key PRESENT
+        // (0.0 = reused from timed("dedup_simhash"), not a re-run) so
+        // the artifact schema doesn't depend on which seats ran — a
+        // missing key reads as a failed seat in round-over-round diffs
+        case Some(n) => walls :+= (("dedup_simhash_pairs", 0.0)); n
+        case None => timed("dedup_simhash_pairs") {
+          operators.DedupOps.simhash(spark, sfDir).count() }
+      })
       volumeSeat(operators.MultimodalOps.imagePhashSigs(spark, sfDir), "phash")
       sizes :+= ("phash_verified_pairs", timed("dedup_image_phash_pairs") {
         operators.MultimodalOps.imagePhash(spark, sfDir).count() })

@@ -167,9 +167,33 @@ object SinkBench {
         stream(broker, "docs", slice.length,
           streaming.Pipelines.phashIndexSink(_, idx, table, graceMs = graceMs))
 
+      case "video-phash" =>
+        // the phash-mode setup at the video granularity: slot-keyed
+        // signature index over the corpus minus the streamed residues;
+        // the sink's population + demux dispatch drop non-video and
+        // non-demuxable payloads map-side
+        val streamed: Column =
+          if (sliceTenths == 1) pmod(col("doc_id"), lit(10)) === 7
+          else pmod(col("doc_id"), lit(10)) >= (10 - sliceTenths)
+        val idx = tmp("graft-sinkbench-vphidx")
+        operators.MultimodalOps.videoPhashRebuildIndex(spark,
+          operators.MultimodalOps.videoPhashSigs(spark, sfDir, !streamed), idx)
+        val slice = Tables(spark, sfDir, "documents")
+          .filter(streamed)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val broker = tmp("graft-sinkbench-broker")
+        sources.GraftQueueBroker.publish(broker, "docs", slice.map { case (id, text) =>
+          sources.GraftQueueBroker.textMsg(
+            id, 1700000000000000L + id * 1000L, "t/docs/0", text)
+        })
+        val table = tmp("graft-sinkbench-vphtable")
+        stream(broker, "docs", slice.length,
+          streaming.Pipelines.videoPhashIndexSink(_, idx, table, graceMs = graceMs))
+
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode '$other' (dedup | vector | vector-drift | phash)")
+          s"unknown mode '$other' (dedup | vector | vector-drift | phash | video-phash)")
     }
 
     val durs = q.recentProgress.toSeq

@@ -275,6 +275,11 @@ object SparkEntry {
     // videos (ids = 70/198 mod 320, group-shared surrogate header)
     "dedup_video_phash" -> ((s: SparkSession, d: String) => MultimodalOps.videoPhash(s, d)),
     "dedup_video_phash_slice" -> MultimodalOps.videoPhashSlice _,
+    // AUDIO near-dup: 64-bit windowed energy-contour signature over
+    // the WAV payloads' PCM region (chromaprint shape, rate-invariant
+    // by construction), shared band-pair join; planted perturbed-copy
+    // pairs (ids = 19/59 mod 80) — completes the perceptual ladder
+    "dedup_audio_phash" -> MultimodalOps.audioPhash _,
     // engine-internal scalar reduction of the interval join — the
     // sf10 gate form (368M pairs never materialize in the compare)
     "q_interval_join_agg" -> TemporalJoins.intervalJoinAgg _,
@@ -408,6 +413,9 @@ object SparkEntry {
     "mm_time_sample_slice"  -> MultimodalOps.mp4TimeSampleSliceSql,
     "dedup_video_phash"       -> MultimodalOps.videoPhashSql,
     "dedup_video_phash_slice" -> MultimodalOps.videoPhashSliceSql,
+    // dedup_audio_phash: integer windowed energies + compares only
+    // -> full cross-engine hash gate (the dedup_image_phash class)
+    "dedup_audio_phash"       -> MultimodalOps.audioPhashSql,
     "q_interval_join_agg"   -> TemporalJoins.intervalJoinAggSql,
   )
 }

@@ -165,6 +165,27 @@ object MultimodalOps {
     concat(lit("424D" + "0" * 24), le32h(lit(40L)), le32h(w), le32h(h),
       lit("0100"), le16h(lit(24L)))
 
+  /** The 10-byte constructed GIF header (GIF89a signature +
+    * logical-screen w/h LE16) — shared by [[taggedPayload]]'s tag-1
+    * branch and the GIF planted near-dup payloads, so the planted
+    * docs dispatch as real GIFs through the same codec path. */
+  private val gifHeaderBytes = 10
+  private def gifHeaderHex(w: Column, h: Column): Column =
+    concat(lit("474946383961"), le16h(w), le16h(h))
+
+  /** The 28-byte constructed RIFF/WAVE header (RIFF + WAVE + fmt
+    * chunk prefix, PCM tag, channels LE16 from id parity, sample rate
+    * LE32 from id mod 5) — shared by [[taggedPayload]]'s tag-3 branch
+    * and the [[audioPhash]] planted near-dup payloads, so the planted
+    * docs dispatch as real WAVs through the same codec path. */
+  private val audioHeaderBytes = 28
+  private def wavHeaderHexFor(id: Column): Column =
+    concat(
+      lit("52494646" + "00000000" + "57415645" + "666D7420" +
+        "10000000" + "0100"),
+      le16h(lit(1L) + pmod(id, lit(2L))),
+      le32h(lit(8000L) + pmod(id, lit(5L)) * 8000L))
+
   /** Unity transformation matrix (ISO/IEC 14496-12 §6.2.2) — the 36
     * constant bytes both mvhd and tkhd carry. */
   private val mp4UnityMatrixHex =
@@ -202,8 +223,6 @@ object MultimodalOps {
     val h = lit(16L) + pmod(id * 7, lit(1000L))
     val ct = when(pmod(id, lit(3L)) === 0, lit(0L))
       .when(pmod(id, lit(3L)) === 1, lit(2L)).otherwise(lit(6L))
-    val wch = lit(1L) + pmod(id, lit(2L))
-    val rate = lit(8000L) + pmod(id, lit(5L)) * 8000L
     val ts = lit(600L) * (lit(1L) + pmod(id, lit(3L)))
     val dur = ts * (lit(1L) + pmod(id, lit(300L))) + pmod(id, lit(97L))
     val mvhdHex = concat(
@@ -304,13 +323,9 @@ object MultimodalOps {
       when(tag === 0, concat( // PNG signature + IHDR(len 13): w/h BE32, depth 8, color type
         lit("89504E470D0A1A0A0000000D49484452"),
         be32h(w), be32h(h), lit("08"), hex2(ct)))
-      .when(tag === 1, concat( // GIF89a logical screen: w/h LE16
-        lit("474946383961"), le16h(w), le16h(h)))
+      .when(tag === 1, gifHeaderHex(w, h)) // GIF89a logical screen: w/h LE16
       .when(tag === 2, bmpHeaderHex(w, h))
-      .when(tag === 3, concat( // RIFF....WAVEfmt (16, PCM): channels LE16, rate LE32
-        lit("52494646" + "00000000" + "57415645" + "666D7420" +
-          "10000000" + "0100"),
-        le16h(wch), le32h(rate)))
+      .when(tag === 3, wavHeaderHexFor(id)) // RIFF....WAVEfmt: channels LE16, rate LE32
       .when(tag === 4, lit("FFD8FFE0")) // JPEG SOI + APP0 marker, no SOF
       .when(tag === 5, concat( // JPEG SOI + full APP0(JFIF) + SOF0: h/w BE16, 3 comps
         lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
@@ -1410,32 +1425,53 @@ object MultimodalOps {
       .mapPartitions { iter =>
         iter.grouped(decodeBatchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, p) =>
-            val f = decodeMedia(id, p)
-            f.duration_ms match {
-              case Some(dur) if f.format == "mp4" && dur > 0 =>
-                val wk = mp4WalkAll(p)
-                val vfr = wk.stts.filter(_ => wk.mdhdTs > 0)
-                val nFrames = math.max(1L, (f.byte_len + frameBytes - 1) / frameBytes)
-                (0L to dur / intervalMs).iterator.map { i =>
-                  val tMs = i * intervalMs
-                  val frameIdx = vfr match {
-                    case Some(es) => sttsFrameAt(tMs * wk.mdhdTs / 1000L, es)
-                    case None => math.min(nFrames - 1, tMs * nFrames / dur)
-                  }
-                  // FRAME→BYTE through the real chunk layout when the
-                  // payload carries one (stsz sizes + stsc runs + stco
-                  // chunk offsets); fixed-stride degrade otherwise, or
-                  // for frames beyond the declared chunks' capacity
-                  val byteOff = wk.layout.flatMap(_.offsetOf(frameIdx))
-                    .getOrElse(frameIdx * frameBytes)
-                  (id, i, tMs, frameIdx, byteOff)
-                }
-              case _ => Iterator.empty
+            mp4SampleSchedule(id, p, intervalMs).map { s =>
+              (id, s.sampleIdx, s.tMs, s.frameIdx, s.byteOff)
             }
           }
         }
       }
       .toDF("doc_id", "sample_idx", "t_ms", "frame_idx", "byte_offset")
+  }
+
+  /** One demuxed sample instant of [[mp4SampleSchedule]]. */
+  private[operators] case class Mp4Sample(
+      sampleIdx: Long, tMs: Long, frameIdx: Long, byteOff: Long)
+
+  /** The per-payload instant→frame→byte sampler SHARED by
+    * [[mp4TimeSample]] and [[videoPhashSigs]] — one definition, so
+    * the video signature schedule IS the demuxer schedule the
+    * time-sampler hash-gates, by construction rather than by kept-in-
+    * sync copies: duration dispatch (only full-tree MP4s with a
+    * walked positive duration emit rows), instant → frame through
+    * the stts/mdhd media-time walk ([[sttsFrameAt]]) with the
+    * constant-frame-rate degrade, frame → byte through the
+    * stsz/stsc/stco chunk layout ([[ChunkLayout.offsetOf]]) with the
+    * fixed-stride degrade. */
+  private[operators] def mp4SampleSchedule(id: Long, p: Array[Byte],
+      intervalMs: Long): Iterator[Mp4Sample] = {
+    val f = decodeMedia(id, p)
+    f.duration_ms match {
+      case Some(dur) if f.format == "mp4" && dur > 0 =>
+        val wk = mp4WalkAll(p)
+        val vfr = wk.stts.filter(_ => wk.mdhdTs > 0)
+        val nFrames = math.max(1L, (f.byte_len + frameBytes - 1) / frameBytes)
+        (0L to dur / intervalMs).iterator.map { i =>
+          val tMs = i * intervalMs
+          val frameIdx = vfr match {
+            case Some(es) => sttsFrameAt(tMs * wk.mdhdTs / 1000L, es)
+            case None => math.min(nFrames - 1, tMs * nFrames / dur)
+          }
+          // FRAME→BYTE through the real chunk layout when the
+          // payload carries one (stsz sizes + stsc runs + stco
+          // chunk offsets); fixed-stride degrade otherwise, or
+          // for frames beyond the declared chunks' capacity
+          val byteOff = wk.layout.flatMap(_.offsetOf(frameIdx))
+            .getOrElse(frameIdx * frameBytes)
+          Mp4Sample(i, tMs, frameIdx, byteOff)
+        }
+      case _ => Iterator.empty
+    }
   }
 
   /** The instant→frame→byte sample chain (vids … fr2) shared by the
@@ -1567,11 +1603,23 @@ object MultimodalOps {
   private def phashPlanted(id: Column): Column =
     pmod(id, lit(80L)) === 18 || pmod(id, lit(80L)) === 58
 
-  private def phashPatternHex(id: Column): Column = {
+  /** GIF-container planted pairs — the same recipe in the second
+    * signed format: ids ≡ 17 and ≡ 57 (mod 80), both tag-1 residues.
+    * The pattern salt ([[gifPatternSalt]]) keeps a group's GIF plant
+    * pixel-disjoint from its BMP plant — an unsalted base would give
+    * ids 80g+17 and 80g+18 identical pixels and pair the two formats
+    * at hamming 0. */
+  private def phashPlantedGif(id: Column): Column =
+    pmod(id, lit(80L)) === 17 || pmod(id, lit(80L)) === 57
+
+  private val gifPatternSalt = 101L
+
+  private def phashPatternHex(id: Column, perturbResidue: Long = 58L,
+                              salt: Long = 0L): Column = {
     val g = floor(id / 80).cast("long")
     array_join(transform(sequence(lit(0), lit(255)), j => {
-      val base = pmod(j.cast("long") * 7L + g * 13L, lit(251L))
-      val b = when(pmod(id, lit(80L)) === 58 && j === 128,
+      val base = pmod(j.cast("long") * 7L + g * 13L + salt, lit(251L))
+      val b = when(pmod(id, lit(80L)) === perturbResidue && j === 128,
         pmod(base + 125L, lit(251L))).otherwise(base)
       lpad(hex(b), 2, "0")
     }), "")
@@ -1581,10 +1629,12 @@ object MultimodalOps {
     * of [[imagePhash]], exposed for the RecallAudit band-geometry
     * seat and the streaming phash sink.
     *
-    * Population: the raster tag (doc_id ≡ 2 mod 8 — the only tag
-    * whose payload carries an uncompressed pixel region the stubbed
-    * decoder can sample) with a pixel region big enough for the 72
-    * grid samples. Both gates are on the CHEAP scan columns (doc_id,
+    * Population: the raster tags (doc_id ≡ 2 mod 8 BMP and ≡ 1
+    * mod 8 GIF — the two container classes whose payloads carry an
+    * uncompressed post-header region the stubbed decoder can sample;
+    * each signs at its own header offset) with a pixel region big
+    * enough for the 72 grid samples. Both gates are on the CHEAP
+    * scan columns (doc_id,
     * text length), for two reasons pinned by the round-13 advice:
     * (a) a filter on the constructed payload is pushed below its
     * projection and recomputes the whole header when-chain per row
@@ -1593,7 +1643,8 @@ object MultimodalOps {
     * population on a raw-tag doc whose TEXT happens to start with
     * 'BM' — gating both engines on (doc_id % 8, length) makes the
     * two populations provably identical. Planted docs (gradient
-    * pixels, always ≥ 72) are ≡ 18/58 mod 80 ⊂ the mod-8 class. */
+    * pixels, always ≥ 72) are ≡ 18/58 mod 80 ⊂ the BMP class and
+    * ≡ 17/57 mod 80 ⊂ the GIF class. */
   def imagePhashSigs(spark: SparkSession, dir: String): DataFrame =
     imagePhashSigsOf(Tables(spark, dir, "documents"))
 
@@ -1604,9 +1655,15 @@ object MultimodalOps {
     * batch-computed signatures are bit-identical. */
   def imagePhashSigsOf(batch: DataFrame): DataFrame = {
     val id = col("doc_id")
+    // both uncompressed-raster container classes sign: BMP (tag 2)
+    // and GIF (tag 1) — the GIF stub's post-descriptor bytes stand in
+    // for the decoded LZW raster the way BMP's pixel region does, so
+    // the second format rides the same kernel at its own header
+    // offset (real decoders swap in per-format at the same shape)
+    val rasterTag = pmod(id, lit(8L)) === 2 || pmod(id, lit(8L)) === 1
     batch
-      .filter(pmod(id, lit(8L)) === 2 &&
-        (phashPlanted(id) ||
+      .filter(phashPlanted(id) || phashPlantedGif(id) ||
+        (rasterTag &&
           length(col("text")) >= graft.functions.DHashKernel.minPixels))
       .select(col("doc_id"),
         when(phashPlanted(id),
@@ -1614,9 +1671,18 @@ object MultimodalOps {
             bmpHeaderHex(lit(16L) + pmod(id, lit(1000L)),
               lit(16L) + pmod(id * 7, lit(1000L))),
             phashPatternHex(id))))
+        .when(phashPlantedGif(id),
+          unhex(concat(
+            gifHeaderHex(lit(16L) + pmod(id, lit(1000L)),
+              lit(16L) + pmod(id * 7, lit(1000L))),
+            phashPatternHex(id, perturbResidue = 57L, salt = gifPatternSalt))))
           .otherwise(taggedPayload).as("bin"))
       .select(col("doc_id"),
-        graft.functions.DHashColumns.dhash64(col("bin"), bmpHeaderBytes).as("sig"))
+        when(pmod(id, lit(8L)) === 2,
+          graft.functions.DHashColumns.dhash64(col("bin"), bmpHeaderBytes))
+          .otherwise(
+            graft.functions.DHashColumns.dhash64(col("bin"), gifHeaderBytes))
+          .as("sig"))
   }
 
   /** Image-content near-dup pairs over the decodable raster payloads
@@ -1658,9 +1724,14 @@ object MultimodalOps {
        |    CASE WHEN doc_id % 80 = 58 AND j = 128
        |     THEN (j*7 + (doc_id//80)*13 + 125) % 251
        |     ELSE (j*7 + (doc_id//80)*13) % 251 END)
+       |  WHEN doc_id % 80 IN (17, 57) THEN
+       |   list_transform(range(0, 256), j ->
+       |    CASE WHEN doc_id % 80 = 57 AND j = 128
+       |     THEN (j*7 + (doc_id//80)*13 + $gifPatternSalt + 125) % 251
+       |     ELSE (j*7 + (doc_id//80)*13 + $gifPatternSalt) % 251 END)
        |  ELSE list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))
        |  END AS px
-       | FROM documents WHERE doc_id % 8 = 2),
+       | FROM documents WHERE doc_id % 8 IN (1, 2)),
        |sz AS (SELECT doc_id, px, len(px) AS pn FROM base WHERE len(px) >= 72),
        |ph AS (SELECT doc_id,
        |  CAST(list_sum(list_transform(range(0, 63), k -> $bit)) AS BIGINT)
@@ -1844,36 +1915,33 @@ object MultimodalOps {
     * non-mp4 classes contribute no rows, absence is the signal).
     * Zero shuffles; payloads never leave the scan stage. */
   def videoPhashSigs(spark: SparkSession, dir: String,
-                     docFilter: Column = lit(true)): DataFrame = {
+                     docFilter: Column = lit(true)): DataFrame =
+    videoPhashSigsOf(Tables(spark, dir, "documents").filter(docFilter))
+
+  /** [[videoPhashSigs]] over an arbitrary (doc_id, text) frame — the
+    * per-batch half the streaming ingestion sink runs
+    * ([[graft.streaming.Pipelines.videoPhashIndexSink]]), the
+    * [[imagePhashSigsOf]] contract at the video granularity:
+    * identical population gate, demux schedule
+    * ([[mp4SampleSchedule]] — the one shared sampler), and signature
+    * kernel, so stream-folded and batch-computed (doc_id, slot, sig)
+    * rows are bit-identical. */
+  def videoPhashSigsOf(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
     import spark.implicits._
     val regionB = videoFrameRegionBytes
-    Tables(spark, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(8L)) === 6 && docFilter)
+    batch
+      .filter(pmod(col("doc_id"), lit(8L)) === 6)
       .select(col("doc_id"), videoPayload.as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
-        iter.grouped(decodeBatchSize).flatMap { batch =>
-          batch.iterator.flatMap { case (id, p) =>
-            val f = decodeMedia(id, p)
-            f.duration_ms match {
-              case Some(dur) if f.format == "mp4" && dur > 0 &&
-                  p.length >= regionB =>
-                val wk = mp4WalkAll(p)
-                val vfr = wk.stts.filter(_ => wk.mdhdTs > 0)
-                val nFrames = math.max(1L, (f.byte_len + frameBytes - 1) / frameBytes)
-                (0L to dur / videoSampleIntervalMs).iterator.map { i =>
-                  val tMs = i * videoSampleIntervalMs
-                  val frameIdx = vfr match {
-                    case Some(es) => sttsFrameAt(tMs * wk.mdhdTs / 1000L, es)
-                    case None => math.min(nFrames - 1, tMs * nFrames / dur)
-                  }
-                  val byteOff = wk.layout.flatMap(_.offsetOf(frameIdx))
-                    .getOrElse(frameIdx * frameBytes)
-                  val rs = (byteOff % (p.length - regionB + 1)).toInt
-                  (id, i, graft.functions.DHashKernel.hash(
-                    java.util.Arrays.copyOfRange(p, rs, rs + regionB), 0))
-                }
-              case _ => Iterator.empty
+        iter.grouped(decodeBatchSize).flatMap { group =>
+          group.iterator.flatMap { case (id, p) =>
+            if (p.length < regionB) Iterator.empty
+            else mp4SampleSchedule(id, p, videoSampleIntervalMs).map { s =>
+              val rs = (s.byteOff % (p.length - regionB + 1)).toInt
+              (id, s.sampleIdx, graft.functions.DHashKernel.hash(
+                java.util.Arrays.copyOfRange(p, rs, rs + regionB), 0))
             }
           }
         }
@@ -1971,4 +2039,206 @@ object MultimodalOps {
 
   val videoPhashSql: String = videoPhashSqlFor(slice = false)
   val videoPhashSliceSql: String = videoPhashSqlFor(slice = true)
+
+  // ---- video-signature index (streaming ingestion state) ----------------
+
+  /** The slot-keyed band-pair inverted-index rows of a video signature
+    * frame — (slot, band, bkey, doc_id, sig): [[phashBands]] with the
+    * sample instant riding in the key, so a probe only ever meets
+    * same-instant frames ([[videoPhash]]'s join geometry — the
+    * extraKeys multiplication of the key domain, never of candidate
+    * volume). */
+  private def videoPhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("slot"), col("sig"),
+        explode(array(DedupOps.hammingBandPairKeys(col("sig")): _*)).as("bb"))
+      .select(col("slot"), col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+
+  private def requireVideoPhashIndex(spark: SparkSession, idx: String): Unit =
+    require(graft.operators.VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"),
+      s"$idx is not a complete video-phash index (crashed mid-rebuild? " +
+        "re-run videoPhashRebuildIndex)")
+
+  /** (Re)build the video-signature dedup index from a (doc_id, slot,
+    * sig) frame — the [[phashRebuildIndex]] layout one granularity
+    * down: `ids` holds one membership row per VIDEO (kb-partitioned),
+    * `bands` the slot-keyed inverted index, written LAST as the
+    * build-complete marker. Same single-writer and no-drift contracts
+    * (the signature kernel is corpus-independent). */
+  def videoPhashRebuildIndex(spark: SparkSession, sigs: DataFrame, idx: String): Unit = {
+    val s = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = s.count()
+      s.select(col("doc_id")).distinct()
+        .select(col("doc_id"), DedupOps.keyBucket(col("doc_id")).as("kb"))
+        .coalesce(graft.operators.VectorOps.appendParts(n))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$idx/ids")
+      videoPhashBands(s).coalesce(graft.operators.VectorOps.appendParts(n * 28))
+        .write.mode("overwrite").parquet(s"$idx/bands")
+    } finally s.unpersist()
+  }
+
+  /** Fold a batch of video signatures INTO the index — the
+    * [[phashIndexUpdate]] contract (bands first, ids LAST so a crash
+    * replays the fold; duplicate band rows are tolerated through the
+    * probe's distinct), with the per-video membership row
+    * deduplicated from the per-slot signature rows. */
+  def videoPhashIndexUpdate(spark: SparkSession, batchSigs: DataFrame,
+                            idx: String): Unit = {
+    requireVideoPhashIndex(spark, idx)
+    val s = batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = s.count()
+      videoPhashBands(s).coalesce(graft.operators.VectorOps.appendParts(n * 28))
+        .write.mode("append").parquet(s"$idx/bands")
+      s.select(col("doc_id")).distinct()
+        .select(col("doc_id"), DedupOps.keyBucket(col("doc_id")).as("kb"))
+        .coalesce(graft.operators.VectorOps.appendParts(n))
+        .write.mode("append").partitionBy("kb").parquet(s"$idx/ids")
+    } finally s.unpersist()
+  }
+
+  /** Probe a batch of video signatures against the index: the batch's
+    * slot-keyed pair keys meet the inverted index in one equi-join,
+    * exact Hamming verify in the join row, per-slot hits deduplicated
+    * (replay-duplicated index rows collapse), then the ≥
+    * [[videoMinSharedFrames]] pair aggregate — output matches
+    * [[videoPhash]]'s (doc_a, doc_b, frames_matched, min_hamming)
+    * exactly: update-before-probe over the whole corpus reproduces
+    * the batch operator's pair set (spec-pinned). A video's slots all
+    * travel with its payload, so a pair's frames_matched is complete
+    * in whichever trigger sees the pair's second member — pairs never
+    * need cross-trigger re-aggregation. */
+  def videoPhashProbeIndex(spark: SparkSession, batchSigs: DataFrame,
+                           idx: String): DataFrame = {
+    requireVideoPhashIndex(spark, idx)
+    val bands = Snapshot.read(spark, s"$idx/bands")
+    videoPhashBands(batchSigs)
+      .join(bands.select(col("slot"), col("band"), col("bkey"),
+        col("doc_id").as("old_id"), col("sig").as("old_sig")),
+        Seq("slot", "band", "bkey"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(col("slot"),
+        least(col("doc_id"), col("old_id")).as("doc_a"),
+        greatest(col("doc_id"), col("old_id")).as("doc_b"),
+        bit_count(col("sig").bitwiseXOR(col("old_sig"))).as("hamming"))
+      .filter(col("hamming") <= phashMaxHamming)
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("frames_matched"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+      .filter(col("frames_matched") >= videoMinSharedFrames)
+  }
+
+  // ---- audio-content near-dup (windowed energy-contour signature) -------
+
+  /** Planted perceptual near-dup AUDIO pairs — the [[phashPlanted]]
+    * recipe in the WAV class: ids ≡ 19 and ≡ 59 (mod 80), both tag-3
+    * residues. Both members carry a group-keyed 512-byte synthetic
+    * PCM body behind their own id-derived RIFF header (the header is
+    * not signed, so members need no surrogate id — unlike the video
+    * plants, whose sample SCHEDULE derives from the header); the
+    * ≡ 59 member perturbs ONE body byte (j = 300, window 38 of 65),
+    * flipping at most the two contour bits that compare that window —
+    * every planted group pairs at hamming ≤ 2. */
+  private def audioPlanted(id: Column): Column =
+    pmod(id, lit(80L)) === 19 || pmod(id, lit(80L)) === 59
+
+  private val audioPlantBodyBytes = 512
+
+  private def audioBodyHex(id: Column): Column = {
+    val g = floor(id / 80).cast("long")
+    array_join(transform(sequence(lit(0), lit(audioPlantBodyBytes - 1)), j => {
+      val base = pmod(j.cast("long") * 7L + g * 13L, lit(251L))
+      val b = when(pmod(id, lit(80L)) === 59 && j === 300,
+        pmod(base + 125L, lit(251L))).otherwise(base)
+      lpad(hex(b), 2, "0")
+    }), "")
+  }
+
+  /** The per-doc audio signatures (doc_id, sig) — the map-side half
+    * of [[audioPhash]].
+    *
+    * Population: the WAV tag (doc_id ≡ 3 mod 8) with a PCM data
+    * region big enough for the 65 energy windows — both gates on the
+    * CHEAP scan columns (doc_id, text length), the [[imagePhashSigsOf]]
+    * rationale. The data region starts at the fixed
+    * [[audioHeaderBytes]] offset (the synthetic RIFF header is
+    * fixed-length; a real RIFF reader walks to the `data` chunk and
+    * hands the kernel the same region — the library's declared decode
+    * stub boundary, [[graft.functions.AudioPhashKernel]]). */
+  def audioPhashSigs(spark: SparkSession, dir: String): DataFrame =
+    audioPhashSigsOf(Tables(spark, dir, "documents"))
+
+  /** [[audioPhashSigs]] over an arbitrary (doc_id, text) frame — the
+    * per-batch form, streaming-sink-ready like [[imagePhashSigsOf]]. */
+  def audioPhashSigsOf(batch: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    batch
+      .filter(pmod(id, lit(8L)) === 3 &&
+        (audioPlanted(id) ||
+          length(col("text")) >= graft.functions.AudioPhashKernel.minSamples))
+      .select(col("doc_id"),
+        when(audioPlanted(id),
+          unhex(concat(wavHeaderHexFor(id), audioBodyHex(id))))
+          .otherwise(taggedPayload).as("bin"))
+      .select(col("doc_id"),
+        graft.functions.AudioPhashColumns
+          .audiophash64(col("bin"), audioHeaderBytes).as("sig"))
+  }
+
+  /** AUDIO-content near-dup pairs — the text/image/video/audio rung
+    * that completes the perceptual dedup ladder: a 64-bit windowed
+    * energy-contour signature ([[graft.functions.AudioPhashKernel]] —
+    * the chromaprint shape over the stubbed PCM region, rate-invariant
+    * by construction) per WAV payload, band-PAIR join for candidates
+    * ([[DedupOps.hammingBandJoin]] — pigeonhole-exact at ≤ 6), exact
+    * Hamming verify at ≤ [[phashMaxHamming]]. Integer-only windowed
+    * sums and compares → FULL cross-engine hash gate (the
+    * [[imagePhash]] gate class).
+    *
+    * Plan shape: one codegen'd scan projection (dispatch +
+    * audiophash64), band-pair explode, one shuffle on (band, bkey),
+    * candidate distinct — the dedup_simhash class; at 100 TB only
+    * 16-byte signature rows shuffle, never PCM payloads. */
+  def audioPhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.hammingBandJoin(audioPhashSigs(spark, dir), phashMaxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("hamming"))
+
+  /** DuckDB twin: identical PCM bytes (planted body or text bytes),
+    * identical 65-window integer energies ((b−128)², floor-divided
+    * spans), the SAME 64-bit value assembled as low-63-bit sum +
+    * two's-complement bit 63 ([[imagePhashSql]]'s recipe), then the
+    * naive all-pairs Hamming join the banded plan provably equals. */
+  val audioPhashSql: String = {
+    val win = graft.functions.AudioPhashKernel.windows
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 80 IN (19, 59) THEN
+       |   list_transform(range(0, $audioPlantBodyBytes), j ->
+       |    CASE WHEN doc_id % 80 = 59 AND j = 300
+       |     THEN (j*7 + (doc_id//80)*13 + 125) % 251
+       |     ELSE (j*7 + (doc_id//80)*13) % 251 END)
+       |  ELSE list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))
+       |  END AS b
+       | FROM documents WHERE doc_id % 8 = 3),
+       |sz AS (SELECT doc_id, b, len(b) AS n FROM base WHERE len(b) >= $win),
+       |en AS (SELECT doc_id,
+       |  list_transform(range(0, $win), w ->
+       |   list_sum(list_transform(range((w*n)//$win, ((w+1)*n)//$win),
+       |    j -> (b[j+1]-128)*(b[j+1]-128)))) AS e
+       | FROM sz),
+       |ap AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 63), k ->
+       |   CASE WHEN e[k+1] < e[k+2] THEN CAST(1 AS BIGINT) << k
+       |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+       |  + CASE WHEN e[${win - 1}] < e[$win]
+       |     THEN -9223372036854775807 - 1 ELSE 0 END AS sig
+       | FROM en)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM ap a JOIN ap b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $phashMaxHamming""".stripMargin
+  }
 }

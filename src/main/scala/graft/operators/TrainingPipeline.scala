@@ -97,7 +97,13 @@ object TrainingPipeline {
     * lmScoreFilter polarity rationale: a filter only drops what it
     * measured. Opt-in like the other extra stages so the established
     * gate entries keep their oracles; the composition spec pins
-    * predicate-exact equality with the standalone operator. */
+    * predicate-exact equality with the standalone operator.
+    *
+    * `videoDupFilter = true` is the same stage one perceptual rung
+    * up ([[MultimodalOps.videoPhash]]): docs whose payload demuxes to
+    * ≥ 2 sample instants matching a smaller-doc_id video at Hamming
+    * ≤ 6 are dropped — identical polarity, anti-join on doc_b,
+    * non-demuxable payloads fall through untouched. */
   def survivors(spark: SparkSession, dir: String,
                 exactDedup: Boolean = false,
                 scaleMode: Boolean = true,
@@ -105,7 +111,8 @@ object TrainingPipeline {
                 commonnessFilter: Boolean = false,
                 lmScoreFilter: Boolean = false,
                 qualityByLang: Boolean = false,
-                imageDupFilter: Boolean = false): DataFrame = {
+                imageDupFilter: Boolean = false,
+                videoDupFilter: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -156,12 +163,18 @@ object TrainingPipeline {
         afterLm.join(TextOps.docQualityByLang(spark, dir, approx = true)
           .filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
       else afterLm
-    val filtered =
+    val afterImg =
       if (imageDupFilter)
         afterQbl.join(MultimodalOps.imagePhash(spark, dir)
           .select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else afterQbl
+    val filtered =
+      if (videoDupFilter)
+        afterImg.join(MultimodalOps.videoPhash(spark, dir)
+          .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else afterImg
     filtered
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)

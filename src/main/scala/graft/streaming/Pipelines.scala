@@ -887,6 +887,69 @@ object Pipelines {
       }
   }
 
+  /** Ingestion-time VIDEO dedup on the stream — the [[phashIndexSink]]
+    * composition at the video granularity, closing the batch/stream
+    * symmetry for the fourth signature family: every micro-batch's
+    * demuxable payloads are signed per sample instant
+    * ([[graft.operators.MultimodalOps.videoPhashSigsOf]] — the one
+    * shared demux sampler, bit-identical to the batch operator's
+    * (doc_id, slot, sig) rows), FOLDED into the slot-keyed banded
+    * index ([[graft.operators.MultimodalOps.videoPhashIndexUpdate]],
+    * ids-last crash ordering), then PROBED against it
+    * ([[graft.operators.MultimodalOps.videoPhashProbeIndex]]); pairs
+    * matching on ≥ 2 instants at Hamming ≤ 6 land in the
+    * idempotently-merged parquet table. Update-before-probe: a
+    * video's slots all travel with its payload, so a pair's
+    * frames_matched is complete in whichever trigger sees the second
+    * member — no cross-trigger pair re-aggregation, and the pair
+    * table's (doc_a, doc_b) anti-join stays the whole idempotency
+    * story (the image sink's contract, slot-keyed). No driftlog seat:
+    * the signature kernel is corpus-independent, like the image one. */
+  def videoPhashIndexSink(messages: DataFrame, indexDir: String,
+                          tablePath: String,
+                          maintain: Boolean = true,
+                          graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
+                          maxMergeJobs: Int = 3): DataStreamWriter[Row] = {
+    val dataPath = tablePath + "/data"
+    messages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tablePath + "/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        // deterministic within-trigger winner, then demux+sign;
+        // materialized for the same three-consumer/self-scan reasons
+        // as the image sink
+        val sigs = graft.operators.MultimodalOps
+          .videoPhashSigsOf(latestDocVersion(batch))
+          .withColumn("kb", graft.operators.DedupOps.keyBucket(col("doc_id")))
+          .localCheckpoint(true)
+        val newSigs = sigs.join(
+          graft.operators.DedupOps.indexedIds(spark, indexDir, bucketsOf(sigs)),
+          Seq("doc_id"), "left_anti")
+          .select("doc_id", "slot", "sig").localCheckpoint(true)
+        if (!newSigs.isEmpty)
+          graft.operators.MultimodalOps.videoPhashIndexUpdate(spark, newSigs, indexDir)
+        val pairs = graft.operators.MultimodalOps
+          .videoPhashProbeIndex(spark, sigs.select("doc_id", "slot", "sig"), indexDir)
+          .withColumn("kb",
+            graft.operators.DedupOps.keyBucket(col("doc_a"), col("doc_b")))
+          .localCheckpoint(true)
+        pairs.join(
+            prunedKeys(spark, dataPath, Seq("doc_a", "doc_b"), bucketsOf(pairs)),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .write.mode("append").partitionBy("kb").parquet(dataPath)
+        if (maintain) {
+          graft.operators.Snapshot.compactTiered(
+            spark, s"$indexDir/bands", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
+          graft.operators.Snapshot.compactTieredPartitioned(
+            spark, s"$indexDir/ids", graceMs = graceMs,
+            maxMergeJobs = maxMergeJobs)
+        }
+        ()
+      }
+  }
+
   /** SolaceIO withMaxReadTime equivalent: start the query with
     * Trigger.AvailableNow — the source freezes the backlog snapshot
     * and the query self-terminates once it is drained — and stop early

@@ -469,23 +469,81 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("dedup_image_phash: every planted gradient pair surfaces at " +
-    "Hamming <= 1; population is the BMP tag; threshold honored") {
+    "Hamming <= 1 in BOTH signed formats; population is the raster " +
+    "tags; threshold honored; the format salt keeps plants apart") {
     val rows = operators.MultimodalOps.imagePhash(spark, SparkSpec.sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(rows.nonEmpty)
     rows.foreach { case ((a, b), ham) =>
       assert(a < b)
-      assert(a % 8 === 2 && b % 8 === 2, "population must be the raster tag")
+      assert(Set(1L, 2L)(a % 8) && Set(1L, 2L)(b % 8),
+        "population must be the raster tags (BMP tag 2 + GIF tag 1)")
       assert(ham <= operators.MultimodalOps.phashMaxHamming)
     }
-    // planted pairs: (18+80m, 58+80m) for every group inside the corpus
+    // planted pairs: BMP (18+80m, 58+80m) and GIF (17+80m, 57+80m)
+    // for every group inside the corpus
     val nDocs = Tables(spark, SparkSpec.sf, "documents").count()
-    val planted = (0L until nDocs by 80L).map(m => (m + 18, m + 58))
+    def planted(lo: Long, hi: Long) =
+      (0L until nDocs by 80L).map(m => (m + lo, m + hi)).filter(_._2 < nDocs)
+    val bmp = planted(18, 58)
+    val gif = planted(17, 57)
+    assert(bmp.nonEmpty && gif.nonEmpty)
+    (bmp ++ gif).foreach { p =>
+      assert(rows.contains(p), s"planted pair $p missing")
+      assert(rows(p) <= 1, s"planted pair $p drifted past the one perturbed bit")
+    }
+    // the GIF pattern salt keeps a group's two plants pixel-disjoint:
+    // the cross-format (17+80m, 18+80m) pair must never surface
+    (0L until nDocs by 80L).filter(_ + 18 < nDocs).foreach { m =>
+      assert(!rows.contains((m + 17, m + 18)),
+        s"unsalted cross-format planted pair at group ${m / 80}")
+    }
+  }
+
+  test("audio kernel: resample-invariant (2x upsample), local-edit " +
+    "bound, content-sensitive, offset honored") {
+    import graft.functions.AudioPhashKernel
+    // 650 bytes = 10 per window: duplicating every byte (a uniform 2x
+    // resample of the same media) keeps window boundaries aligned and
+    // doubles every window energy — comparisons, and therefore the
+    // signature, are unchanged (the kernel's rate-invariance claim)
+    val base = Array.tabulate(650)(j => ((j * 7 + 13) % 251).toByte)
+    val h0 = AudioPhashKernel.hash(base, 0)
+    assert(AudioPhashKernel.hash(base.flatMap(b => Array(b, b)), 0) === h0,
+      "uniform 2x resample must not move the hash")
+    // one-byte local edit perturbs one window: flips at most the two
+    // bits that compare it
+    val edited = base.clone()
+    edited(300) = ((base(300) & 0xFF) ^ 0x7F).toByte
+    assert(java.lang.Long.bitCount(AudioPhashKernel.hash(edited, 0) ^ h0) <= 2)
+    // different content diverges far past the near-dup threshold
+    val other = Array.tabulate(650)(j => ((j * 31 + 101) % 249).toByte)
+    assert(java.lang.Long.bitCount(AudioPhashKernel.hash(other, 0) ^ h0) >
+      operators.MultimodalOps.phashMaxHamming)
+    // offset honored: hash over a header-padded copy at the offset
+    val padded = Array.fill[Byte](28)(0) ++ base
+    assert(AudioPhashKernel.hash(padded, 28) === h0)
+  }
+
+  test("dedup_audio_phash: every planted perturbed-copy pair surfaces " +
+    "at hamming <= 2; population is the WAV tag; threshold honored") {
+    val rows = operators.MultimodalOps.audioPhash(spark, SparkSpec.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), ham) =>
+      assert(a < b)
+      assert(a % 8 === 3 && b % 8 === 3, "population must be the WAV tag")
+      assert(ham <= operators.MultimodalOps.phashMaxHamming)
+    }
+    // planted pairs: (19+80m, 59+80m) for every group inside the corpus
+    val nDocs = Tables(spark, SparkSpec.sf, "documents").count()
+    val planted = (0L until nDocs by 80L).map(m => (m + 19, m + 59))
       .filter(_._2 < nDocs)
     assert(planted.nonEmpty)
     planted.foreach { p =>
       assert(rows.contains(p), s"planted pair $p missing")
-      assert(rows(p) <= 1, s"planted pair $p drifted past the one perturbed bit")
+      assert(rows(p) <= 2,
+        s"planted pair $p past the one-window local-edit bound")
     }
   }
 
@@ -505,7 +563,7 @@ class MultimodalSpec extends AnyFunSuite {
       // walk's tag-5 class and the phash plants mod 80
       for (c <- Seq(6L, 38L, 22L, 14L))
         assert(inSlice.exists(_ % 64 == c), s"mp4 sub-branch mod-64=$c empty at n=$n")
-      for (c <- Seq(18L, 58L))
+      for (c <- Seq(18L, 58L, 17L, 57L, 19L, 59L))
         assert(inSlice.exists(_ % 80 == c), s"planted class mod-80=$c empty at n=$n")
     }
     // wrappers wired to the same code path: slice == full ∩ filter
@@ -543,7 +601,8 @@ class MultimodalSpec extends AnyFunSuite {
     "the video tag; slice == filtered full") {
     // sf0.01: the planted classes (ids ≡ 70/198 mod 320) need ≥ 199
     // docs — absent from the sf0.001 spec corpus
-    val sf01 = "/root/testdata/sf0.01"
+    assume(SparkSpec.sf01Available, s"${SparkSpec.sf01} absent — skipping")
+    val sf01 = SparkSpec.sf01
     val slots = MultimodalOps.videoPhashSigs(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -845,6 +845,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(base.intersect(pureKeepers).subsetOf(withStage))
   }
 
+  test("training_pipeline: optional video-dup stage composes as exactly " +
+    "the anti-predicate of videoPhash's doc_b side") {
+    import org.apache.spark.sql.functions.col
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(operators.TrainingPipeline.survivors(spark, sf))
+    val dropped = operators.MultimodalOps.videoPhash(spark, sf)
+      .select(col("doc_b").as("doc_id")).collect().map(_.getLong(0)).toSet
+    val withStage = ids(operators.TrainingPipeline
+      .survivors(spark, sf, videoDupFilter = true))
+    assert(withStage === base.diff(dropped),
+      "the video-dup stage must compose as exactly its own anti-predicate")
+    assert(dropped.nonEmpty,
+      "the dup-dense video corpus must yield pairs even at sf0.001")
+    // keep-rule polarity: a doc appearing ONLY as the smaller pair
+    // side (doc_a, the survivor) passes the stage untouched
+    val pureKeepers = operators.MultimodalOps.videoPhash(spark, sf)
+      .select(col("doc_a")).collect().map(_.getLong(0)).toSet.diff(dropped)
+    assert(base.intersect(pureKeepers).subsetOf(withStage))
+  }
+
   test("doc_html_extract: boilerplate drops, content survives, entities " +
     "decode, title never leaks into the clean text") {
     import org.apache.spark.sql.functions._

@@ -784,6 +784,63 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not re-fold already-indexed docs")
   }
 
+  test("streaming video-phash ingestion: stream-probed video pairs equal " +
+    "the batch operator on pairs touching the stream, replay is a no-op") {
+    // sf0.01: the planted video classes (mod 320) need ≥ 199 docs
+    assume(SparkSpec.sf01Available, s"${SparkSpec.sf01} absent — skipping")
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-vphash-table")
+    val idx = tmpDir("graft-vphidx-stream")
+    val sf = SparkSpec.sf01
+    val cut = 100L // docs below pre-build; group 0's planted pair (70, 198) crosses
+    operators.MultimodalOps.videoPhashRebuildIndex(spark,
+      operators.MultimodalOps.videoPhashSigs(spark, sf, col("doc_id") < cut), idx)
+    // only the video tag streams: other tags never sign, and the full
+    // sf0.01 backlog would stretch the trigger count for nothing
+    val incoming = Tables(spark, sf, "documents")
+      .filter(col("doc_id") >= cut && pmod(col("doc_id"), lit(8L)) === 6)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    GraftQueueBroker.publish(broker, "docs", incoming.map { case (id, text) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L, "t/docs/0", text)
+    })
+    def run(ckpt: String): Unit = {
+      // small trigger cap: cross-trigger pairs must go through the
+      // INDEX, not batch locality
+      val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+        maxRecordsPerTrigger = Some(20))
+      val q = Pipelines.videoPhashIndexSink(msgs, idx, table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+    def tablePairs() = spark.read.parquet(table + "/data")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("frames_matched"), r.getAs[Long]("min_hamming"))).toSet
+    // the ingestion contract: every batch pair TOUCHING the streamed
+    // slice, with IDENTICAL frames_matched/min_hamming (a video's
+    // slots all travel with its payload, so pair aggregates are
+    // complete in the trigger that sees the second member)
+    val batch = operators.MultimodalOps.videoPhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(p => p._1 >= cut || p._2 >= cut).toSet
+    val streamed = tablePairs()
+    assert(batch.nonEmpty && streamed === batch,
+      "stream-probed pairs must equal the batch operator's touching pairs")
+    assert(spark.read.parquet(table + "/data").count() === streamed.size,
+      "duplicate pairs must be merged away")
+    assert(streamed.exists { case (a, b, _, _) => a < cut && b >= cut },
+      "expected a pair between a prebuilt and a streamed doc (index path)")
+    val idsBefore = operators.Snapshot.read(spark, idx + "/ids").count()
+    // full replay from a fresh checkpoint: pairs re-derive and anti-join
+    // away; already-indexed docs must not re-fold
+    run(tmpDir("graft-ckpt"))
+    assert(tablePairs() === batch)
+    assert(spark.read.parquet(table + "/data").count() === streamed.size)
+    assert(operators.Snapshot.read(spark, idx + "/ids").count() === idsBefore,
+      "replay must not re-fold already-indexed videos")
+  }
+
   test("dedup sink drift log: in-vocabulary triggers record clean, novel-vocabulary ones flag") {
     val broker = tmpDir("graft-broker")
     val table = tmpDir("graft-dedup-drift-table")
