@@ -30,7 +30,14 @@ object Bench {
     * single-pass JVM runs, min merged across them — at sf10 a
     * min-of-3 inside one JVM costs ~18 min and page-cache order
     * effects dominate anyway). */
-  val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+  val timedRuns: Int = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+    case None => 3
+    case Some(s) =>
+      val n = scala.util.Try(s.trim.toInt).getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_RUNS must be an integer >= 1, got '$s'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+  }
 
   def main(args: Array[String]): Unit = {
     val stealStart = HostStat.readStealTicks()
@@ -96,10 +103,27 @@ object Bench {
     // compact line above outgrew that window at 134 queries (r15 lost
     // its head — metric, total, and the first 50 queries — and failed
     // to parse). So the LAST line is a byte-budgeted summary that
-    // always fits: totals + errors + steal + the SLOWEST per-query
-    // entries up to ~1.3k bytes ("queries_omitted" counts the rest;
-    // the full-precision file artifact retains everything).
-    val budget = 1300
+    // always fits. r17 hardening (the r16 advice): the WHOLE line is
+    // budgeted — fixed prefix, errors array (itself capped), and
+    // steal JSON are measured and subtracted before the slowest
+    // per-query entries fill what remains — and the line carries its
+    // own metric tag ("total_summary") so a consumer scanning for the
+    // first "metric":"total" cannot mistake the truncated full line
+    // for the summary.
+    val lineBudget = 1900 // 2000-char capture window minus the sbt trailer margin
+    val allErrs = results.collect { case (k, v, _, _) if v < 0 => k }
+    // cap the errors array the same way as the queries map: names
+    // until ~400 bytes, then a count of the rest
+    val errKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var errUsed = 0
+    allErrs.foreach { k =>
+      if (errUsed + k.length + 3 <= 400) { errKept += k; errUsed += k.length + 3 }
+    }
+    val errsJson = errKept.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def prefix(omitted: Int, keptMap: String) =
+      s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries_omitted":$omitted,"errors_omitted":${allErrs.size - errKept.size},"steal_ticks":$stealTotal,"queries":$keptMap,"errors":$errsJson,"sf":"$sfDir"}"""
+    val fixedLen = prefix(results.size, "{}").length
+    val budget = math.max(0, lineBudget - fixedLen)
     val bySlow = results.filter(_._2 >= 0).sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
@@ -110,7 +134,7 @@ object Bench {
     val keptMap = kept.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val omitted = results.count(_._2 >= 0) - kept.size
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries_omitted":$omitted,"steal_ticks":$stealTotal,"queries":$keptMap,"errors":$errors,"sf":"$sfDir"}""")
+    println(prefix(omitted, keptMap))
     // Defensive full-precision copy: a truncated stdout capture must
     // not lose the round's numbers.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","steal_ticks":$stealTotal,"queries":$qs,"spread":$spread,"steal":$steal,"errors":$errors,"sf":"$sfDir"}"""

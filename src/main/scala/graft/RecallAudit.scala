@@ -295,15 +295,24 @@ object RecallAudit {
         val s = mkSigs.persist()
         try {
           sizes :+= (s"${tag}_sigs", timed(s"${tag}_sigs")(s.count()))
-          def vol(keys: org.apache.spark.sql.Column => Seq[org.apache.spark.sql.Column]): Long =
-            s.select(explode(array(keys(col("sig")): _*)).as("bb"))
+          def vol(in: DataFrame)(keys: org.apache.spark.sql.Column => Seq[org.apache.spark.sql.Column]): Long =
+            in.select(explode(array(keys(col("sig")): _*)).as("bb"))
               .groupBy(col("bb.band"), col("bb.bkey")).count()
               .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
               .first().getLong(0)
           sizes :+= (s"${tag}_cand_bandpair", timed(s"${tag}_cand_bandpair") {
-            vol(operators.DedupOps.hammingBandPairKeys) })
+            vol(s)(operators.DedupOps.hammingBandPairKeys) })
           sizes :+= (s"${tag}_cand_singleband", timed(s"${tag}_cand_singleband") {
-            vol(operators.DedupOps.hammingSingleBandKeys) })
+            vol(s)(operators.DedupOps.hammingSingleBandKeys) })
+          // r17 identical-signature pre-grouping: the candidate volume
+          // the shipped join actually feeds is Σ C(bucket,2) over
+          // DISTINCT signatures — recorded next to the per-row volume
+          // above so the dup-dense collapse is a measured before/after
+          // (sf10 image: 207M -> 39k) at every audited SF
+          val d = s.select(col("sig")).distinct()
+          sizes :+= (s"${tag}_sigs_distinct", timed(s"${tag}_sigs_distinct")(d.count()))
+          sizes :+= (s"${tag}_cand_bandpair_grouped", timed(s"${tag}_cand_bandpair_grouped") {
+            vol(d)(operators.DedupOps.hammingBandPairKeys) })
         } finally s.unpersist()
       }
       volumeSeat(operators.DedupOps.simhashSigs(spark, sfDir), "simhash")

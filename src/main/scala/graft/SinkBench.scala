@@ -191,9 +191,33 @@ object SinkBench {
         stream(broker, "docs", slice.length,
           streaming.Pipelines.videoPhashIndexSink(_, idx, table, graceMs = graceMs))
 
+      case "audio-phash" =>
+        // the phash-mode setup at the audio granularity: same
+        // (doc_id, sig) index layout under the audio population
+        // marker; the sink's WAV-tag gate drops other payloads
+        // map-side
+        val streamed: Column =
+          if (sliceTenths == 1) pmod(col("doc_id"), lit(10)) === 7
+          else pmod(col("doc_id"), lit(10)) >= (10 - sliceTenths)
+        val idx = tmp("graft-sinkbench-aphidx")
+        operators.MultimodalOps.audioPhashIndexBuild(spark, sfDir, idx, !streamed)
+        val slice = Tables(spark, sfDir, "documents")
+          .filter(streamed)
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val broker = tmp("graft-sinkbench-broker")
+        sources.GraftQueueBroker.publish(broker, "docs", slice.map { case (id, text) =>
+          sources.GraftQueueBroker.textMsg(
+            id, 1700000000000000L + id * 1000L, "t/docs/0", text)
+        })
+        val table = tmp("graft-sinkbench-aphtable")
+        stream(broker, "docs", slice.length,
+          streaming.Pipelines.audioPhashIndexSink(_, idx, table, graceMs = graceMs))
+
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode '$other' (dedup | vector | vector-drift | phash | video-phash)")
+          s"unknown mode '$other' (dedup | vector | vector-drift | phash | " +
+            "video-phash | audio-phash)")
     }
 
     val durs = q.recentProgress.toSeq

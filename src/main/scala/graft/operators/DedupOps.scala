@@ -615,33 +615,142 @@ object DedupOps {
     * Measured at 3 SFs in the RECALL artifacts (candidate-volume
     * seat, RecallAudit.scala).
     *
+    * SIGNATURE-SKEW BOUND (r17 — the one 100×-scale risk the r16
+    * verdict left open): real media corpora have MODE signatures —
+    * silence, black frames, solid-color images — and a mode
+    * signature makes all 28 of its band-pair keys hot, driving the
+    * band join's candidate volume Σ bucket² quadratic in the mode's
+    * population. Two-part fix, mirroring the minhash df cap's shape:
+    *
+    *  1. IDENTICAL-SIGNATURE PRE-GROUPING (exact, lossless): only
+    *     DISTINCT (extraKeys…, sig) rows enter the band join, so
+    *     candidate compute is Σ bucket² over distinct signatures —
+    *     which collapses precisely the dup-dense regime (measured on
+    *     this corpus at sf10: the image family's 124,958 signature
+    *     rows hold 3,673 distinct signatures; candidate volume drops
+    *     207M → 39k, RECALL band-geometry seat). Verified signature
+    *     PAIRS then expand back to doc pairs through two equi-joins
+    *     against the member rows (cross-group) plus one member
+    *     self-join on the signature (intra-group, hamming 0) — plain
+    *     hash-partitioned joins whose row count equals the OUTPUT
+    *     pair count, i.e. inherent work, with AQE skew-split
+    *     available since they are standard shuffle joins. Provably
+    *     output-identical: every output pair has either two distinct
+    *     signatures (cross: surfaced by the pigeonhole band join on
+    *     distinct sigs, expanded once since its groups are disjoint)
+    *     or one shared signature (intra: hamming 0 ≤ any threshold,
+    *     emitted once by the a<b self-join). Spec-pinned against the
+    *     naive all-pairs join on a mode-signature corpus.
+    *  2. A DF-STYLE PER-KEY CEILING on the residual: a (band, bkey
+    *     [, extraKeys]) bucket holding > `maxKeySigs` DISTINCT
+    *     signatures is dropped from candidate generation (a window
+    *     count over the same hash partitioning the join needs — no
+    *     extra shuffle). Beyond the ceiling a key contributes
+    *     > C(maxKeySigs, 2) ≈ 5·10⁷ comparisons on its own; the
+    *     minhash cap's documented-loss contract applies: a pair is
+    *     lost only if EVERY one of its ≥ C(2,2) clean band-pair keys
+    *     is hot, and the default ceiling (10,000) sits ~17× above
+    *     the largest bucket observed at sf10 (600, video slot keys;
+    *     image 18, audio 20, simhash 53 — measured r17), so every
+    *     correctness gate runs cap-silent. Hamming 0 pairs are NEVER
+    *     lost: the intra-group path bypasses the band join entirely.
+    *
     * `sigs` must have columns (doc_id: long, sig: long) plus any
-    * `extraKeys`; returns (extraKeys…, doc_a, doc_b, hamming: int)
-    * with hamming ≤ maxHamming ≤ 6. `extraKeys` join ALONGSIDE the
-    * band key — [[graft.operators.MultimodalOps.videoPhash]] passes
-    * its frame slot so only same-instant frames ever become
-    * candidates (the pair-key domain multiplies by the slot
-    * cardinality, never the candidate volume). */
+    * `extraKeys`, ONE ROW PER (extraKeys…, doc_id) — every caller in
+    * the library satisfies this by construction (one signature per
+    * document / per (video, slot)); returns (extraKeys…, doc_a,
+    * doc_b, hamming: int) with hamming ≤ maxHamming ≤ 6, one row per
+    * pair (no trailing doc-pair distinct: uniqueness is structural,
+    * which removes the old output-sized dedup shuffle — 35M rows at
+    * sf10 on the image family). `extraKeys` join ALONGSIDE the band
+    * key — [[graft.operators.MultimodalOps.videoPhash]] passes its
+    * frame slot so only same-instant frames ever become candidates
+    * (the pair-key domain multiplies by the slot cardinality, never
+    * the candidate volume). */
   def hammingBandJoin(sigs: DataFrame, maxHamming: Int,
-                      extraKeys: Seq[String] = Nil): DataFrame = {
+                      extraKeys: Seq[String] = Nil,
+                      maxKeySigs: Int = hammingKeyMaxSigs): DataFrame = {
     require(maxHamming <= 6,
       s"band-pair pigeonhole holds only to hamming 6, got $maxHamming")
+    require(maxKeySigs >= 2, s"per-key ceiling must allow a pair, got $maxKeySigs")
     val ek = extraKeys.map(col)
-    val bands = sigs.select(ek ++ Seq(col("doc_id"), col("sig"),
+    // ONE hash repartition on (extraKeys…, sig) up front: the distinct
+    // below, the intra self-join, and both cross-expansion joins all
+    // cluster on exactly these keys, so every consumer reuses this one
+    // exchange (ReuseExchange/AQE stage reuse) instead of re-running
+    // the payload scan + signature kernel per consumer — at 100 TB the
+    // kernel pass happens once and only 16-byte signature rows ever
+    // move again. Reuse needs CANONICALLY IDENTICAL subplans in every
+    // branch, hence two deliberate quirks: the explicit not-null
+    // filter (so no branch acquires its own inferred-isnotnull
+    // variant from its join keys) and the distinct-signatures step
+    // below consuming doc_id through an aggregate (so no branch gets
+    // a narrower pruned scan).
+    val members = sigs.select(ek ++ Seq(col("sig"), col("doc_id")): _*)
+      .filter(col("sig").isNotNull && col("doc_id").isNotNull)
+      .repartition(ek :+ col("sig"): _*)
+    // (1) identical-signature pre-grouping: only distinct signatures
+    // band-join; the explode is 28 narrow rows per DISTINCT signature
+    val bands = members.groupBy(ek :+ col("sig"): _*)
+      .agg(min(col("doc_id")).as("_rep")).drop("_rep")
+      .select(ek ++ Seq(col("sig"),
         explode(array(hammingBandPairKeys(col("sig")): _*)).as("bb")): _*)
-      .select(ek ++ Seq(col("doc_id"), col("sig"),
+      .select(ek ++ Seq(col("sig"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey")): _*)
-    val ba = bands.select(ek ++ Seq(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a")): _*)
-    val bb2 = bands.select(ek ++ Seq(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b")): _*)
-    ba.join(bb2, Seq("band", "bkey") ++ extraKeys)
-      .filter(col("doc_a") < col("doc_b"))
-      .select(ek ++ Seq(col("doc_a"), col("doc_b"),
+    // (2) per-key distinct-signature ceiling — a window count over
+    // exactly the (band, bkey[, extraKeys]) partitioning the self-join
+    // below shuffles on: the cap rides the join's own exchange + sort
+    // (no separate counting pass — a groupBy hot-key formulation
+    // measured an extra 14M-row aggregate pass on the sf10 simhash
+    // family), and because the 28× explode happens BELOW this
+    // exchange, the join sides carry honest materialized sizes — AQE
+    // never mistakes the banded side for broadcastable (with the
+    // explode above a small shuffle stage it builds the exploded side
+    // as a driver hash relation: measured 5× the query's honest wall)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((Seq("band", "bkey") ++ extraKeys).map(col): _*)
+    val capped = bands.withColumn("kdf", count(lit(1)).over(w))
+      .filter(col("kdf") <= maxKeySigs).drop("kdf")
+    val sigPairs = capped
+      .select(ek ++ Seq(col("band"), col("bkey"), col("sig").as("sig_a")): _*)
+      .join(capped.select(ek ++ Seq(col("band"), col("bkey"),
+        col("sig").as("sig_b")): _*), Seq("band", "bkey") ++ extraKeys)
+      .filter(col("sig_a") < col("sig_b"))
+      .select(ek ++ Seq(col("sig_a"), col("sig_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")): _*)
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .distinct() // collapse multi-key candidate hits at SIGNATURE-pair size
+    // expansion back to doc pairs: cross-group via two member joins
+    // (each output pair produced exactly once — the two sig groups
+    // are disjoint), intra-group via the hamming-0 self-join
+    val cross = sigPairs
+      .join(members.withColumnRenamed("sig", "sig_a")
+        .withColumnRenamed("doc_id", "id_a"), Seq("sig_a") ++ extraKeys)
+      .join(members.withColumnRenamed("sig", "sig_b")
+        .withColumnRenamed("doc_id", "id_b"), Seq("sig_b") ++ extraKeys)
+      .select(ek ++ Seq(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming")): _*)
+    val intra = members
+      .select(ek ++ Seq(col("sig"), col("doc_id").as("doc_a")): _*)
+      .join(members.select(ek ++ Seq(col("sig"),
+        col("doc_id").as("doc_b")): _*), Seq("sig") ++ extraKeys)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(ek ++ Seq(col("doc_a"), col("doc_b"),
+        lit(0).cast("int").as("hamming")): _*)
+    cross.unionByName(intra)
   }
+
+  /** Default [[hammingBandJoin]] per-key distinct-signature ceiling —
+    * the Hamming family's [[maxDfCeiling]] twin. 10,000 distinct
+    * signatures in one (band, bkey) bucket bounds that key's
+    * candidate contribution at C(10k, 2) ≈ 5·10⁷ comparisons; the
+    * largest bucket measured at sf10 across all four signature
+    * families is 600, so the gates run cap-silent with ~17×
+    * headroom. Documented loss above the ceiling (the minhash
+    * contract): a pair whose EVERY clean band-pair key is hot is
+    * dropped from candidates — identical-signature (hamming 0) pairs
+    * are exempt by construction. */
+  val hammingKeyMaxSigs: Int = 10000
 
   /** The 28 band-pair key structs for [[hammingBandJoin]] — band id
     * 8i+j, key bandᵢ·256 + bandⱼ (i < j). Exposed so the RecallAudit

@@ -1756,10 +1756,65 @@ object MultimodalOps {
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
         col("doc_id"), col("sig"))
 
-  private def requirePhashIndex(spark: SparkSession, idx: String): Unit =
+  /** SIGNED-POPULATION version markers for the signature indexes
+    * (r17, the r16 advice): widening a signer's population (the r16
+    * GIF addition to [[imagePhashSigsOf]]) silently invalidates any
+    * index built before the widening — a completion-marker-only check
+    * would happily probe an index that lacks every GIF member and
+    * miss pairs against pre-indexed docs with no error. Each index
+    * build stamps a `_POPULATION` marker naming the signer population
+    * + version it was built under; every require checks the marker
+    * against the CURRENT population id and fails with a rebuild
+    * message on mismatch (including the missing-marker case: any
+    * index built before r17 predates the GIF widening's gate). Bump
+    * the version string whenever a signer's population or kernel
+    * changes shape. */
+  val imagePhashPopulation = "image:bmp+gif:v2"
+  val audioPhashPopulation = "audio:wav:v1"
+  val videoPhashPopulation = "video:mp4:v1"
+
+  private def populationPath(idx: String) =
+    new org.apache.hadoop.fs.Path(s"$idx/_POPULATION")
+
+  private def writePopulationMarker(spark: SparkSession, idx: String,
+                                    population: String): Unit = {
+    val p = populationPath(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(population.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readPopulationMarker(spark: SparkSession, idx: String): Option[String] = {
+    val p = populationPath(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](256) // marker ids are short by construction
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(0, n),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private def requireSigIndex(spark: SparkSession, idx: String,
+                              population: String, rebuildHint: String): Unit = {
     require(graft.operators.VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"),
-      s"$idx is not a complete phash index (crashed mid-rebuild? " +
-        "re-run phashRebuildIndex)")
+      s"$idx is not a complete signature index (crashed mid-rebuild? " +
+        s"re-run $rebuildHint)")
+    val got = readPopulationMarker(spark, idx)
+    require(got.contains(population),
+      s"$idx was built under signer population ${got.getOrElse("<pre-marker>")} " +
+        s"but the current signer is $population — its members are missing from " +
+        s"the index and probes would silently miss pairs; re-run $rebuildHint")
+  }
+
+  private def requirePhashIndex(spark: SparkSession, idx: String,
+                                population: String = imagePhashPopulation): Unit =
+    requireSigIndex(spark, idx, population, "phashRebuildIndex")
 
   /** (Re)build the image-signature dedup index from an arbitrary
     * (doc_id, sig) frame — the state the streaming ingestion sink
@@ -1775,13 +1830,18 @@ object MultimodalOps {
     * the minhash index there is NO frozen-universe drift: the
     * signature kernel is corpus-independent, so incremental folds
     * never degrade and a rebuild is only ever a compaction concern. */
-  def phashRebuildIndex(spark: SparkSession, sigs: DataFrame, idx: String): Unit = {
+  def phashRebuildIndex(spark: SparkSession, sigs: DataFrame, idx: String,
+                        population: String = imagePhashPopulation): Unit = {
     val s = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = s.count()
       s.select(col("doc_id"), DedupOps.keyBucket(col("doc_id")).as("kb"))
         .coalesce(graft.operators.VectorOps.appendParts(n))
         .write.mode("overwrite").partitionBy("kb").parquet(s"$idx/ids")
+      // population marker BEFORE bands: `bands/_SUCCESS` stays the one
+      // completion marker — a crash here leaves an index that fails
+      // the completion check, never a marker-less complete index
+      writePopulationMarker(spark, idx, population)
       phashBands(s).coalesce(graft.operators.VectorOps.appendParts(n * 28))
         .write.mode("overwrite").parquet(s"$idx/bands")
     } finally s.unpersist()
@@ -1802,8 +1862,9 @@ object MultimodalOps {
     * calls (the sink anti-joins [[DedupOps.indexedIds]] first), and
     * `batchSigs` must not be a plan that reads this index's paths
     * (localCheckpoint first, as the sink does). */
-  def phashIndexUpdate(spark: SparkSession, batchSigs: DataFrame, idx: String): Unit = {
-    requirePhashIndex(spark, idx)
+  def phashIndexUpdate(spark: SparkSession, batchSigs: DataFrame, idx: String,
+                       population: String = imagePhashPopulation): Unit = {
+    requirePhashIndex(spark, idx, population)
     val s = batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = s.count()
@@ -1825,8 +1886,9 @@ object MultimodalOps {
     * hamming) exactly: update-before-probe over the whole corpus
     * reproduces the batch operator's pair set (spec-pinned). */
   def phashProbeIndex(spark: SparkSession, batchSigs: DataFrame,
-                      idx: String): DataFrame = {
-    requirePhashIndex(spark, idx)
+                      idx: String,
+                      population: String = imagePhashPopulation): DataFrame = {
+    requirePhashIndex(spark, idx, population)
     val bands = Snapshot.read(spark, s"$idx/bands")
     phashBands(batchSigs)
       .join(bands.select(col("band"), col("bkey"),
@@ -2055,9 +2117,7 @@ object MultimodalOps {
         col("doc_id"), col("sig"))
 
   private def requireVideoPhashIndex(spark: SparkSession, idx: String): Unit =
-    require(graft.operators.VectorOps.hExists(spark, s"$idx/bands/_SUCCESS"),
-      s"$idx is not a complete video-phash index (crashed mid-rebuild? " +
-        "re-run videoPhashRebuildIndex)")
+    requireSigIndex(spark, idx, videoPhashPopulation, "videoPhashRebuildIndex")
 
   /** (Re)build the video-signature dedup index from a (doc_id, slot,
     * sig) frame — the [[phashRebuildIndex]] layout one granularity
@@ -2073,6 +2133,7 @@ object MultimodalOps {
         .select(col("doc_id"), DedupOps.keyBucket(col("doc_id")).as("kb"))
         .coalesce(graft.operators.VectorOps.appendParts(n))
         .write.mode("overwrite").partitionBy("kb").parquet(s"$idx/ids")
+      writePopulationMarker(spark, idx, videoPhashPopulation)
       videoPhashBands(s).coalesce(graft.operators.VectorOps.appendParts(n * 28))
         .write.mode("overwrite").parquet(s"$idx/bands")
     } finally s.unpersist()
@@ -2241,4 +2302,18 @@ object MultimodalOps {
        |FROM ap a JOIN ap b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $phashMaxHamming""".stripMargin
   }
+
+  /** Build the audio-signature dedup index over a directory's WAV
+    * payloads — the [[phashIndexBuild]] contract at the audio
+    * granularity: the audio signatures share the image family's
+    * (doc_id, sig) shape, so the banded index layout, fold, and probe
+    * are the SAME machinery ([[phashRebuildIndex]]/[[phashIndexUpdate]]/
+    * [[phashProbeIndex]]) under the [[audioPhashPopulation]] marker —
+    * which also guarantees an audio index and an image index can
+    * never be silently probed for each other. */
+  def audioPhashIndexBuild(spark: SparkSession, dir: String, idx: String,
+                           docFilter: Column = lit(true)): Unit =
+    phashRebuildIndex(spark,
+      audioPhashSigsOf(Tables(spark, dir, "documents").filter(docFilter)), idx,
+      population = audioPhashPopulation)
 }

@@ -103,7 +103,12 @@ object TrainingPipeline {
     * up ([[MultimodalOps.videoPhash]]): docs whose payload demuxes to
     * ≥ 2 sample instants matching a smaller-doc_id video at Hamming
     * ≤ 6 are dropped — identical polarity, anti-join on doc_b,
-    * non-demuxable payloads fall through untouched. */
+    * non-demuxable payloads fall through untouched.
+    *
+    * `audioDupFilter = true` (r17) completes the perceptual trio
+    * ([[MultimodalOps.audioPhash]]): docs whose WAV payload's
+    * energy-contour signature matches a smaller-doc_id audio at
+    * Hamming ≤ 6 are dropped — same polarity and fall-through. */
   def survivors(spark: SparkSession, dir: String,
                 exactDedup: Boolean = false,
                 scaleMode: Boolean = true,
@@ -112,7 +117,8 @@ object TrainingPipeline {
                 lmScoreFilter: Boolean = false,
                 qualityByLang: Boolean = false,
                 imageDupFilter: Boolean = false,
-                videoDupFilter: Boolean = false): DataFrame = {
+                videoDupFilter: Boolean = false,
+                audioDupFilter: Boolean = false): DataFrame = {
     val d = Tables(spark, dir, "documents")
 
     // near-dup drop-set: larger id of every near-dup pair
@@ -169,12 +175,21 @@ object TrainingPipeline {
           .select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else afterQbl
-    val filtered =
+    val afterVid =
       if (videoDupFilter)
         afterImg.join(MultimodalOps.videoPhash(spark, dir)
           .select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else afterImg
+    // audioDupFilter (r17): the fifth perceptual rung, identical
+    // polarity — docs whose WAV payload matches a smaller-doc_id
+    // audio at Hamming <= 6 drop; non-WAV payloads fall through
+    val filtered =
+      if (audioDupFilter)
+        afterVid.join(MultimodalOps.audioPhash(spark, dir)
+          .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else afterVid
     filtered
       .withColumn("stratum", TextOps.stratumCol)
       .withColumn("h", TextOps.sampleHashCol)

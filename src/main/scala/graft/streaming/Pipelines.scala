@@ -846,7 +846,40 @@ object Pipelines {
                      tablePath: String,
                      maintain: Boolean = true,
                      graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
-                     maxMergeJobs: Int = 3): DataStreamWriter[Row] = {
+                     maxMergeJobs: Int = 3): DataStreamWriter[Row] =
+    sigIndexSink(messages,
+      graft.operators.MultimodalOps.imagePhashSigsOf,
+      graft.operators.MultimodalOps.imagePhashPopulation,
+      indexDir, tablePath, maintain, graceMs, maxMergeJobs)
+
+  /** Ingestion-time AUDIO dedup on the stream — the FIFTH signature
+    * family's batch/stream symmetry (r17): [[phashIndexSink]]'s exact
+    * composition with [[graft.operators.MultimodalOps.audioPhashSigsOf]]
+    * as the per-batch signer. Audio signatures share the image
+    * family's (doc_id, sig) shape, so the fold/probe/idempotency
+    * machinery is literally the same code under the audio population
+    * marker; like the image and video sinks there is no driftlog seat
+    * (the energy-contour kernel is corpus-independent — folds never
+    * decay, rebuilds are a compaction concern). */
+  def audioPhashIndexSink(messages: DataFrame, indexDir: String,
+                          tablePath: String,
+                          maintain: Boolean = true,
+                          graceMs: Long = graft.operators.Snapshot.DefaultGraceMs,
+                          maxMergeJobs: Int = 3): DataStreamWriter[Row] =
+    sigIndexSink(messages,
+      graft.operators.MultimodalOps.audioPhashSigsOf,
+      graft.operators.MultimodalOps.audioPhashPopulation,
+      indexDir, tablePath, maintain, graceMs, maxMergeJobs)
+
+  /** The shared (doc_id, sig)-granularity signature-ingestion sink the
+    * image and audio families instantiate with their signer +
+    * population marker. */
+  private def sigIndexSink(messages: DataFrame,
+                           signer: DataFrame => DataFrame,
+                           population: String,
+                           indexDir: String, tablePath: String,
+                           maintain: Boolean, graceMs: Long,
+                           maxMergeJobs: Int): DataStreamWriter[Row] = {
     val dataPath = tablePath + "/data"
     messages.writeStream
       .outputMode("append")
@@ -857,17 +890,17 @@ object Pipelines {
         // because the sigs feed the membership anti-join, the fold,
         // and the probe — and the fold appends to paths the probe
         // reads (the incrementalDedupSink self-scan rule)
-        val sigs = graft.operators.MultimodalOps
-          .imagePhashSigsOf(latestDocVersion(batch))
+        val sigs = signer(latestDocVersion(batch))
           .withColumn("kb", graft.operators.DedupOps.keyBucket(col("doc_id")))
           .localCheckpoint(true)
         val newSigs = sigs.join(
           graft.operators.DedupOps.indexedIds(spark, indexDir, bucketsOf(sigs)),
           Seq("doc_id"), "left_anti").select("doc_id", "sig").localCheckpoint(true)
         if (!newSigs.isEmpty)
-          graft.operators.MultimodalOps.phashIndexUpdate(spark, newSigs, indexDir)
+          graft.operators.MultimodalOps.phashIndexUpdate(
+            spark, newSigs, indexDir, population)
         val pairs = graft.operators.MultimodalOps
-          .phashProbeIndex(spark, sigs.select("doc_id", "sig"), indexDir)
+          .phashProbeIndex(spark, sigs.select("doc_id", "sig"), indexDir, population)
           .withColumn("kb",
             graft.operators.DedupOps.keyBucket(col("doc_a"), col("doc_b")))
           .localCheckpoint(true)

@@ -500,6 +500,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("signature populations partition by container tag: no doc signs " +
+    "in two families, and each family stays inside its declared residues") {
+    // the dispatch-table invariant (r17): with four signature families
+    // gated on disjoint doc_id residues — image 1-2, audio 3, video 6
+    // (mod 8), text = shingle-bearing docs of any tag — a gate edit
+    // that lets one family's signer see another's payload class would
+    // silently corrupt both gates. Pin the partition over the corpus.
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val img = ids(operators.MultimodalOps.imagePhashSigs(spark, SparkSpec.sf))
+    val aud = ids(operators.MultimodalOps.audioPhashSigs(spark, SparkSpec.sf))
+    val vid = ids(operators.MultimodalOps.videoPhashSigs(spark, SparkSpec.sf))
+    assert(img.nonEmpty && aud.nonEmpty && vid.nonEmpty)
+    assert(img.forall(id => id % 8 == 1 || id % 8 == 2),
+      s"image signer outside the raster tags: ${img.filterNot(id => id % 8 == 1 || id % 8 == 2)}")
+    assert(aud.forall(_ % 8 == 3),
+      s"audio signer outside the WAV tag: ${aud.filterNot(_ % 8 == 3)}")
+    assert(vid.forall(_ % 8 == 6),
+      s"video signer outside the MP4 tag: ${vid.filterNot(_ % 8 == 6)}")
+    assert((img & aud).isEmpty && (img & vid).isEmpty && (aud & vid).isEmpty,
+      "signature families must never share a doc")
+  }
+
   test("audio kernel: resample-invariant (2x upsample), local-edit " +
     "bound, content-sensitive, offset honored") {
     import graft.functions.AudioPhashKernel

@@ -103,10 +103,15 @@ class QueriesSpec extends AnyFunSuite {
     val sevenBands = base ^ 0x01010101010101L
     val oneBand = base ^ 0x3FL // hamming-6 all inside band 0
     val oneBit = base ^ 0x8000000000000000L // sign bit: the shiftright path
-    val sigs = Seq(
+    // MODE signatures (r17 pre-grouping): docs 9-13 all share `base`
+    // (a 6-member identical-signature group with doc 1), exercising
+    // the intra-group hamming-0 path AND the cross expansion of a
+    // multi-member group against its near-dup neighbours
+    val sigs = (Seq(
       1L -> base, 2L -> sixBands, 3L -> sevenBands, 4L -> oneBand,
       5L -> oneBit, 6L -> 0L, 7L -> -1L, 8L -> 0x5555555555555555L
-    ).toDF("doc_id", "sig")
+    ) ++ (9L to 13L).map(_ -> base) ++ Seq(14L -> sixBands))
+      .toDF("doc_id", "sig")
     val banded = operators.DedupOps.hammingBandJoin(sigs, 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -117,8 +122,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(naive.contains((1L, 2L, 6)), "six-band boundary pair must exist")
     assert(naive.contains((1L, 4L, 6)))
     assert(naive.contains((1L, 5L, 1)))
+    assert(naive.contains((9L, 10L, 0)), "intra-group pair must exist")
+    assert(naive.contains((2L, 9L, 6)), "group-member cross pair must exist")
     assert(!naive.exists(p => p._1 == 1L && p._2 == 3L), "hamming-7 excluded")
     assert(banded == naive, s"banded ${banded} != naive ${naive}")
+    assert(operators.DedupOps.hammingBandJoin(sigs, 6).count() ===
+      naive.size.toLong, "one row per pair — no structural duplicates")
+  }
+
+  test("hammingBandJoin per-key ceiling: hamming-0 pairs and multi-key " +
+    "survivors are exempt, single-key pairs above the ceiling drop (documented loss)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a MODE population: 50 docs share one signature — under the r16
+    // formulation every one of its 28 keys held a 50-deep bucket
+    // (Σ bucket² quadratic); under pre-grouping the band join sees ONE
+    // row and the 1,225 output pairs come from the intra path, so even
+    // a ceiling of 2 cannot lose them
+    val mode = 0x0F0F0F0F0F0F0F0FL
+    val modeDocs = (1L to 50L).map(_ -> mode)
+    // a hamming-6 neighbour of the mode sig, 6 bits spread over bands
+    // 0..5: its ONLY clean pair key is (6,7) — shared with the mode
+    // group and with `diverse` below
+    val oneKey = mode ^ 0x010101010101L
+    // a hamming-1 neighbour: 27 of its 28 pair keys stay clean
+    val multiKey = mode ^ 0x1L
+    val sigs = (modeDocs ++ Seq(100L -> oneKey, 101L -> multiKey))
+      .toDF("doc_id", "sig")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default ceiling: exact — every doc pairs with every other
+    val full = pairs(operators.DedupOps.hammingBandJoin(sigs, 6))
+    assert(full.size === 52 * 51 / 2, "all pairs present at the default ceiling")
+    // ceiling 2: the (6,7) key bucket holds {mode, oneKey, multiKey} =
+    // 3 distinct sigs -> dropped. Intra-group mode pairs survive (the
+    // pre-grouping exemption); multiKey still pairs with mode through
+    // its 21 other clean pair keys (2-deep buckets), and oneKey keeps
+    // (oneKey, multiKey) (hamming 5, clean keys (0,6)/(0,7) hold only
+    // those two sigs); oneKey's mode pairs are the documented loss.
+    val capped = pairs(operators.DedupOps.hammingBandJoin(sigs, 6, maxKeySigs = 2))
+    assert(capped((100L, 101L)),
+      "the hot key only removes itself — other quiet keys still pair")
+    assert((1L to 50L).combinations(2).forall(p => capped((p(0), p(1)))),
+      "hamming-0 mode pairs are never lost to the ceiling")
+    assert((1L to 50L).forall(d => capped((d, 101L))),
+      "a pair with a quiet clean key survives the ceiling")
+    assert((1L to 50L).forall(d => !capped((d, 100L))),
+      "a pair whose only clean key is hot drops above the ceiling")
   }
 
   test("simhash kernel equals the aggregate formulation bit-for-bit") {
@@ -862,6 +912,26 @@ class QueriesSpec extends AnyFunSuite {
     // keep-rule polarity: a doc appearing ONLY as the smaller pair
     // side (doc_a, the survivor) passes the stage untouched
     val pureKeepers = operators.MultimodalOps.videoPhash(spark, sf)
+      .select(col("doc_a")).collect().map(_.getLong(0)).toSet.diff(dropped)
+    assert(base.intersect(pureKeepers).subsetOf(withStage))
+  }
+
+  test("training_pipeline: optional audio-dup stage composes as exactly " +
+    "the anti-predicate of audioPhash's doc_b side") {
+    import org.apache.spark.sql.functions.col
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(operators.TrainingPipeline.survivors(spark, sf))
+    val dropped = operators.MultimodalOps.audioPhash(spark, sf)
+      .select(col("doc_b").as("doc_id")).collect().map(_.getLong(0)).toSet
+    val withStage = ids(operators.TrainingPipeline
+      .survivors(spark, sf, audioDupFilter = true))
+    assert(withStage === base.diff(dropped),
+      "the audio-dup stage must compose as exactly its own anti-predicate")
+    assert(dropped.nonEmpty, "the planted WAV pairs must exist here")
+    // keep-rule polarity: a doc appearing ONLY as the smaller pair
+    // side (doc_a, the survivor) passes the stage untouched
+    val pureKeepers = operators.MultimodalOps.audioPhash(spark, sf)
       .select(col("doc_a")).collect().map(_.getLong(0)).toSet.diff(dropped)
     assert(base.intersect(pureKeepers).subsetOf(withStage))
   }

@@ -784,6 +784,87 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not re-fold already-indexed docs")
   }
 
+  test("streaming audio-phash ingestion: stream-probed audio pairs equal " +
+    "the batch operator on pairs touching the stream, replay is a no-op") {
+    val broker = tmpDir("graft-broker")
+    val table = tmpDir("graft-aphash-table")
+    val idx = tmpDir("graft-aphidx-stream")
+    val sf = SparkSpec.sf
+    val cut = 100L // group (19,59) pre-builds whole; (99,139) crosses the cut
+    operators.MultimodalOps.audioPhashIndexBuild(spark, sf, idx,
+      col("doc_id") < cut)
+    // only the WAV tag streams — other tags never sign
+    val incoming = Tables(spark, sf, "documents")
+      .filter(col("doc_id") >= cut && pmod(col("doc_id"), lit(8L)) === 3)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    GraftQueueBroker.publish(broker, "docs", incoming.map { case (id, text) =>
+      GraftQueueBroker.textMsg(id, 1700000000000000L + id * 1000000L, "t/docs/0", text)
+    })
+    def run(ckpt: String): Unit = {
+      // small trigger cap: cross-trigger pairs must go through the
+      // INDEX, not batch locality
+      val msgs = Pipelines.readQueues(spark, broker, Seq("docs"),
+        maxRecordsPerTrigger = Some(10))
+      val q = Pipelines.audioPhashIndexSink(msgs, idx, table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("graft-ckpt"))
+    def tablePairs() = spark.read.parquet(table + "/data")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // the ingestion contract: every batch pair TOUCHING the streamed
+    // slice (prebuilt-prebuilt pairs were never probed)
+    val batch = operators.MultimodalOps.audioPhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 >= cut || p._2 >= cut).toSet
+    val streamed = tablePairs()
+    assert(batch.nonEmpty && streamed === batch,
+      "stream-probed pairs must equal the batch operator's touching pairs")
+    assert(spark.read.parquet(table + "/data").count() === streamed.size,
+      "duplicate pairs must be merged away")
+    assert(streamed.exists { case (a, b, _) => a < cut && b >= cut },
+      "expected a pair between a prebuilt and a streamed doc (index path)")
+    val idsBefore = operators.Snapshot.read(spark, idx + "/ids").count()
+    // full replay from a fresh checkpoint: pairs re-derive and anti-join
+    // away; already-indexed docs must not re-fold
+    run(tmpDir("graft-ckpt"))
+    assert(tablePairs() === batch)
+    assert(spark.read.parquet(table + "/data").count() === streamed.size)
+    assert(operators.Snapshot.read(spark, idx + "/ids").count() === idsBefore,
+      "replay must not re-fold already-indexed audios")
+  }
+
+  test("signature-index population markers: a stale or missing marker fails " +
+    "loud with a rebuild message, and families never cross-probe") {
+    val sf = SparkSpec.sf
+    val idx = tmpDir("graft-phidx-marker")
+    operators.MultimodalOps.phashIndexBuild(spark, sf, idx)
+    // healthy: the probe accepts the index it just built
+    val sigs = operators.MultimodalOps.imagePhashSigs(spark, sf).limit(1)
+    operators.MultimodalOps.phashProbeIndex(spark, sigs, idx).count()
+    // an image index is NOT an audio index: the same layout under the
+    // wrong population marker must fail loud, not silently miss pairs
+    val crossEx = intercept[IllegalArgumentException] {
+      operators.MultimodalOps.phashProbeIndex(spark, sigs, idx,
+        operators.MultimodalOps.audioPhashPopulation).count()
+    }
+    assert(crossEx.getMessage.contains("re-run"), crossEx.getMessage)
+    // a marker-less index (pre-r17 build: predates the GIF widening's
+    // gate) must fail loud with the rebuild hint
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_POPULATION")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val staleEx = intercept[IllegalArgumentException] {
+      operators.MultimodalOps.phashProbeIndex(spark, sigs, idx).count()
+    }
+    assert(staleEx.getMessage.contains("pre-marker") &&
+      staleEx.getMessage.contains("re-run phashRebuildIndex"), staleEx.getMessage)
+    // a rebuild under the current signer heals it
+    operators.MultimodalOps.phashIndexBuild(spark, sf, idx)
+    operators.MultimodalOps.phashProbeIndex(spark, sigs, idx).count()
+  }
+
   test("streaming video-phash ingestion: stream-probed video pairs equal " +
     "the batch operator on pairs touching the stream, replay is a no-op") {
     // sf0.01: the planted video classes (mod 320) need ≥ 199 docs
