@@ -68,8 +68,20 @@ object DedupOps {
 
   private def cappedShinglesOf(docs: DataFrame): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs")).scalar()
+    // ONE shingle-keyed exchange (r17) shared by the df aggregate and
+    // the keep join: without it the df branch and the join branch each
+    // re-run the scan + shingling + explode (the df branch's partial
+    // count shuffles ~the same instance stream the join shuffles, so
+    // the second exchange saved nothing), and at small SFs AQE
+    // broadcast the keep side, which re-executes the subtree per
+    // consumer. Both consumers cluster on exactly `s`, so the df
+    // aggregate and the join run partition-local off this one shuffle
+    // — one corpus scan + one corpus exchange, with no unbounded
+    // broadcast of the keep universe (which at 100 TB is vocabulary-
+    // sized, not broadcastable).
     val ex = docs
       .select(col("doc_id"), explode(distinctShingles3(col("text"))).as("s"))
+      .repartition(col("s"))
     val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") * maxDfShareDenom <= nDocs && col("df") <= maxDfCeiling)
     ex.join(keep, "s") // keeps df column for the prefix order
@@ -1308,9 +1320,18 @@ object DedupOps {
     val k = spanGram
     val grams = kGrams(tokens(col("text")), k)
     val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
-    val g = Tables(spark, dir, "documents")
+    // ONE gram-keyed exchange (r17) shared by the dup-gram aggregate
+    // and the semi join: the countDistinct partial already shuffled
+    // ~the full (gk, doc_id) instance stream, so clustering the probe
+    // side on the same exchange costs only the extra pos column while
+    // deleting the second scan + gram explode AND the dup-gram-set
+    // broadcast (unbounded at 100 TB — a boilerplate-heavy corpus's
+    // dup-gram set is not driver-sized; partition-local semi join
+    // needs no size assumption).
+    val g = Tables.fanned(spark, dir, "documents")
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), key.as("gk"))
+      .repartition(col("gk"))
     val dupGrams = g.groupBy(col("gk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -1392,7 +1413,7 @@ object DedupOps {
     * jaccard). Counts are exact integers; jaccard is ONE double
     * division, so the DuckDB oracle reproduces it bit-for-bit. */
   def sourceJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val perGram = Tables(spark, dir, "documents")
+    val perGram = Tables.fanned(spark, dir, "documents")
       .select(col("source"), explode(distinctShingles3(col("text"))).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))

@@ -1978,7 +1978,7 @@ object MultimodalOps {
     * Zero shuffles; payloads never leave the scan stage. */
   def videoPhashSigs(spark: SparkSession, dir: String,
                      docFilter: Column = lit(true)): DataFrame =
-    videoPhashSigsOf(Tables(spark, dir, "documents").filter(docFilter))
+    videoPhashSigsOf(Tables.fanned(spark, dir, "documents").filter(docFilter))
 
   /** [[videoPhashSigs]] over an arbitrary (doc_id, text) frame — the
     * per-batch half the streaming ingestion sink runs

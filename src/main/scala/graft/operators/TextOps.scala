@@ -20,6 +20,13 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  /** [[graft.Tables.fanned]] documents — used by the operators whose
+    * per-row kernel work (gram explodes over every document) dominates
+    * the scan stage; map-only/scan-speed operators keep the bare scan
+    * (the fan-out exchange would be their whole cost). */
+  private def fannedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanned(spark, dir, "documents")
+
   /** The WindowedWordCountSolace core: global word count. */
   def wordCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -296,8 +303,16 @@ object TextOps {
     * fixed keep-constant would be scale-dependent — rank-based
     * keeping is [[docLmAdaptive]]'s job. */
   def docLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val bg = docs(spark, dir)
+    // ONE bigram-keyed exchange (r17) shared by the model aggregate
+    // and the attach join: the attach join must shuffle the instance
+    // stream by bg anyway, so training the model off that same
+    // exchange (partition-local final aggregate) deletes the model
+    // branch's separate scan + tokenize + explode pass and its
+    // partial-count shuffle — same corpus shuffle bytes, one corpus
+    // scan instead of two (three with the ctx re-plan).
+    val bg = fannedDocs(spark, dir)
       .select(col("doc_id"), explode(kGrams(tokens(col("text")), 2)).as("bg"))
+      .repartition(col("bg"))
     val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
     val ctx = model.groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
       .agg(sum(col("c_bg")).as("c_ctx"))
@@ -1290,7 +1305,7 @@ object TextOps {
     val n = decontamGram
     val grams = kGrams(tokens(col("text")), n)
     val key = if (hashGrams) xxhash64(col("gram")) else col("gram")
-    val g = docs(spark, dir)
+    val g = fannedDocs(spark, dir)
       .select(col("doc_id"), col("source"), explode(grams).as("gram"))
       .select(col("doc_id"), col("source"), key.as("gk"))
     val bench = g.filter(col("source") === decontamBenchSource)
@@ -1370,7 +1385,7 @@ object TextOps {
     // view can be dropped as soon as the DataFrame is built
     val view = "graft_decontam_grams_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    docs(spark, dir)
+    fannedDocs(spark, dir)
       .select(col("doc_id"), col("source"), explode(grams).as("gram"))
       .select(col("doc_id"), col("source"), col("gram"),
         xxhash64(col("gram")).as("gh"))

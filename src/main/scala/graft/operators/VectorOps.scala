@@ -103,7 +103,9 @@ object VectorOps {
     * descending task keys). */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        blocks: Int = pairBlocks): DataFrame = {
-    val v = vecs(spark, dir)
+    // scan fan-out (Tables.fanned rationale): the (B+1)-way replication
+    // explode runs in the scan stage
+    val v = graft.Tables.fanOut(spark, vecs(spark, dir))
     val B = blocks
     val blk = pmod(col("vec_id"), lit(B)).cast("int")
     val aSide = v.select(col("vec_id").as("ida"), col("vd").as("va"),
@@ -1777,7 +1779,9 @@ object VectorOps {
   }
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
+    // scan fan-out (Tables.fanned rationale): the two pqAssign passes
+    // and the ADC join are all map-side kernels off this one scan
+    val v = graft.Tables.fanOut(spark, vecs(spark, dir))
       .withColumn("vn", transform(col("vd"), x => x / col("norm")))
     val corpus = v.filter(col("vec_id") >= nQueries)
     val nCorpus = corpus.count()
