@@ -89,12 +89,15 @@ object Tables {
     * because their first stage was one task.
     *
     * The fix is SCALE-ADAPTIVE, not a local constant: repartition the
-    * scan to the cluster's default parallelism ONLY when the file
-    * layout yields fewer scan partitions than that. At deployment
-    * scale a table has many splits, the condition is false, and no
-    * shuffle is ever added; locally (or for any production table
-    * dominated by one unsplittable file) the one cheap shuffle of the
-    * raw rows unlocks every core for all downstream map-side work.
+    * scan to the cluster's default parallelism ONLY for the DEGENERATE
+    * layout — a single scan partition, i.e. zero parallelism. Any
+    * multi-split input keeps its natural parallelism (measured: fanning
+    * a ~10-split sf10 embeddings scan cost ann_pq ~10% — the shuffle
+    * bought nothing the splits didn't already give), and at deployment
+    * scale the condition is never true, so no shuffle is ever added;
+    * for any production table collapsed into one unsplittable file the
+    * one cheap shuffle of the raw rows unlocks every core for all
+    * downstream map-side work.
     * Row-to-partition assignment stays deterministic under retries
     * (sortBeforeRepartition is on by default, SPARK-23207); no
     * operator in the library is partitioning-sensitive (fixed-point /
@@ -113,18 +116,17 @@ object Tables {
     * call would tax every query's build. */
   def fanned(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(spark, dir, name)
-    val par = spark.sparkContext.defaultParallelism
     val raw = scanParts.computeIfAbsent((dir, name),
       _ => Integer.valueOf(df.rdd.getNumPartitions))
-    if (raw < par) df.repartition(par) else df
+    if (raw == 1) df.repartition(spark.sparkContext.defaultParallelism) else df
   }
 
   /** [[fanned]] for an already-derived frame (same rule, no partition-
     * count cache — callers are once-per-query roots). */
-  def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions == 1)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
 
   private val scanParts =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
